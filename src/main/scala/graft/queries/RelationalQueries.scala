@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator pack: scans, filters, joins, aggregations, windows,
+  * set ops — SURVEY.md §2.1–§2.6 re-expressed on the harness star schema.
+  *
+  * Scale notes (100 TB design intent, verified on local[32]):
+  *   - Dimension joins (`part`, `customer`, `nation`, `region`) are
+  *     broadcast explicitly: the fact side never shuffles for them.
+  *   - Aggregations rely on Catalyst hash-agg with partial (map-side)
+  *     combine; no `collect()` anywhere.
+  *   - Top-k is `orderBy().limit(k)` which Spark executes as per-partition
+  *     TakeOrdered + driver merge — no global sort at scale.
+  *   - Float aggregates are rounded AFTER aggregation (mirrors the
+  *     reference: finalize_realease.py:221-222) which also pins
+  *     oracle-comparable values.
+  */
+object RelationalQueries {
+
+  /** F1 (process_pubtator.sh:30): non-null filter + project + reorder.
+    * awk `$3 != "" {print $3 "\t" $1}` ≙ filter + select; the predicate
+    * and projection both push down into the parquet scan.
+    */
+  def f1ProjectFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isNotNull && col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("order_key"), col("l_partkey").as("part_key"))
+  }
+
+  /** J1+A1 (process_pubtator.sh:29-34): fact scan → broadcast dim join →
+    * distinct keys. The reference's `sort | join | sort -u` external
+    * sort-merge is replaced by a broadcast hash join (dim side is small)
+    * plus hash-distinct — zero fact-side shuffle for the join; only the
+    * distinct shuffles, on the already-projected single column.
+    */
+  def j1DimJoinDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val dim = Tables.part(spark, dir).filter(col("p_size") <= 15)
+    li.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"))
+      .distinct()
+  }
+
+  /** J2 (merge_filter.sh:68-81): LEFT SEMI join — keep facts whose key is
+    * in the filtered dimension. Semi-join never widens rows, so no
+    * post-join projection cleanup is needed (the reference re-assembled
+    * rows with `cut -f2-`).
+    */
+  def j2SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** J3 (merge_filter.sh:62 semantics): LEFT ANTI join — drop facts whose
+    * key appears in the dimension (the reference's `rg -v -F -f` anti-
+    * filter generalized to key equality; the containment form lives in
+    * TextQueries.f6MultiLiteralAnti).
+    */
+  def j3AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** A1 (process_pubtator.sh:34, process_mesh.py:163-173): DISTINCT on a
+    * key pair. */
+  def a1Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** A3 (finalize_realease.py:527-536): normalized-key dedup, keep-first.
+    * `dropDuplicates` alone is nondeterministic under shuffle, so the
+    * reference's "first occurrence wins" is made explicit with a
+    * row_number window over a total order — deterministic at any
+    * parallelism (SURVEY §7 determinism traps).
+    */
+  def a3DedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"))
+  }
+
+  /** A2+A4 (finalize_realease.py:591-602): group-by + multi-aggregate —
+    * the TPC-H Q1 shape. Partial aggregation (map-side combine) means the
+    * shuffle carries one row per (group × partition), not per input row:
+    * at 100 TB with 6 groups this is a few KB per task.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** A2 variant with countDistinct + sorted collect_set→array_join —
+    * the exact per-compound aggregate of finalize_realease.py:591-602:
+    * nunique(pmid), ";".join(sorted(set(pmid))). `sort_array` pins
+    * collect_set's nondeterministic order (SURVEY §7).
+    */
+  def a2GroupCollect(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ";").as("statuses"))
+  }
+
+  /** A8 (finalize_realease.py:618-622): ordinal binning via a `when`
+    * chain (pd.cut with labeled bins). Kept as expressions (codegen'd)
+    * rather than Bucketizer, which cannot emit string labels.
+    */
+  def a8Binning(spark: SparkSession, dir: String): DataFrame = {
+    val bin = when(col("o_totalprice") <= 50000.0, "very-low")
+      .when(col("o_totalprice") <= 150000.0, "low")
+      .when(col("o_totalprice") <= 300000.0, "medium")
+      .otherwise("high")
+    Tables.orders(spark, dir)
+      .withColumn("price_bin", bin)
+      .groupBy(col("price_bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+  }
+
+  /** W1+W4 (finalize_realease.py:600-601,628): multi-key global sort with
+    * LIMIT. Ties at the cut line are broken by the unique key so the
+    * returned set is deterministic. Spark plans this as TakeOrderedAndProject
+    * — each task keeps a k-row heap; only k rows ever reach the driver.
+    */
+  def w1TopkSort(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+      .limit(100)
+  }
+
+  /** W5 (finalize_realease.py:597): first-occurrence within group as a
+    * rank-1 window — first order per customer by (date, key). */
+  def w5FirstPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"))
+  }
+
+  /** U2 (finalize_realease.py:607-616): union of heterogeneous frames,
+    * schema aligned by literal columns (the "known references get
+    * pubmed_references=100" pattern).
+    */
+  def u2UnionLiteral(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(countDistinct(col("c_custkey")).as("members"))
+      .withColumn("origin", lit("observed"))
+    val known = spark.range(1).select(
+      lit("UNKNOWN").as("segment"), lit(0L).as("members"), lit("synthetic").as("origin"))
+    stats.unionByName(known)
+  }
+
+  /** U3 (finalize_realease.py:537-539): EXCEPT — set difference on values. */
+  def u3Except(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val rich = Tables.customer(spark, dir).filter(col("c_acctbal") > 9800.0)
+    val withRich = n.join(rich, n("n_nationkey") === col("c_nationkey"), "left_semi")
+    n.select(col("n_name")).except(withRich.select(col("n_name")))
+  }
+
+  /** U4 (merge_filter.sh:79 semantics): INTERSECT. */
+  def u4Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_orderpriority"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority")))
+  }
+
+  /** Headline multi-join: customer ⋈ orders ⋈ lineitem with selective
+    * filters, group, top-10 (TPC-H Q3 shape). Dimension side (filtered
+    * customer) broadcasts; orders⋈lineitem co-shuffles on orderkey once —
+    * the single unavoidable shuffle at scale. AQE can further convert the
+    * orders side to broadcast at low SF.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Headline 6-way join (TPC-H Q5 shape): region→nation→customer→orders
+    * →lineitem→supplier with the c_nationkey = s_nationkey locality
+    * predicate. All dimensions broadcast; the only shuffles are
+    * orders⋈lineitem on orderkey and the final 25-group aggregate.
+    */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val dims = c.join(broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+                          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_project_filter"     -> (f1ProjectFilter _),
+    "j1_dim_join_distinct"  -> (j1DimJoinDistinct _),
+    "j2_semi_join"          -> (j2SemiJoin _),
+    "j3_anti_join"          -> (j3AntiJoin _),
+    "a1_distinct"           -> (a1Distinct _),
+    "a3_dedup_keep_first"   -> (a3DedupKeepFirst _),
+    "q1_pricing_summary"    -> (q1PricingSummary _),
+    "a2_group_collect"      -> (a2GroupCollect _),
+    "a8_binning"            -> (a8Binning _),
+    "w1_topk_sort"          -> (w1TopkSort _),
+    "w5_first_per_group"    -> (w5FirstPerGroup _),
+    "u2_union_literal"      -> (u2UnionLiteral _),
+    "u3_except"             -> (u3Except _),
+    "u4_intersect"          -> (u4Intersect _),
+    "q3_shipping_priority"  -> (q3ShippingPriority _),
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_project_filter" ->
+      "SELECT l_orderkey AS order_key, l_partkey AS part_key FROM lineitem WHERE l_returnflag = 'R'",
+    "j1_dim_join_distinct" ->
+      "SELECT DISTINCT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 15",
+    "j2_semi_join" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')",
+    "j3_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')",
+    "a1_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "a3_dedup_keep_first" ->
+      "SELECT c_mktsegment, c_custkey, c_name FROM (SELECT c_mktsegment, c_custkey, c_name, row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn FROM customer) WHERE rn = 1",
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+       "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+       "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, " +
+       "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order " +
+       "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "a2_group_collect" ->
+      ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders, " +
+       "string_agg(DISTINCT o_orderstatus, ';' ORDER BY o_orderstatus) AS statuses " +
+       "FROM orders GROUP BY o_orderpriority"),
+    "a8_binning" ->
+      ("SELECT price_bin, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price FROM (" +
+       "SELECT o_totalprice, CASE WHEN o_totalprice <= 50000.0 THEN 'very-low' " +
+       "WHEN o_totalprice <= 150000.0 THEN 'low' WHEN o_totalprice <= 300000.0 THEN 'medium' " +
+       "ELSE 'high' END AS price_bin FROM orders) GROUP BY price_bin"),
+    "w1_topk_sort" ->
+      ("SELECT l_partkey, count(*) AS cnt, round(sum(l_quantity), 2) AS qty FROM lineitem " +
+       "GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 100"),
+    "w5_first_per_group" ->
+      ("SELECT o_custkey, first_orderkey FROM (SELECT o_custkey, o_orderkey AS first_orderkey, " +
+       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) WHERE rn = 1"),
+    "u2_union_literal" ->
+      ("SELECT c_mktsegment AS segment, count(DISTINCT c_custkey) AS members, 'observed' AS origin " +
+       "FROM customer GROUP BY c_mktsegment UNION ALL SELECT 'UNKNOWN', 0, 'synthetic'"),
+    "u3_except" ->
+      ("SELECT n_name FROM nation EXCEPT SELECT n_name FROM nation " +
+       "WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey AND c_acctbal > 9800.0)"),
+    "u4_intersect" ->
+      ("SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O' " +
+       "INTERSECT SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'"),
+    "q3_shipping_priority" ->
+      ("SELECT l_orderkey, o_orderpriority, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-30' " +
+       "AND l_shipdate > TIMESTAMP '1998-06-30' " +
+       "GROUP BY l_orderkey, o_orderpriority ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "q5_local_supplier_volume" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+       "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name"),
+  )
+}

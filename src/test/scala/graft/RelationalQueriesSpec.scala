@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.RelationalQueries
+import org.apache.spark.sql.functions._
+
+class RelationalQueriesSpec extends SparkSpecBase {
+
+  test("every relational query runs non-empty on the smoke SF") {
+    RelationalQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every relational query with an oracle has matching column names") {
+    // the driver's compare sorts columns by name; a drifting alias breaks
+    // the hash even when values agree — pin the Spark-side schema here.
+    val expected = Map(
+      "q1_pricing_summary" -> Seq("l_returnflag", "l_linestatus", "sum_qty",
+        "sum_base_price", "sum_disc_price", "avg_qty", "count_order"),
+      "q3_shipping_priority" -> Seq("l_orderkey", "o_orderpriority", "revenue"),
+      "q5_local_supplier_volume" -> Seq("n_name", "revenue"),
+      "f1_project_filter" -> Seq("order_key", "part_key"),
+    )
+    expected.foreach { case (name, cols) =>
+      val got = RelationalQueries.queries(name)(spark, sfDir).columns.toSeq
+      assert(got == cols, s"$name schema drift: $got")
+    }
+  }
+
+  test("j1 broadcast join avoids fact-side shuffle") {
+    val plan = RelationalQueries.j1DimJoinDistinct(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$plan")
+  }
+
+  test("f1 pushes filter and projection into the parquet scan") {
+    val plan = RelationalQueries.f1ProjectFilter(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_returnflag:string>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("w1 top-k plans as TakeOrdered (no global sort)") {
+    val plan = RelationalQueries.w1TopkSort(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+
+  test("dedup keep-first is deterministic across reruns") {
+    val a = RelationalQueries.a3DedupKeepFirst(spark, sfDir).collect().toSet
+    val b = RelationalQueries.a3DedupKeepFirst(spark, sfDir).collect().toSet
+    assert(a == b)
+  }
+
+  test("q1 aggregates match a hand-computed group") {
+    val row = RelationalQueries.q1PricingSummary(spark, sfDir)
+      .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F").collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("count_order") > 0)
+  }
+}
