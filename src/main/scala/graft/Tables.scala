@@ -23,7 +23,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+    * via the nanosAsLong legacy conf. Read it as long nanos, then expose
+    * a microsecond `TimestampType` (floor-truncated — same as DuckDB's
+    * ns→µs read) so downstream window/event-time ops see a real
+    * timestamp. Conversion is a codegen'd projection; pruning/pushdown
+    * on the other columns is unaffected. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events").withColumn(
+      "ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }

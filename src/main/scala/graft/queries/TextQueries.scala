@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.CleanText
+import graft.expr.functions.normalize_compound
+
+/** Text-operator pack: regex filters F4/F6/F7, the cleaning chain X1–X8,
+  * normalization X9–X13, explode X12, hashing X18 — SURVEY §2.2/§2.7 —
+  * exercised on `documents` / `part` / `orders` / `events`.
+  *
+  * Scale notes: every query here is a single codegen'd scan→project→
+  * filter pipeline (no shuffle except the explode-count and its
+  * aggregation) — the shape that saturates IO at 100 TB. The F6
+  * multi-literal anti-filter is the one op with a better physical form
+  * at scale (one Aho–Corasick pass instead of N contains); flagged in
+  * SURVEY §4 as a perf-only rewrite, deferred until BENCH demands it.
+  */
+object TextQueries {
+
+  /** F6 pattern list — fixed-string, case-insensitive, pre-cleaned to
+    * length≥3 exactly like merge_filter.sh:56-58. */
+  val antiPatterns: Seq[String] = Seq("vector", "dup", "window")
+
+  /** X11 rule chain — order-sensitive: 'widget'→'gadget' cascades into
+    * 'gadget'→'device' (reference applies rules sequentially). */
+  val typoRules: Seq[(String, String)] = Seq(
+    ("widget", "gadget"), ("blue ", ""), ("gadget", "device"))
+
+  /** F4 (process_pubmed.sh:60-68,108-113): case-insensitive regex
+    * conjunction — keep iff INHIBIT-like AND (COMPLEX-like OR NADH-like),
+    * re-voweled onto the documents vocabulary. */
+  def f4RegexFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.filter(col("text").rlike("(?i)(join|merge|group)") &&
+             (col("text").rlike("(?i)spark") || col("text").rlike("(?i)stream")))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** F6 (merge_filter.sh:56-65): multi-literal containment ANTI-filter.
+    * Broadcast-literal array + `exists(contains)` — the 49-pattern
+    * `rg -v -i -F -f` as one codegen'd predicate. */
+  def f6MultiLiteralAnti(spark: SparkSession, dir: String): DataFrame = {
+    val pats = array(antiPatterns.map(lit): _*)
+    Tables.documents(spark, dir)
+      .filter(!exists(pats, p => lower(col("text")).contains(p)))
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  /** F7 (merge_filter.sh:83-84): PCRE lookahead confirmation regex —
+    * java.util.regex supports lookahead verbatim; the DuckDB oracle
+    * (RE2, no lookahead) expresses the same predicate as a conjunction. */
+  def f7LookaheadFilter(spark: SparkSession, dir: String): DataFrame = {
+    val rx = "(?i)(?=.*\\bspark\\b)(?=.*\\b(join|merge)\\b).*\\b(window|stream)\\b"
+    Tables.documents(spark, dir)
+      .filter(col("text").rlike(rx))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** X1–X8 chain (process_pubmed.sh:84-135) over documents; the unicode
+    * steps (X5 NFC / X8 translit) are identity on this ASCII corpus —
+    * their real behavior is pinned by unit-test vectors (TextNormSpec). */
+  def x1CleanChain(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), CleanText.cleanAll(col("text")).as("clean_text"))
+
+  /** X2+X3: sentence concat + year extraction, on part/orders. */
+  def x2SentenceConcat(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(col("p_partkey"),
+      CleanText.sentenceConcat(col("p_name"), col("p_type")).as("sentence"))
+
+  def x3YearExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(CleanText.extractYear(col("o_orderdate").cast("string")).cast("int").as("order_year"))
+      .groupBy(col("order_year")).agg(count(lit(1)).as("n_orders"))
+
+  /** X9 (finalize_realease.py:517-525): compound-name normalization via
+    * the custom `NormalizeCompound` expression (codegen'd). */
+  def x9CompoundNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), normalize_compound(col("p_name")).as("norm_name"))
+
+  /** X10 (finalize_realease.py:542-549): unbalanced-paren truncation.
+    * Input synthesized: every third part gets an unbalanced suffix. */
+  def x10ParenTrunc(spark: SparkSession, dir: String): DataFrame = {
+    val synth = when(col("p_partkey") % 3 === 0, concat(col("p_name"), lit(" (frag")))
+      .otherwise(col("p_name"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), CleanText.parenTruncate(synth).as("fixed_name"))
+  }
+
+  /** X11 (finalize_realease.py:495-504): ordered typo-chain. */
+  def x11TypoChain(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), CleanText.typoChain(col("p_name"), typoRules).as("fixed_name"))
+
+  /** X12+A2 (finalize_realease.py:558-565): split+explode then count —
+    * top-50 words. The explode happens AFTER the scan projection so
+    * only the text column fans out; count is partial-aggregated. */
+  def x12ExplodeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(50)
+
+  /** X13 (run_gpt_filter.py:57-69): strict-then-loose id normalization
+    * over the events `props` JSON string. */
+  def x13IdNorm(spark: SparkSession, dir: String): DataFrame = {
+    val strict = regexp_extract(col("props"), "^\\{\"k\": ([0-9]+)\\}$", 1)
+    val loose = regexp_extract(col("props"), "([0-9]+)", 1)
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      coalesce(nullif(strict, lit("")), nullif(loose, lit(""))).cast("int").as("k_norm"))
+  }
+
+  /** X18 (finalize_realease.py:57-62): sha256 content digest as a
+    * row-level provenance fingerprint. */
+  def x18Sha256(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f4_regex_filter"     -> (f4RegexFilter _),
+    "f6_multi_literal_anti" -> (f6MultiLiteralAnti _),
+    "f7_lookahead_filter" -> (f7LookaheadFilter _),
+    "x1_clean_chain"      -> (x1CleanChain _),
+    "x2_sentence_concat"  -> (x2SentenceConcat _),
+    "x3_year_extract"     -> (x3YearExtract _),
+    "x9_compound_norm"    -> (x9CompoundNorm _),
+    "x10_paren_trunc"     -> (x10ParenTrunc _),
+    "x11_typo_chain"      -> (x11TypoChain _),
+    "x12_explode_words"   -> (x12ExplodeWords _),
+    "x13_id_norm"         -> (x13IdNorm _),
+    "x18_sha256"          -> (x18Sha256 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f4_regex_filter" ->
+      ("SELECT doc_id, lang FROM documents WHERE regexp_matches(text, '(?i)(join|merge|group)') " +
+       "AND (regexp_matches(text, '(?i)spark') OR regexp_matches(text, '(?i)stream'))"),
+    "f6_multi_literal_anti" ->
+      ("SELECT doc_id, n_chars FROM documents WHERE NOT (contains(lower(text), 'vector') " +
+       "OR contains(lower(text), 'dup') OR contains(lower(text), 'window'))"),
+    "f7_lookahead_filter" ->
+      ("SELECT doc_id, source FROM documents WHERE regexp_matches(text, '(?i)\\bspark\\b') " +
+       "AND regexp_matches(text, '(?i)\\b(join|merge)\\b') " +
+       "AND regexp_matches(text, '(?i)\\b(window|stream)\\b')"),
+    "x1_clean_chain" ->
+      "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean_text FROM documents",
+    "x2_sentence_concat" ->
+      ("SELECT p_partkey, CASE WHEN regexp_matches(p_name, '\\.$') THEN p_name " +
+       "ELSE p_name || '.' END || ' ' || p_type AS sentence FROM part"),
+    "x3_year_extract" ->
+      ("SELECT CAST(regexp_extract(CAST(o_orderdate AS VARCHAR), '(19|20)[0-9]{2}') AS INT) " +
+       "AS order_year, count(*) AS n_orders FROM orders GROUP BY order_year"),
+    "x9_compound_norm" ->
+      ("SELECT p_partkey, CASE WHEN length(n) > 4 AND n LIKE '%s' AND NOT (n LIKE '%us' " +
+       "OR n LIKE '%is' OR n LIKE '%os' OR n LIKE '%gas') THEN substr(n, 1, length(n)-1) " +
+       "ELSE n END AS norm_name FROM (SELECT p_partkey, " +
+       "regexp_replace(lower(trim(p_name)), '[-\\s]', '', 'g') AS n FROM part)"),
+    "x10_paren_trunc" ->
+      ("SELECT p_partkey, CASE WHEN contains(s, '(') AND NOT contains(s, ')') " +
+       "THEN CASE WHEN strpos(s, '(') = 1 THEN '' ELSE substr(s, 1, strpos(s, '(') - 1) END " +
+       "ELSE s END AS fixed_name FROM (SELECT p_partkey, " +
+       "CASE WHEN p_partkey % 3 = 0 THEN p_name || ' (frag' ELSE p_name END AS s FROM part)"),
+    "x11_typo_chain" ->
+      ("SELECT p_partkey, replace(replace(replace(p_name, 'widget', 'gadget'), 'blue ', ''), " +
+       "'gadget', 'device') AS fixed_name FROM part"),
+    "x12_explode_words" ->
+      ("SELECT word, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS word " +
+       "FROM documents) WHERE length(word) > 0 GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50"),
+    "x13_id_norm" ->
+      ("SELECT event_id, CAST(coalesce(nullif(regexp_extract(props, '^\\{\"k\": ([0-9]+)\\}$', 1), ''), " +
+       "nullif(regexp_extract(props, '([0-9]+)', 1), '')) AS INT) AS k_norm FROM events"),
+    "x18_sha256" ->
+      "SELECT doc_id, sha256(text) AS digest FROM documents",
+  )
+}
