@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window / event-time pack over `events` — SURVEY §2.5 (the reference's
+  * W3/W5 rank-and-first analogues) plus the net-new time-series surface
+  * called out in §2.5/§7: ranking windows, lag/lead, row frames, and
+  * tumbling / sliding / session event-time windows (batch forms of the
+  * §2.9 streaming layer; the streaming variants share these exact
+  * aggregations via `graft.streaming`).
+  *
+  * Scale notes: every per-user window here shuffles ONCE on user_id and
+  * reuses that single hash partitioning for sort+window — at 100 TB the
+  * cost is one exchange, with AQE coalescing skewed partitions. The
+  * event-time windows are plain hash aggregations (partial map-side
+  * combine, no per-key state), so they scale linearly with input.
+  * Determinism: every ORDER BY carries event_id as a tiebreaker and all
+  * double outputs are rounded AFTER aggregation (SURVEY §7 traps).
+  */
+object WindowQueries {
+
+  private def byUserTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** W3-analogue as a true window op: rank per user by (value desc,
+    * event_id) — keep each user's top-3 events. */
+  def winRankTop3(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"), col("rnk"))
+  }
+
+  /** lag: per-user inter-event value delta (net-new; no reference op). */
+  def winLagDelta(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(byUserTime))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - col("prev_value"), 6).as("delta"))
+
+  /** row frame: 3-row moving average per user (ROWS 2 PRECEDING..CURRENT). */
+  def winMovingAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("mavg",
+        round(avg(col("value")).over(byUserTime.rowsBetween(-2, 0)), 6))
+      .select(col("event_id"), col("user_id"), col("mavg"))
+
+  /** Tumbling 1-hour event-time window (batch form of the streaming
+    * windowed agg — epoch-aligned, same as DuckDB date_trunc). */
+  def winTumblingHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour window, 30-min slide: each event lands in exactly
+    * two windows; pure hash-agg after the window fan-out. */
+  def winSlidingHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  /** Session windows: 30-min inactivity gap per user. Output is the
+    * gaps-and-islands shape (first/last event ts + count) so the oracle
+    * can express identical semantics with lag + running sum. */
+  def winSessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+
+  /** A5 (finalize_realease.py:169-173): mean of top-3 values per group.
+    * Composed form: sort+slice+aggregate over collect_list — the
+    * bounded-heap `TypedImperativeAggregate` variant is `graft.expr.TopK`
+    * (same semantics, no full collect; used by topk_mean_agg query). */
+  def a5TopkMean(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(slice(sort_array(collect_list(col("value")), asc = false), 1, 3).as("top3"))
+      .select(col("user_id"),
+        round(aggregate(col("top3"), lit(0.0d), _ + _) / size(col("top3")), 6)
+          .as("topk_mean"))
+
+  /** A6 (finalize_realease.py:215-217): max + argmax via a single
+    * struct-max aggregation (one map-side-combinable agg, no window
+    * shuffle); ties broken by event_id — deterministic. */
+  def a6MaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("value"), col("event_id"))).as("m"))
+      .select(col("event_type"), col("m.value").as("max_value"),
+        col("m.event_id").as("max_event_id"))
+
+  /** A9 (finalize_realease.py:175-182): threshold labeling via a when
+    * chain, then distribution count. */
+  def a9ThresholdLabel(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    val label = when(v >= 70.0, "high")
+      .when(v >= 50.0, "medium")
+      .when(v >= 30.0, "low")
+      .otherwise("very-low")
+    Tables.events(spark, dir)
+      .select(label.as("value_band"))
+      .groupBy(col("value_band")).agg(count(lit(1)).as("n"))
+  }
+
+  /** W5 as a window op (vs the agg form in RelationalQueries): first
+    * event per (user, event_type) by time. */
+  def w5FirstEventPerType(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_top3"      -> (winRankTop3 _),
+    "win_lag_delta"      -> (winLagDelta _),
+    "win_moving_avg"     -> (winMovingAvg _),
+    "win_tumbling_hour"  -> (winTumblingHour _),
+    "win_sliding_hour"   -> (winSlidingHour _),
+    "win_sessionize"     -> (winSessionize _),
+    "a5_topk_mean"       -> (a5TopkMean _),
+    "a6_max_by"          -> (a6MaxBy _),
+    "a9_threshold_label" -> (a9ThresholdLabel _),
+    "w5_first_event_per_type" -> (w5FirstEventPerType _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank_top3" ->
+      ("SELECT user_id, event_id, value, rnk FROM (SELECT user_id, event_id, value, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk " +
+       "FROM events) WHERE rnk <= 3"),
+    "win_lag_delta" ->
+      ("SELECT event_id, user_id, round(value - lag(value, 1) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta FROM events"),
+    "win_moving_avg" ->
+      ("SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id " +
+       "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg FROM events"),
+    "win_tumbling_hour" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+       "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events " +
+       "GROUP BY window_start, event_type"),
+    "win_sliding_hour" ->
+      ("SELECT window_start, count(*) AS n_events FROM (SELECT unnest([" +
+       "time_bucket(INTERVAL '30 minutes', ts), " +
+       "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start " +
+       "FROM events) GROUP BY window_start"),
+    "win_sessionize" ->
+      ("WITH flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+       "OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "grp AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id " +
+       "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+       "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
+       "count(*) AS n_events FROM grp GROUP BY user_id, sid"),
+    "a5_topk_mean" ->
+      ("SELECT user_id, round(avg(value), 6) AS topk_mean FROM (SELECT user_id, value, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn " +
+       "FROM events) WHERE rn <= 3 GROUP BY user_id"),
+    "a6_max_by" ->
+      ("SELECT event_type, value AS max_value, event_id AS max_event_id FROM (" +
+       "SELECT event_type, value, event_id, row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY value DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"),
+    "a9_threshold_label" ->
+      ("SELECT CASE WHEN value >= 70 THEN 'high' WHEN value >= 50 THEN 'medium' " +
+       "WHEN value >= 30 THEN 'low' ELSE 'very-low' END AS value_band, count(*) AS n " +
+       "FROM events GROUP BY value_band"),
+    "w5_first_event_per_type" ->
+      ("SELECT user_id, event_type, event_id AS first_event_id FROM (SELECT user_id, " +
+       "event_type, event_id, row_number() OVER (PARTITION BY user_id, event_type " +
+       "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"),
+  )
+}

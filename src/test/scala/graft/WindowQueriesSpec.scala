@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.WindowQueries
+import org.apache.spark.sql.functions._
+
+class WindowQueriesSpec extends SparkSpecBase {
+
+  test("every window query runs non-empty on the smoke SF") {
+    WindowQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("rank top3 keeps at most 3 rows per user and ranks correctly") {
+    val df = WindowQueries.winRankTop3(spark, sfDir)
+    val over = df.groupBy("user_id").count().filter(col("count") > 3).count()
+    assert(over == 0)
+    // rank 1 value >= rank 2 value within a user
+    val bad = df.as("a").join(df.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.rnk") < col("b.rnk") &&
+        col("a.value") < col("b.value")).count()
+    assert(bad == 0)
+  }
+
+  test("sessions respect the 30-minute gap invariant") {
+    val df = WindowQueries.winSessionize(spark, sfDir).cache()
+    // no two sessions of the same user overlap or sit closer than the gap
+    val tooClose = df.as("a").join(df.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+      col("a.session_end") < col("b.session_start") &&
+      col("b.session_start").cast("long") - col("a.session_end").cast("long") <= 30L * 60).count()
+    assert(tooClose == 0, "adjacent sessions closer than the inactivity gap")
+    // session count per user matches dense per-user event total
+    val total = df.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    df.unpersist()
+  }
+
+  test("per-user window ops shuffle exactly once") {
+    val plan = WindowQueries.winMovingAvg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("tumbling windows partition the event stream exactly") {
+    val df = WindowQueries.winTumblingHour(spark, sfDir)
+    val total = df.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
+  test("sliding windows double-count each event (1h window, 30m slide)") {
+    val df = WindowQueries.winSlidingHour(spark, sfDir)
+    val total = df.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == 2 * Tables.events(spark, sfDir).count())
+  }
+}
