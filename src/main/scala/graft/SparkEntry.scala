@@ -17,6 +17,7 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
       (WindowQueries.queries, WindowQueries.oracle),
+      (SimilarityQueries.queries, SimilarityQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity kernels over `array<float>` embedding columns —
+  * the Spark-first form of the reference's broadcast cross-score join
+  * (J6/J7, finalize_realease.py:199-219): `crossJoin(broadcast(refs))`
+  * + windowed top-k, with all arithmetic in double via codegen'd
+  * higher-order functions (`zip_with` / `aggregate`) — no UDF.
+  *
+  * Scale path (100 TB): the broadcast side is the small query/ref/
+  * centroid set, so the big side streams through one codegen stage with
+  * NO shuffle; top-k per query is a bounded `TakeOrdered`-shaped window
+  * over query_id. For ANN over a *large* query set, use
+  * [[randomHyperplaneBits]] to bucket both sides (LSH) and join on
+  * bucket — turns the O(N·Q) crossJoin into a co-partitioned equi-join.
+  */
+object Similarity {
+
+  /** Positional dot product in double (left-to-right sum — matches the
+    * DuckDB oracle's evaluation order, keeps fp drift sub-round-off). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), _ * _),
+      lit(0.0d), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** K sign-bits of dot products against deterministic random
+    * hyperplanes (seeded driver-side constant) — random-hyperplane LSH:
+    * P[bit match] = 1 - angle/π. Emitted as a compact bucket id. */
+  def randomHyperplaneBits(v: Column, dim: Int, k: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(k, dim)(rnd.nextGaussian())
+    val bits = planes.map { p =>
+      val plane = array(p.map(x => lit(x)): _*)
+      when(dot(v, plane) >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.zipWithIndex.map { case (b, i) => b * lit(1L << i) }.reduce(_ + _)
+  }
+
+  /** Per-dimension mean vectors (centroids) by key: posexplode → one
+    * partial-aggregated groupBy on (key, pos) → re-assembled array in
+    * position order. Two narrow shuffles on tiny keyspaces. */
+  def centroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col(keyCol), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(keyCol), transform(col("pm"), _.getField("m")).as("centroid"))
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity._
+
+/** Similarity-search pack over `embeddings` — the Spark-first form of
+  * the reference's broadcast cross-score join (SURVEY §2.3 J6/J7 +
+  * §2.4 A5/A6: BulkTanimotoSimilarity → max/argmax/top-k), generalized
+  * to the engine's ANN north-star: brute-force cosine top-k as the
+  * exact baseline and random-hyperplane LSH bucketing as the scale
+  * path.
+  *
+  * Scale notes (100 TB): the brute-force queries broadcast the SMALL
+  * side (query set / centroid set) so the big fact side streams through
+  * a single codegen'd stage — no shuffle of the large table; top-k is a
+  * per-query-partition window over the (tiny) query_id keyspace. The
+  * all-pairs near-dup query is intrinsically O(N²)/crossJoin at small N;
+  * at scale the LSH variant replaces it: bucket both sides on hyperplane
+  * sign-bits, equi-join on bucket (co-partitioned shuffle), and verify
+  * candidates with exact cosine — recall measured in SimilaritySpec.
+  */
+object SimilarityQueries {
+
+  val NearDupThreshold = 0.35
+  /** Banded LSH: L tables × k sign-bits. P[candidate | cos θ] =
+    * 1-(1-p^k)^L with p = 1-θ/π — at k=4, L=16 recall ≈ 0.9 for
+    * sim ≥ 0.35 and ≈ 1 for true near-dups, while bucket width stays
+    * ~N/2^k per table. */
+  val LshTables = 16
+  val LshBits = 4
+  val LshSeed = 42L
+
+  /** J6/A6: exact top-5 cosine neighbors for each query vector
+    * (vec_id < 5), excluding self. Broadcast the query side. */
+  def annBruteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (all-pairs exact form). */
+  def annNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cos_sim"))
+  }
+
+  /** J7-analogue: nearest label-centroid per vector → confusion counts
+    * (label, predicted, n). Centroids are a 3-row broadcast. */
+  def simCentroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val c = centroids(e, "label", "embedding")
+      .select(col("label").as("pred_label"), col("centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("pred_label").asc)
+    e.crossJoin(broadcast(c))
+      .withColumn("sim", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** LSH scale path: bucket on hyperplane sign-bits, equi-join on
+    * bucket, exact-cosine verify. Not SQL-oracle-expressible (seeded
+    * hyperplanes live driver-side) → rows-only check + recall spec. */
+  def annLshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = array((0 until LshTables).map { t =>
+      randomHyperplaneBits(col("embedding"), 64, LshBits, LshSeed + t)
+    }: _*)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), posexplode(buckets).as(Seq("tbl", "bucket")))
+    val a = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // dedup candidate pairs BEFORE the exact verify so each pair's
+      // cosine is computed once even when several tables propose it
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("emb_a")).as("emb_a"), first(col("emb_b")).as("emb_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cos_sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk"         -> (annBruteTopk _),
+    "ann_neardup_pairs"      -> (annNearDupPairs _),
+    "sim_centroid_confusion" -> (simCentroidConfusion _),
+    "ann_lsh_neardup"        -> (annLshNearDup _),
+  )
+
+  private val cosSql =
+    "list_dot_product(%s::DOUBLE[], %s::DOUBLE[]) / (sqrt(list_dot_product(%s::DOUBLE[], %s::DOUBLE[])) * sqrt(list_dot_product(%s::DOUBLE[], %s::DOUBLE[])))"
+
+  private def cos(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
+
+  val oracle: Map[String, String] = Map(
+    "ann_brute_topk" ->
+      (s"SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (" +
+       s"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
+       s"${cos("q.embedding", "e.embedding")} AS sim, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       s"${cos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rnk " +
+       "FROM embeddings q, embeddings e WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) " +
+       "WHERE rnk <= 5"),
+    "ann_neardup_pairs" ->
+      (s"SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+       s"round(${cos("a.embedding", "b.embedding")}, 6) AS cos_sim " +
+       "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+       s"AND ${cos("a.embedding", "b.embedding")} >= $NearDupThreshold"),
+    "sim_centroid_confusion" ->
+      ("WITH cent AS (SELECT label AS pred_label, list(m ORDER BY pos) AS centroid FROM (" +
+       "SELECT label, pos, avg(v) AS m FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v, " +
+       "generate_subscripts(embedding, 1) AS pos FROM embeddings) GROUP BY label, pos) " +
+       "GROUP BY label), " +
+       "scored AS (SELECT e.label, c.pred_label, " +
+       s"${cos("e.embedding", "c.centroid")} AS sim, " +
+       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+       s"${cos("e.embedding", "c.centroid")} DESC, c.pred_label ASC) AS rn " +
+       "FROM embeddings e, cent c) " +
+       "SELECT label, pred_label, count(*) AS n FROM scored WHERE rn = 1 " +
+       "GROUP BY label, pred_label"),
+    // ann_lsh_neardup intentionally omitted → driver rows-only check.
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.SimilarityQueries
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilarityQueriesSpec extends SparkSpecBase {
+
+  test("every similarity query runs non-empty on the smoke SF") {
+    SimilarityQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("cosine kernel: self-similarity 1, symmetry, [-1,1] range") {
+    import spark.implicits._
+    val df = Tables.embeddings(spark, sfDir).limit(20)
+    val a = df.select($"vec_id".as("ia"), $"embedding".as("ea"))
+    val b = df.select($"vec_id".as("ib"), $"embedding".as("eb"))
+    val sims = a.crossJoin(b)
+      .select($"ia", $"ib", Similarity.cosine($"ea", $"eb").as("s"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    sims.foreach { case ((i, j), s) =>
+      assert(s <= 1.0 + 1e-9 && s >= -1.0 - 1e-9)
+      if (i == j) assert(math.abs(s - 1.0) < 1e-9)
+      assert(math.abs(s - sims((j, i))) < 1e-12, s"asymmetric at ($i,$j)")
+    }
+  }
+
+  test("brute topk returns exactly 5 neighbors per query, rank-ordered") {
+    val rows = SimilarityQueries.annBruteTopk(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q has ${rs.length} neighbors")
+      val ordered = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(ordered.zip(ordered.tail).forall { case (x, y) => x >= y },
+        s"query $q similarities not descending")
+    }
+  }
+
+  test("LSH near-dup achieves >=60% recall vs exact all-pairs") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityQueries.annNearDupPairs(spark, sfDir))
+    val lsh = pairs(SimilarityQueries.annLshNearDup(spark, sfDir))
+    assert(lsh.subsetOf(exact), "LSH reported a pair below threshold")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.6, f"LSH recall $recall%.2f < 0.6 (${lsh.size}/${exact.size})")
+  }
+
+  test("brute-force join broadcasts the query side (no fact shuffle)") {
+    val plan = SimilarityQueries.annBruteTopk(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("centroid confusion counts cover every vector exactly once") {
+    val df = SimilarityQueries.simCentroidConfusion(spark, sfDir)
+    val total = df.agg(sum("n")).collect().head.getLong(0)
+    assert(total == Tables.embeddings(spark, sfDir).count())
+  }
+}
