@@ -18,6 +18,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracle),
       (WindowQueries.queries, WindowQueries.oracle),
       (SimilarityQueries.queries, SimilarityQueries.oracle),
+      (DedupQueries.queries, DedupQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

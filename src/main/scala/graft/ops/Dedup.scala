@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Document-dedup building blocks (SURVEY §7 north-star: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash) — all codegen'd column
+  * expressions; no UDFs.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-shuffle on the digest.
+  * All-pairs Jaccard exists only as the small-N exact baseline; the
+  * scale path is MinHash banding — signatures are one scan (partial-agg
+  * free, per-row), band explosion multiplies rows by nBands (constant),
+  * and the candidate join shuffles on (band_idx, band_val), which is
+  * uniformly distributed by construction (hash values) → no skew. The
+  * exact-verify then touches only candidate pairs, which for real
+  * corpora is ~linear in the duplicate count, not N².
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles; empty array for docs shorter than n
+    * (guards the descending-`sequence` trap when size < n). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    val grams = transform(sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+    when(size(ws) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact set Jaccard from two shingle arrays — integer set sizes, so
+    * the double division is bit-identical across engines. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash signature: `perms` permutations simulated by seeding
+    * xxhash64 with the perm index; one `array_min` per perm. */
+  def minhashSignature(shingles: Column, perms: Int): Column =
+    array((0 until perms).map { s =>
+      array_min(transform(shingles, x => xxhash64(concat(lit(s + ":"), x))))
+    }: _*)
+
+  /** LSH bands over a signature: nBands compact band-values (joined
+    * slice) for equi-join bucketing. */
+  def lshBands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))
+    }: _*)
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Dedup._
+import graft.expr.hashfunctions.simhash64
+
+/** Deduplication pack over `documents` (SURVEY §7 north-star): exact
+  * hash-groupBy, n-gram Jaccard (exact baseline, oracle-verified),
+  * MinHash+LSH banding (the 100 TB path), and SimHash hamming pairs
+  * via the custom `simhash64` codegen expression.
+  */
+object DedupQueries {
+
+  val ShingleN = 3
+  val JaccardThreshold = 0.7
+  val MinhashPerms = 32
+  val Bands = 8 // 8 bands x 4 rows: P[candidate] = 1-(1-j^4)^8 ≈ 1 at j≥0.7
+  val SimhashMaxHamming = 6
+
+  /** A1/exact dedup: sha256 content digest → canonical (min) doc_id +
+    * group size. One hash-shuffle on the digest. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("digest"), col("keeper_id"), col("n_copies"))
+
+  /** Exact 3-gram Jaccard near-dup pairs (all-pairs baseline). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sg"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("j", jaccard(col("sg_a"), col("sg_b")))
+      .filter(col("j") >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH: signature → bands → bucket equi-join → exact verify.
+    * Rows-only for the driver (xxhash64 has no DuckDB twin); recall vs
+    * the exact baseline asserted in DedupQueriesSpec. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val rows = MinhashPerms / Bands
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sg"))
+      .filter(size(col("sg")) > 0)
+      .withColumn("bands", lshBands(minhashSignature(col("sg"), MinhashPerms), Bands, rows))
+      .select(col("doc_id"), col("sg"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val a = sh.select(col("band_idx"), col("band_val"), col("doc_id").as("id_a"), col("sg").as("sg_a"))
+    val b = sh.select(col("band_idx"), col("band_val"), col("doc_id").as("id_b"), col("sg").as("sg_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sg_a")).as("sg_a"), first(col("sg_b")).as("sg_b"))
+      .withColumn("j", jaccard(col("sg_a"), col("sg_b")))
+      .filter(col("j") >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup candidates: 64-bit fingerprints, pairs within
+    * hamming <= 6. Fingerprinting is one codegen'd scan; the pair scan
+    * is cheap bit math (and at scale would be bucketed by fingerprint
+    * prefix chunks — pigeonhole: hamming<=6 over 8 chunks guarantees a
+    * matching chunk, same join shape as MinHash bands). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
+    val a = s.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = s.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
+    "dedup_simhash"       -> (dedupSimhash _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT sha256(text) AS digest, min(doc_id) AS keeper_id, count(*) AS n_copies " +
+       "FROM documents GROUP BY digest"),
+    "dedup_ngram_jaccard" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
+       "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
+       "ELSE [] END AS sg FROM t) " +
+       "SELECT id_a, id_b, round(j, 6) AS jaccard FROM (" +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
+       "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
+    // dedup_minhash_lsh / dedup_simhash: driver rows-only (hash funcs
+    // have no DuckDB equivalent); recall asserted in DedupQueriesSpec.
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.expr.TextHash
+import graft.queries.DedupQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class DedupQueriesSpec extends SparkSpecBase {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("every dedup query runs non-empty on the smoke SF") {
+    DedupQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("exact dedup partitions the corpus (group sizes sum to N)") {
+    val df = DedupQueries.dedupExact(spark, sfDir)
+    val total = df.agg(sum("n_copies")).collect().head.getLong(0)
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
+  test("minhash LSH recovers >=90% of exact jaccard near-dup pairs, no false positives") {
+    val exact = pairs(DedupQueries.dedupNgramJaccard(spark, sfDir))
+    val lsh = pairs(DedupQueries.dedupMinhashLsh(spark, sfDir))
+    assert(exact.nonEmpty, "no planted near-dups found by exact baseline")
+    assert(lsh.subsetOf(exact), "LSH emitted a pair below the verify threshold")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, f"minhash recall $recall%.2f (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash finds the planted near-dup pairs") {
+    val exact = pairs(DedupQueries.dedupNgramJaccard(spark, sfDir))
+    val sim = pairs(DedupQueries.dedupSimhash(spark, sfDir))
+    val hit = exact.intersect(sim).size.toDouble / exact.size
+    assert(hit >= 0.9, f"simhash recall vs jaccard pairs: $hit%.2f")
+  }
+
+  test("simhash kernel: identical token sets collide, disjoint ones differ") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),
+      ("a b c d e f g h", "z y x w v u t s")
+    ).toDF("s1", "s2")
+      .select(graft.expr.hashfunctions.simhash64(split(col("s1"), " ")).as("h1"),
+        graft.expr.hashfunctions.simhash64(split(col("s2"), " ")).as("h2"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == rows(0).getLong(1))
+    assert(rows(1).getLong(0) != rows(1).getLong(1))
+  }
+
+  test("fnv64 kernel is stable (pinned vector)") {
+    // FNV-1a 64 of "abc" — published constant
+    assert(TextHash.fnv64(UTF8String.fromString("abc")) == 0xe71fa2190541574bL)
+  }
+}
