@@ -19,6 +19,7 @@ object SparkEntry {
       (WindowQueries.queries, WindowQueries.oracle),
       (SimilarityQueries.queries, SimilarityQueries.oracle),
       (DedupQueries.queries, DedupQueries.oracle),
+      (TextAnalysisQueries.queries, TextAnalysisQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

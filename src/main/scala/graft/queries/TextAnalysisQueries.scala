@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis pack over `documents` (SURVEY §7 north-star: lang-ID,
+  * quality scoring, token counting, fingerprinting). Every query is a
+  * single codegen'd scan→project pipeline — no shuffle, no UDFs — the
+  * shape that stays IO-bound at 100 TB.
+  */
+object TextAnalysisQueries {
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single
+    * punctuation marks (the usual pre-tokenizer split classes). */
+  val TokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "to"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+  )
+
+  /** Token counting: whitespace tokens + regex (BPE-ish) tokens. */
+  def taTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(TokenRegex), lit(0))).cast("long").as("re_tokens"))
+
+  /** Quality scoring: stopword ratio, punctuation ratio, mean token
+    * length → ordinal band. All-rational arithmetic → oracle-exact. */
+  def taQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\.,;:!\\?]", ""))).cast("double")
+    val stopRatio = nStop / nTok
+    val punctRatio = nPunct / length(col("text")).cast("double")
+    val avgTokLen = (length(col("text")) - nTok + 1.0) / nTok
+    val band = when(stopRatio >= 0.10, "high")
+      .when(stopRatio >= 0.05, "medium").otherwise("low")
+    Tables.documents(spark, dir).select(
+      col("doc_id"), round(stopRatio, 6).as("stopword_ratio"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(avgTokLen, 6).as("avg_token_len"), band.as("quality_band"))
+  }
+
+  /** Language-ID: distinct marker-word hits per language profile,
+    * argmax with fixed preference order (en > es > de), 'und' when no
+    * profile matches. N-gram-profile LID reduced to its word-marker
+    * core — deterministic and oracle-expressible. */
+  def taLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(array(markers.map(lit): _*), m => array_contains(toks, m))).cast("long")
+    }
+    val Seq(en, es, de) = scores.map(_._2)
+    val pred = when(en >= es && en >= de && en > 0, "en")
+      .when(es >= de && es > 0, "es")
+      .when(de > 0, "de")
+      .otherwise("und")
+    Tables.documents(spark, dir).select(
+      col("doc_id"), en.as("score_en"), es.as("score_es"), de.as("score_de"),
+      pred.as("pred_lang"))
+  }
+
+  /** Winnowing fingerprint (Schleimer et al. 2003): 4-gram shingle
+    * hashes → min per 5-window → distinct sorted signature. xxhash64
+    * has no DuckDB twin → rows-only; properties in the spec. */
+  def taFingerprintWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = transform(sequence(lit(1), size(ws) - 3),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+        element_at(ws, i + 2), element_at(ws, i + 3)))
+    val hashes = transform(grams, g => xxhash64(g))
+    val mins = transform(sequence(lit(1), size(hashes) - 4),
+      w => array_min(slice(hashes, w, lit(5))))
+    val fp = array_sort(array_distinct(mins))
+    Tables.documents(spark, dir)
+      .filter(size(ws) >= 8)
+      .select(col("doc_id"), fp.as("fingerprint"), size(fp).cast("long").as("n_fp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_token_count"        -> (taTokenCount _),
+    "ta_quality_score"      -> (taQualityScore _),
+    "ta_lang_id"            -> (taLangId _),
+    "ta_fingerprint_winnow" -> (taFingerprintWinnow _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ta_token_count" ->
+      ("SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens, " +
+       "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS re_tokens " +
+       "FROM documents"),
+    "ta_quality_score" ->
+      ("SELECT doc_id, round(n_stop / n_tok, 6) AS stopword_ratio, " +
+       "round(n_punct / len(text), 6) AS punct_ratio, " +
+       "round((len(text) - n_tok + 1.0) / n_tok, 6) AS avg_token_len, " +
+       "CASE WHEN n_stop / n_tok >= 0.10 THEN 'high' " +
+       "WHEN n_stop / n_tok >= 0.05 THEN 'medium' ELSE 'low' END AS quality_band " +
+       "FROM (SELECT doc_id, text, len(string_split(text, ' '))::DOUBLE AS n_tok, " +
+       "len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in'], t)))::DOUBLE AS n_stop, " +
+       "(len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE AS n_punct " +
+       "FROM documents)"),
+    "ta_lang_id" ->
+      ("SELECT doc_id, s_en AS score_en, s_es AS score_es, s_de AS score_de, " +
+       "CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en' " +
+       "WHEN s_es >= s_de AND s_es > 0 THEN 'es' WHEN s_de > 0 THEN 'de' " +
+       "ELSE 'und' END AS pred_lang FROM (SELECT doc_id, " +
+       "len(list_filter(['the','and','of','a','to'], m -> list_contains(ws, m)))::BIGINT AS s_en, " +
+       "len(list_filter(['el','la','de','los','que'], m -> list_contains(ws, m)))::BIGINT AS s_es, " +
+       "len(list_filter(['der','die','das','und','ist'], m -> list_contains(ws, m)))::BIGINT AS s_de " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))"),
+    // ta_fingerprint_winnow: rows-only (xxhash64 not in DuckDB).
+  )
+}
