@@ -34,17 +34,4 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** MinHash signature: `perms` permutations simulated by seeding
-    * xxhash64 with the perm index; one `array_min` per perm. */
-  def minhashSignature(shingles: Column, perms: Int): Column =
-    array((0 until perms).map { s =>
-      array_min(transform(shingles, x => xxhash64(concat(lit(s + ":"), x))))
-    }: _*)
-
-  /** LSH bands over a signature: nBands compact band-values (joined
-    * slice) for equi-join bucketing. */
-  def lshBands(sig: Column, nBands: Int, rowsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))
-    }: _*)
 }

@@ -18,6 +18,7 @@ object DedupQueries {
   val MinhashPerms = 32
   val Bands = 8 // 8 bands x 4 rows: P[candidate] = 1-(1-j^4)^8 ≈ 1 at j≥0.7
   val SimhashMaxHamming = 6
+  val MinhashSeed = 42L
 
   /** A1/exact dedup: sha256 content digest → canonical (min) doc_id +
     * group size. One hash-shuffle on the digest. */
@@ -27,15 +28,30 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("digest"), col("keeper_id"), col("n_copies"))
 
-  /** Exact 3-gram Jaccard near-dup pairs (all-pairs baseline). */
+  /** Exact 3-gram Jaccard near-dup pairs via an inverted-index join —
+    * the scalable exact plan: explode distinct shingles, equi-join on
+    * shingle, and |A∩B| falls out of a pair-count aggregation. Only
+    * pairs sharing at least one shingle ever materialize (pairs with
+    * empty intersection can't reach any positive threshold), so cost is
+    * ~Σ postings² per shingle, not N² — and the join/agg is all long
+    * arithmetic, no per-pair array intersections. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sg"))
-    val a = sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("j", jaccard(col("sg_a"), col("sg_b")))
+      .select(col("doc_id"), size(col("sg")).as("sz"), explode(col("sg")).as("shingle"))
+    val a = ex.select(col("shingle"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val b = ex.select(col("shingle"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
+    // provably-safe size prefilter: j >= t implies min(sz)/max(sz) >= t
+    // (j = I/(A+B-I) <= min/max), so mismatched sizes are pruned before
+    // the pair-count shuffle.
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b").cast("double") >= col("sz_a") * JaccardThreshold &&
+        col("sz_a").cast("double") >= col("sz_b") * JaccardThreshold)
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("j") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
@@ -45,17 +61,40 @@ object DedupQueries {
     * the exact baseline asserted in DedupQueriesSpec. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val rows = MinhashPerms / Bands
+    // one base hash per (doc, shingle) row; the 32 "permutations" are
+    // affine maps a*h+b (odd a, Long wrap) min-aggregated in a SINGLE
+    // shuffle on doc_id — avoids re-evaluating the shingle transform
+    // per permutation (a 32x expression-inlining blow-up in the naive
+    // array-expression form).
+    // 31-bit hash x 31-bit odd multiplier stays within Long (ANSI mode
+    // forbids overflow); 31 bits of min-hash resolution is ample.
+    val rnd = new scala.util.Random(MinhashSeed)
+    val coefs = Array.fill(MinhashPerms)(
+      (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sg"))
       .filter(size(col("sg")) > 0)
-      .withColumn("bands", lshBands(minhashSignature(col("sg"), MinhashPerms), Bands, rows))
-      .select(col("doc_id"), col("sg"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    val a = sh.select(col("band_idx"), col("band_val"), col("doc_id").as("id_a"), col("sg").as("sg_a"))
-    val b = sh.select(col("band_idx"), col("band_val"), col("doc_id").as("id_b"), col("sg").as("sg_b"))
-    a.join(b, Seq("band_idx", "band_val"))
+    val ex = sh.select(col("doc_id"), explode(col("sg")).as("shingle"))
+      .withColumn("h", shiftrightunsigned(xxhash64(col("shingle")), 33))
+    val sigCols = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * lit(a) + lit(b)).as(s"s_$i")
+    }
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until Bands).map { bi =>
+      concat_ws(",", (0 until rows).map(r => col(s"s_${bi * rows + r}").cast("string")): _*)
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("sg_a")).as("sg_a"), first(col("sg_b")).as("sg_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verify on the candidate pairs only; the shingle table is
+    // small enough to broadcast here — at 100 TB this becomes a shuffle
+    // join keyed on doc_id, still linear in candidate count.
+    cand
+      .join(broadcast(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a"))), "id_a")
+      .join(broadcast(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b"))), "id_b")
       .withColumn("j", jaccard(col("sg_a"), col("sg_b")))
       .filter(col("j") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))

@@ -51,12 +51,17 @@ object SimilarityQueries {
 
   /** Embedding-cosine near-duplicate pairs (all-pairs exact form). */
   def annNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    // norms are computed once per ROW (projection below the join);
+    // each pair then pays only the dot product — same double-precision
+    // formula as the oracle (dot / (|a|·|b|)), just factored.
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      norm(col("embedding")).as("norm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      norm(col("embedding")).as("norm_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cos_sim"))
   }
@@ -84,16 +89,21 @@ object SimilarityQueries {
       randomHyperplaneBits(col("embedding"), 64, LshBits, LshSeed + t)
     }: _*)
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), posexplode(buckets).as(Seq("tbl", "bucket")))
-    val a = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("tbl", "bucket"))
+      .select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
+    val a = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val b = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    // candidate ids only through the bucket join (no array shuffling);
+    // dedup across tables, then broadcast-join the vectors back for the
+    // exact verify — pairs pay one dot product, rows pay one norm.
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      // dedup candidate pairs BEFORE the exact verify so each pair's
-      // cosine is computed once even when several tables propose it
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("emb_a")).as("emb_a"), first(col("emb_b")).as("emb_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .select(col("id_a"), col("id_b")).distinct()
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    cand
+      .join(broadcast(v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))), "id_a")
+      .join(broadcast(v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))), "id_b")
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cos_sim"))
   }
