@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, event_id: Long)
+
+/** Structured-Streaming behavior of the incremental layer — driven with
+  * MemoryStream (deterministic batches, no timers). */
+class StreamOpsSpec extends SparkSpecBase {
+
+  private def t(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("T1 file feed: incremental parquet ingestion reaches batch parity") {
+    val src = Files.createTempDirectory("feed").toString
+    val out = s"stream_feed_${System.nanoTime()}"
+    val events = Tables.events(spark, sfDir)
+    events.limit(100).write.parquet(s"$src/drop1")
+    // two "updatefiles" land later, as in the reference's daily feed
+    events.limit(150).write.mode("append").parquet(s"$src/drop2")
+    val q = StreamOps.fileFeed(spark, s"$src/*", events, maxFilesPerTrigger = 2)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(out)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val n = spark.table(out).collect().head.getLong(0)
+    assert(n == 250, s"streamed $n of 250 rows")
+  }
+
+  test("T2 watermarked dedup drops re-delivered keys across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = s"stream_dedup_${System.nanoTime()}"
+    val q = StreamOps.dedupByKey(mem.toDF(), "event_id", "ts", "1 hour")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    mem.addData(Ev(t(0), 1, "click", 1.0, 100), Ev(t(1), 1, "click", 1.0, 101))
+    q.processAllAvailable()
+    // re-delivery of 101 plus a fresh 102
+    mem.addData(Ev(t(2), 1, "click", 1.0, 101), Ev(t(3), 1, "view", 2.0, 102))
+    q.processAllAvailable()
+    val ids = spark.table(out).select("event_id").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(100L, 101L, 102L), s"got ${ids.toSeq}")
+  }
+
+  test("tumbling window agg emits finalized windows once the watermark passes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = s"stream_tumble_${System.nanoTime()}"
+    val q = StreamOps.tumblingCounts(mem.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    mem.addData(Ev(t(1), 1, "click", 1.0, 1), Ev(t(4), 2, "click", 1.0, 2))
+    q.processAllAvailable()
+    // advance event time far enough to close the 10:00 window
+    mem.addData(Ev(t(31), 1, "click", 1.0, 3))
+    q.processAllAvailable()
+    val rows = spark.table(out)
+      .select(col("window_start").cast("string"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L)), rows.mkString(";"))
+  }
+
+  test("session windows merge events within the gap, split across it") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = s"stream_sess_${System.nanoTime()}"
+    val q = StreamOps.sessionCounts(mem.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    // user 7: events at 10:00,10:05 (one session), then 10:30 (new session)
+    mem.addData(Ev(t(0), 7, "click", 1.0, 1), Ev(t(5), 7, "click", 1.0, 2),
+      Ev(t(30), 7, "click", 1.0, 3))
+    q.processAllAvailable()
+    mem.addData(Ev(t(59), 7, "click", 1.0, 4)) // push watermark past both
+    q.processAllAvailable()
+    val sessions = spark.table(out)
+      .select(col("session_start").cast("string"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    assert(sessions.contains(("2024-01-01 10:00:00", 2L)), sessions.toString)
+    assert(sessions.contains(("2024-01-01 10:30:00", 1L)), sessions.toString)
+  }
+
+  test("T3 republish is idempotent per date partition") {
+    val out = Files.createTempDirectory("repub").toString
+    val df = Tables.events(spark, sfDir).limit(10)
+    StreamOps.republish(df, out, "2026-08-12")
+    StreamOps.republish(df, out, "2026-08-12") // re-run same day
+    assert(spark.read.parquet(s"$out/date=2026-08-12").count() == 10)
+  }
+}
