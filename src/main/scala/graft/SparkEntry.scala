@@ -20,6 +20,7 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracle),
       (DedupQueries.queries, DedupQueries.oracle),
       (TextAnalysisQueries.queries, TextAnalysisQueries.oracle),
+      (SourceQueries.queries, SourceQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
