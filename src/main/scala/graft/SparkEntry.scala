@@ -21,6 +21,7 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracle),
       (TextAnalysisQueries.queries, TextAnalysisQueries.oracle),
       (SourceQueries.queries, SourceQueries.oracle),
+      (EnrichQueries.queries, EnrichQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.enrich._
+
+/** Enrichment-boundary pack: the D1 batched classifier and the S6/J5
+  * dictionary-first lookup chain, run with deterministic in-engine
+  * service stubs whose logic is SQL-expressible — so the operator
+  * machinery (batching, fan-out, join chain, residual fetch) is what
+  * the oracle actually checks.
+  */
+object EnrichQueries {
+
+  /** D1: batched classify over documents; UDTF-shaped 1→0..3 fan-out
+    * + F8-style confidence filter + X15-style id list per compound. */
+  def d1ClassifyAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val results = ClassifyOp(spark, Tables.documents(spark, dir), "doc_id", "text",
+      new RetryingClassifier(new DeterministicClassifier, sleep = _ => ()))
+    results.toDF()
+      .filter(lower(col("confidence")) =!= "no")
+      .groupBy(col("compound"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        array_join(sort_array(collect_set(col("id"))), ";").as("doc_ids"))
+  }
+
+  /** J5: dict-first lookup with lowercase fallback then "remote" fetch
+    * for residual keys. Dictionary: even-length part types; service
+    * resolves the rest deterministically. */
+  def j5DictFallback(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val dict = p.select(col("p_type")).distinct()
+      .filter(length(col("p_type")) % 2 === 0)
+      .select(col("p_type").as("k"), upper(col("p_type")).as("v"))
+    val service = new LookupService {
+      override def lookupBatch(keys: Seq[String]): Map[String, String] =
+        keys.map(k => k -> s"EXT:${k.take(3)}").toMap
+    }
+    RestLookup.resolve(spark, p.select(col("p_partkey"), col("p_type")), "p_type",
+        dict, "k", "v", service)
+      .select(col("p_partkey"), col("resolved"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_classify_aggregate" -> (d1ClassifyAggregate _),
+    "j5_dict_fallback"      -> (j5DictFallback _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_classify_aggregate" ->
+      ("WITH fanout AS (SELECT doc_id, unnest(list_sort(list_distinct(" +
+       "list_filter(string_split(text, ' '), w -> length(w) >= 6)))[1:3]) AS compound, " +
+       "CASE doc_id % 3 WHEN 0 THEN 'YES' WHEN 1 THEN 'probablyYES' ELSE 'NO' END AS confidence " +
+       "FROM documents) " +
+       "SELECT compound, count(DISTINCT doc_id) AS n_docs, " +
+       "list_aggregate(list_sort(list_distinct(list(doc_id))), 'string_agg', ';') AS doc_ids " +
+       "FROM fanout WHERE lower(confidence) != 'no' GROUP BY compound"),
+    "j5_dict_fallback" ->
+      ("SELECT p_partkey, CASE WHEN length(p_type) % 2 = 0 THEN upper(p_type) " +
+       "ELSE 'EXT:' || substr(p_type, 1, 3) END AS resolved FROM part"),
+  )
+}
