@@ -22,6 +22,7 @@ object SparkEntry {
       (TextAnalysisQueries.queries, TextAnalysisQueries.oracle),
       (SourceQueries.queries, SourceQueries.oracle),
       (EnrichQueries.queries, EnrichQueries.oracle),
+      (MultimodalQueries.queries, MultimodalQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

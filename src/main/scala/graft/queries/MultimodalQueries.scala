@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{ByteStatsDecoder, Multimodal, Provenance}
+
+/** Multimodal + provenance pack: binary-payload plumbing (batched
+  * decode, frame sampling) and CHECK-constraint validation — the
+  * payloads are `documents.text` bytes treated as opaque media, so the
+  * oracle can recompute every feature from the text side while Spark
+  * runs the real binary path.
+  */
+object MultimodalQueries {
+
+  val FrameBytes = 100
+
+  /** Batched decode → feature vector per media item (stub kernel,
+    * real mapPartitions batch shape). */
+  def mmDecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.decodeFeatures(spark, media, "doc_id", "payload", new ByteStatsDecoder)
+      .toDF()
+  }
+
+  /** Frame sampling over binary payloads: frame index, byte length,
+    * head byte — all computed on the binary column. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.frameSample(media, "doc_id", "payload", FrameBytes)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        ascii(col("frame").cast("string")).cast("long").as("head_byte"))
+  }
+
+  /** P3: CHECK-constraint violation counts over orders — one
+    * conditional-sum pass, unpivoted. */
+  def p3ConstraintCheck(spark: SparkSession, dir: String): DataFrame =
+    Provenance.constraintViolations(Tables.orders(spark, dir), Seq(
+      "totalprice_positive" -> (col("o_totalprice") > 0),
+      "status_enum" -> col("o_orderstatus").isin("O", "F", "P"),
+      "orderkey_not_null" -> col("o_orderkey").isNotNull,
+      "date_in_range" -> (year(col("o_orderdate")) >= 1990)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_features" -> (mmDecodeFeatures _),
+    "mm_frame_sample"    -> (mmFrameSample _),
+    "p3_constraint_check" -> (p3ConstraintCheck _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_features" ->
+      ("SELECT doc_id, [length(text)::BIGINT, " +
+       "(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT, " +
+       "ascii(substr(text, 1, 1))::BIGINT] AS features FROM documents"),
+    "mm_frame_sample" ->
+      ("SELECT doc_id, (f - 1)::BIGINT AS frame_idx, " +
+       "length(substr(text, ((f - 1) * 100 + 1)::INT, 100))::BIGINT AS frame_len, " +
+       "ascii(substr(text, ((f - 1) * 100 + 1)::INT, 1))::BIGINT AS head_byte FROM (" +
+       "SELECT doc_id, text, unnest(generate_series(1, " +
+       "greatest(CAST(ceil(length(text) / 100.0) AS BIGINT), 1))) AS f FROM documents)"),
+    "p3_constraint_check" ->
+      ("SELECT 'totalprice_positive' AS rule, count(*) FILTER (NOT (o_totalprice > 0)) AS n_violations FROM orders " +
+       "UNION ALL SELECT 'status_enum', count(*) FILTER (NOT (o_orderstatus IN ('O','F','P'))) FROM orders " +
+       "UNION ALL SELECT 'orderkey_not_null', count(*) FILTER (o_orderkey IS NULL) FROM orders " +
+       "UNION ALL SELECT 'date_in_range', count(*) FILTER (NOT (year(o_orderdate) >= 1990)) FROM orders"),
+  )
+}

@@ -87,6 +87,15 @@ object WindowQueries {
         round(aggregate(col("top3"), lit(0.0d), _ + _) / size(col("top3")), 6)
           .as("topk_mean"))
 
+  /** A5/D6 as a custom `TypedImperativeAggregate`: same semantics as
+    * [[a5TopkMean]] but O(k) state per group (bounded min-heap) instead
+    * of buffering the whole group — the form that survives groups with
+    * millions of rows. */
+  def topkMeanAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(round(graft.expr.aggfunctions.topk_mean(col("value"), 3), 6).as("topk_mean"))
+
   /** A6 (finalize_realease.py:215-217): max + argmax via a single
     * struct-max aggregation (one map-side-combinable agg, no window
     * shuffle); ties broken by event_id — deterministic. */
@@ -128,6 +137,7 @@ object WindowQueries {
     "win_sliding_hour"   -> (winSlidingHour _),
     "win_sessionize"     -> (winSessionize _),
     "a5_topk_mean"       -> (a5TopkMean _),
+    "topk_mean_agg"      -> (topkMeanAgg _),
     "a6_max_by"          -> (a6MaxBy _),
     "a9_threshold_label" -> (a9ThresholdLabel _),
     "w5_first_event_per_type" -> (w5FirstEventPerType _),
@@ -162,6 +172,10 @@ object WindowQueries {
        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
        "count(*) AS n_events FROM grp GROUP BY user_id, sid"),
     "a5_topk_mean" ->
+      ("SELECT user_id, round(avg(value), 6) AS topk_mean FROM (SELECT user_id, value, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn " +
+       "FROM events) WHERE rn <= 3 GROUP BY user_id"),
+    "topk_mean_agg" ->
       ("SELECT user_id, round(avg(value), 6) AS topk_mean FROM (SELECT user_id, value, " +
        "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn " +
        "FROM events) WHERE rn <= 3 GROUP BY user_id"),

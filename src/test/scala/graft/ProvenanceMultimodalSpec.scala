@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.ops.Provenance
+import graft.queries.MultimodalQueries
+import org.apache.spark.sql.functions._
+
+class ProvenanceMultimodalSpec extends SparkSpecBase {
+
+  test("every multimodal/provenance query runs non-empty on the smoke SF") {
+    MultimodalQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("P1 provenance sidecar records rows, schema, and a stable digest") {
+    val out = Files.createTempDirectory("prov").toString + "/ds"
+    val df = Tables.orders(spark, sfDir).limit(100)
+    Provenance.writeWithProvenance(df, out, "unit-test", Map("sf" -> "0.001"))
+    val json = Files.readString(Paths.get(out, "_provenance.json"))
+    assert(json.contains("\"rows\": 100"), json)
+    assert(json.contains("unit-test"))
+    assert(json.contains("o_orderkey"))
+    val sha1 = Provenance.sha256OfDir(out)
+    assert(sha1.matches("[0-9a-f]{64}"))
+  }
+
+  test("P3 assertConstraints passes on clean data, throws on violations") {
+    val orders = Tables.orders(spark, sfDir)
+    Provenance.assertConstraints(orders, Seq(
+      "orderkey_not_null" -> col("o_orderkey").isNotNull))
+    val e = intercept[IllegalStateException] {
+      Provenance.assertConstraints(orders, Seq(
+        "impossible" -> (col("o_totalprice") < 0)))
+    }
+    assert(e.getMessage.contains("impossible"))
+  }
+
+  test("frame sample reassembles to the original payload length") {
+    val media = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val frames = graft.ops.Multimodal.frameSample(media, "doc_id", "payload", 100)
+      .groupBy("doc_id").agg(sum(length(col("frame"))).as("total"))
+    val orig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("expected"))
+    val bad = frames.join(orig, "doc_id")
+      .filter(col("total") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+
+  test("topk_mean aggregate matches the sort-based form") {
+    val a = graft.queries.WindowQueries.a5TopkMean(spark, sfDir)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = graft.queries.WindowQueries.topkMeanAgg(spark, sfDir)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((u1, m1), (u2, m2)) =>
+      assert(u1 == u2 && math.abs(m1 - m2) < 1e-9, s"user $u1: $m1 vs $m2")
+    }
+  }
+}
