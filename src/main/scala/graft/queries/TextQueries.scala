@@ -48,6 +48,14 @@ object TextQueries {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** F6 scale path: same anti-filter through the Aho–Corasick
+    * `multi_contains_any` expression — one automaton pass per row
+    * instead of one scan per pattern (SURVEY §4 rewrite 2). */
+  def f6AhoCorasick(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(!graft.expr.mcfunctions.multi_contains_any(col("text"), antiPatterns))
+      .select(col("doc_id"), col("n_chars"))
+
   /** F7 (merge_filter.sh:83-84): PCRE lookahead confirmation regex —
     * java.util.regex supports lookahead verbatim; the DuckDB oracle
     * (RE2, no lookahead) expresses the same predicate as a conjunction. */
@@ -125,6 +133,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f4_regex_filter"     -> (f4RegexFilter _),
     "f6_multi_literal_anti" -> (f6MultiLiteralAnti _),
+    "f6_aho_corasick"     -> (f6AhoCorasick _),
     "f7_lookahead_filter" -> (f7LookaheadFilter _),
     "x1_clean_chain"      -> (x1CleanChain _),
     "x2_sentence_concat"  -> (x2SentenceConcat _),
@@ -142,6 +151,9 @@ object TextQueries {
       ("SELECT doc_id, lang FROM documents WHERE regexp_matches(text, '(?i)(join|merge|group)') " +
        "AND (regexp_matches(text, '(?i)spark') OR regexp_matches(text, '(?i)stream'))"),
     "f6_multi_literal_anti" ->
+      ("SELECT doc_id, n_chars FROM documents WHERE NOT (contains(lower(text), 'vector') " +
+       "OR contains(lower(text), 'dup') OR contains(lower(text), 'window'))"),
+    "f6_aho_corasick" ->
       ("SELECT doc_id, n_chars FROM documents WHERE NOT (contains(lower(text), 'vector') " +
        "OR contains(lower(text), 'dup') OR contains(lower(text), 'window'))"),
     "f7_lookahead_filter" ->

@@ -1,0 +1,67 @@
+package graft
+
+import graft.expr.{AhoCorasick, mcfunctions}
+import graft.plans.MultiContainsRewrite
+import org.apache.spark.sql.functions._
+
+class MultiContainsSpec extends SparkSpecBase {
+
+  test("aho-corasick automaton matches exactly the contained patterns") {
+    val ac = new AhoCorasick(Seq("rotenone", "piericidin", "metformin"))
+    assert(ac.matchesAny("effects of ROTENONE on complex I"))
+    assert(ac.matchesAny("co-treatment piericidin-a analog"))
+    assert(!ac.matchesAny("no inhibitors here"))
+    assert(!ac.matchesAny(""))
+    // overlapping/suffix patterns
+    val ac2 = new AhoCorasick(Seq("he", "she", "hers"))
+    assert(ac2.matchesAny("xshex"))
+    assert(ac2.matchesAny("hers"))
+    assert(!ac2.matchesAny("hr ex s"))
+  }
+
+  test("expression agrees with the exists(contains) form on real data") {
+    val pats = graft.queries.TextQueries.antiPatterns
+    val docs = Tables.documents(spark, sfDir)
+    val viaExists = docs.filter(
+      !exists(array(pats.map(lit): _*), p => lower(col("text")).contains(p)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaAc = docs.filter(!mcfunctions.multi_contains_any(col("text"), pats))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaExists == viaAc)
+  }
+
+  test("optimizer rule collapses a 3+ branch contains OR-chain") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MultiContainsRewrite
+    try {
+      val df = Tables.documents(spark, sfDir).filter(
+        lower(col("text")).contains("vector") ||
+        lower(col("text")).contains("dup") ||
+        lower(col("text")).contains("window"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("multi_contains_any"), optimized)
+      // and the rewritten plan returns the same rows as the unrewritten OR
+      val expected = Tables.documents(spark, sfDir).collect().count { r =>
+        val t = r.getAs[String]("text").toLowerCase
+        t.contains("vector") || t.contains("dup") || t.contains("window")
+      }
+      assert(df.count() == expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MultiContainsRewrite)
+    }
+  }
+
+  test("two-branch OR is left untouched") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MultiContainsRewrite
+    try {
+      val df = Tables.documents(spark, sfDir).filter(
+        lower(col("text")).contains("vector") || lower(col("text")).contains("dup"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("multi_contains_any"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MultiContainsRewrite)
+    }
+  }
+}
