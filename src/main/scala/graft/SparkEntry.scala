@@ -23,6 +23,7 @@ object SparkEntry {
       (SourceQueries.queries, SourceQueries.oracle),
       (EnrichQueries.queries, EnrichQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
+      (PipelineQueries.queries, PipelineQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.enrich.{ClassifyOp, DeterministicClassifier}
+import graft.ops.CleanText
+
+/** Pipeline pack: the reference's E3 finalization chain end-to-end
+  * (SURVEY §3 — classify → F8 → X10/X11 → F9/F10 → A2 → U2 → A8 → W1)
+  * as ONE lazy DataFrame DAG, plus the §2 operators not yet covered
+  * elsewhere: F2/F3/F5 scan filters, J4 array-mapping join, J8
+  * positional alignment, A7 union-dedup resume, W3 rank-tuple sort,
+  * X14/X16/X17/X20/X21 scalars.
+  */
+object PipelineQueries {
+
+  val ExactBlacklist = Seq("stream", "filter")
+  val WildcardBlacklist = Seq("filt")
+
+  /** E3 end-to-end: the per-compound aggregation pipeline
+    * (finalize_realease.py:551-628). Deviation from the reference,
+    * documented: keep-first becomes min() (deterministic under
+    * parallelism; the reference's first() depends on pandas row
+    * order). */
+  def e2eFinalize(spark: SparkSession, dir: String): DataFrame = {
+    val cls = ClassifyOp(spark, Tables.documents(spark, dir), "doc_id", "text",
+      new DeterministicClassifier).toDF()
+    val f8 = cls.filter(lower(col("confidence")) =!= "no" && lower(col("compound")) =!= "na")
+    val x10 = CleanText.parenTruncate(col("compound"))
+    val x11 = CleanText.typoChain(x10, TextQueries.typoRules)
+    val cleaned = f8.select(col("id"), x11.as("name"))
+      .filter(!lower(col("name")).isin(ExactBlacklist: _*) && length(col("name")) > 2)
+      .filter(!exists(array(WildcardBlacklist.map(lit): _*),
+        p => lower(col("name")).contains(p)))
+    val stats = cleaned
+      .groupBy(lower(col("name")).as("k"))
+      .agg(countDistinct(col("id")).as("pubmed_references"),
+        min(col("name")).as("compound"),
+        array_join(sort_array(collect_set(col("id"))), ";").as("doc_ids"))
+      .select(col("compound"), col("pubmed_references"), col("doc_ids"),
+        lit("new").as("known_status"))
+    val known = spark.createDataFrame(Seq(
+      ("known-baseline-a", 100L, "", "known"),
+      ("known-baseline-b", 100L, "", "known")))
+      .toDF("compound", "pubmed_references", "doc_ids", "known_status")
+    stats.unionByName(known)
+      .withColumn("confidence_pubmed",
+        when(col("pubmed_references") <= 1, "very-low")
+          .when(col("pubmed_references") === 2, "low")
+          .when(col("pubmed_references") <= 4, "medium")
+          .otherwise("high"))
+      .orderBy(col("pubmed_references").desc, col("compound").asc)
+  }
+
+  /** F2+F3+F5 (process_pubmed.sh:102-103,151): empty-drop, prefix-marker
+    * drop, range filter — markers synthesized deterministically. */
+  def f2f3f5ScanFilters(spark: SparkSession, dir: String): DataFrame = {
+    val marked = when(col("doc_id") % 13 === 0, lit(""))
+      .when(col("doc_id") % 11 === 0, concat(lit("[fr] "), col("text")))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), marked.as("t"), col("n_chars"))
+      .filter(length(col("t")) > 0)            // F2
+      .filter(!col("t").startsWith("["))       // F3
+      .filter(col("n_chars") >= 150)           // F5 (range cutoff)
+      .select(col("doc_id"))
+  }
+
+  /** J4 (process_mesh.py:104-161): mapping-array join — explode the
+    * mapped list, inner-join the kept-descriptor dim, aggregate back to
+    * one row per record with a deterministic representative. */
+  def j4MappingJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val mapped = p.select(col("p_partkey"), explode(split(col("p_name"), " ")).as("term"))
+    val descriptors = p.select(explode(split(col("p_name"), " ")).as("term"))
+      .distinct().filter(col("term").rlike("^[a-z]*[aeiou]$"))
+    mapped.join(descriptors, "term")
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_mapped"), min(col("term")).as("first_term"))
+  }
+
+  /** J8 (run_gpt_filter.py:236-245): positional alignment — element ↔
+    * ordinal via posexplode (the engine-level zip). */
+  def j8PositionalZip(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("pos") < 5)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+
+  /** A7 (run_gpt_filter.py:241-246): cross-run set-union accumulation —
+    * union of two overlapping extracts, deduped on the key. */
+  def a7UnionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val runA = o.filter(col("o_orderstatus") === "O")
+    val runB = o.filter(col("o_totalprice") > 100000)
+    runA.unionByName(runB)
+      .dropDuplicates("o_orderkey")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+  }
+
+  /** W3 (finalize_realease.py:434-447): rank-tuple sort — boolean hit
+    * first, then score desc, key as tiebreak; top 20. */
+  def w3RankTuple(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name").contains("blue").as("has_hit"),
+        col("p_retailprice"))
+      .orderBy(col("has_hit").desc, col("p_retailprice").desc, col("p_partkey").asc)
+      .limit(20)
+
+  /** X14/X16/X17/X20/X21 scalar pack (truncate, url-encode, hyperlink
+    * formula, code-pattern predicate, array-regex predicate). */
+  def xMiscScalars(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      substring(col("p_name"), 1, 12).as("name_trunc"),
+      url_encode(col("p_type")).as("type_enc"),
+      concat(lit("=HYPERLINK(\"https://example.org/part/"), col("p_partkey"),
+        lit("\",\""), col("p_partkey"), lit("\")")).as("link"),
+      col("p_brand").rlike("^Brand#[0-9]{2}$").as("brand_code_ok"),
+      exists(split(col("p_type"), " "), w => w.rlike("^(an|st)")).as("has_marker_term"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_finalize"        -> (e2eFinalize _),
+    "f2_f3_f5_scan_filters" -> (f2f3f5ScanFilters _),
+    "j4_mapping_join"     -> (j4MappingJoin _),
+    "j8_positional_zip"   -> (j8PositionalZip _),
+    "a7_union_dedup"      -> (a7UnionDedup _),
+    "w3_rank_tuple"       -> (w3RankTuple _),
+    "x_misc_scalars"      -> (xMiscScalars _),
+  )
+
+  private val fanoutCte =
+    "SELECT doc_id, unnest(list_sort(list_distinct(" +
+    "list_filter(string_split(text, ' '), w -> length(w) >= 6)))[1:3]) AS compound, " +
+    "CASE doc_id % 3 WHEN 0 THEN 'YES' WHEN 1 THEN 'probablyYES' ELSE 'NO' END AS confidence " +
+    "FROM documents"
+
+  val oracle: Map[String, String] = Map(
+    "e2e_finalize" ->
+      (s"WITH fanout AS ($fanoutCte), " +
+       "f8 AS (SELECT doc_id, compound FROM fanout WHERE lower(confidence) != 'no' " +
+       "AND lower(compound) != 'na'), " +
+       "x11 AS (SELECT doc_id, replace(replace(replace(" +
+       "CASE WHEN contains(compound, '(') AND NOT contains(compound, ')') " +
+       "THEN CASE WHEN strpos(compound, '(') = 1 THEN '' ELSE substr(compound, 1, strpos(compound, '(') - 1) END " +
+       "ELSE compound END, 'widget', 'gadget'), 'blue ', ''), 'gadget', 'device') AS name FROM f8), " +
+       "f9 AS (SELECT doc_id, name FROM x11 WHERE lower(name) NOT IN ('stream', 'filter') " +
+       "AND length(name) > 2 AND NOT contains(lower(name), 'filt')), " +
+       "stats AS (SELECT min(name) AS compound, count(DISTINCT doc_id) AS pubmed_references, " +
+       "list_aggregate(list_sort(list_distinct(list(doc_id))), 'string_agg', ';') AS doc_ids, " +
+       "'new' AS known_status FROM f9 GROUP BY lower(name)), " +
+       "unioned AS (SELECT * FROM stats UNION ALL " +
+       "SELECT 'known-baseline-a', 100, '', 'known' UNION ALL " +
+       "SELECT 'known-baseline-b', 100, '', 'known') " +
+       "SELECT compound, pubmed_references, doc_ids, known_status, " +
+       "CASE WHEN pubmed_references <= 1 THEN 'very-low' WHEN pubmed_references = 2 THEN 'low' " +
+       "WHEN pubmed_references <= 4 THEN 'medium' ELSE 'high' END AS confidence_pubmed FROM unioned"),
+    "f2_f3_f5_scan_filters" ->
+      ("SELECT doc_id FROM (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN '' " +
+       "WHEN doc_id % 11 = 0 THEN '[fr] ' || text ELSE text END AS t, n_chars FROM documents) " +
+       "WHERE length(t) > 0 AND NOT starts_with(t, '[') AND n_chars >= 150"),
+    "j4_mapping_join" ->
+      ("WITH mapped AS (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS term FROM part), " +
+       "descriptors AS (SELECT DISTINCT term FROM (SELECT unnest(string_split(p_name, ' ')) AS term " +
+       "FROM part) WHERE regexp_matches(term, '^[a-z]*[aeiou]$')) " +
+       "SELECT p_partkey, count(*) AS n_mapped, min(m.term) AS first_term " +
+       "FROM mapped m JOIN descriptors d ON m.term = d.term GROUP BY p_partkey"),
+    "j8_positional_zip" ->
+      ("SELECT doc_id, pos, word FROM (SELECT doc_id, " +
+       "(generate_subscripts(ws, 1) - 1)::BIGINT AS pos, unnest(ws) AS word " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)) WHERE pos < 5"),
+    "a7_union_dedup" ->
+      ("SELECT o_orderstatus, count(*) AS n FROM (SELECT DISTINCT ON (o_orderkey) * FROM (" +
+       "SELECT * FROM orders WHERE o_orderstatus = 'O' UNION ALL " +
+       "SELECT * FROM orders WHERE o_totalprice > 100000)) GROUP BY o_orderstatus"),
+    "w3_rank_tuple" ->
+      ("SELECT p_partkey, contains(p_name, 'blue') AS has_hit, p_retailprice FROM part " +
+       "ORDER BY has_hit DESC, p_retailprice DESC, p_partkey ASC LIMIT 20"),
+    "x_misc_scalars" ->
+      ("SELECT p_partkey, substr(p_name, 1, 12) AS name_trunc, " +
+       "replace(p_type, ' ', '+') AS type_enc, " +
+       "'=HYPERLINK(\"https://example.org/part/' || p_partkey || '\",\"' || p_partkey || '\")' AS link, " +
+       "regexp_matches(p_brand, '^Brand#[0-9]{2}$') AS brand_code_ok, " +
+       "len(list_filter(string_split(p_type, ' '), w -> regexp_matches(w, '^(an|st)'))) > 0 AS has_marker_term " +
+       "FROM part"),
+  )
+}
