@@ -41,6 +41,30 @@ object Similarity {
     bits.zipWithIndex.map { case (b, i) => b * lit(1L << i) }.reduce(_ + _)
   }
 
+  /** IVF index: k coarse centroids learned with `iters` Lloyd steps
+    * from a deterministic seed assignment (vec_id % k), then each
+    * vector labeled with its nearest centroid. Returns (df + `cluster`
+    * column, centroids df (cluster, centroid)). Search probes only the
+    * nprobe nearest clusters per query — the classic IVF trade of
+    * recall for a k/nprobe-fold candidate reduction. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               iters: Int): (DataFrame, DataFrame) = {
+    var assigned = df.withColumn("cluster", col(idCol) % k)
+    var cents: DataFrame = null
+    (0 until iters).foreach { _ =>
+      cents = centroids(assigned, "cluster", vecCol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("__sim").desc, col("__c").asc)
+      assigned = df.crossJoin(broadcast(cents.select(col("cluster").as("__c"), col("centroid"))))
+        .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn("cluster", col("__c"))
+        .drop("__c", "__sim", "__rn", "centroid")
+    }
+    (assigned, centroids(assigned, "cluster", vecCol))
+  }
+
   /** Per-dimension mean vectors (centroids) by key: posexplode → one
     * partial-aggregated groupBy on (key, pos) → re-assembled array in
     * position order. Two narrow shuffles on tiny keyspaces. */

@@ -76,9 +76,13 @@ object DedupQueries {
     val rnd = new scala.util.Random(MinhashSeed)
     val coefs = Array.fill(MinhashPerms)(
       (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
+    // the shingle table feeds three branches (signatures + both verify
+    // joins) — persist the 1-row-per-doc form so the shingle transform
+    // runs once, not three times
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), wordShingles(col("text"), ShingleN).as("sg"))
       .filter(size(col("sg")) > 0)
+      .persist()
     val ex = sh.select(col("doc_id"), explode(col("sg")).as("shingle"))
       .withColumn("h", shiftrightunsigned(xxhash64(col("shingle")), 33))
     val sigCols = coefs.zipWithIndex.map { case ((a, b), i) =>

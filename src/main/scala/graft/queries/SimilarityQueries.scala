@@ -108,7 +108,34 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cos_sim"))
   }
 
+  /** IVF ANN: coarse-quantize into 8 clusters (2 Lloyd steps,
+    * deterministic seeding), probe the 3 nearest clusters per query,
+    * exact top-5 within the probed subset. Rows-only (k-means has no
+    * SQL twin); recall vs brute force asserted in the spec. */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (assigned, cents) = ivfIndex(e, "vec_id", "embedding", k = 8, iters = 2)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // nprobe=3 nearest centroids per query
+    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("q_emb"), col("cluster"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_topk"           -> (annIvfTopk _),
     "ann_brute_topk"         -> (annBruteTopk _),
     "ann_neardup_pairs"      -> (annNearDupPairs _),
     "sim_centroid_confusion" -> (simCentroidConfusion _),

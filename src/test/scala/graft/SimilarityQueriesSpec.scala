@@ -50,6 +50,19 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(recall >= 0.6, f"LSH recall $recall%.2f < 0.6 (${lsh.size}/${exact.size})")
   }
 
+  test("IVF top-k achieves >=40% recall of brute-force neighbors at 3/8 probes") {
+    def nbrs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = nbrs(SimilarityQueries.annBruteTopk(spark, sfDir))
+    val ivf = nbrs(SimilarityQueries.annIvfTopk(spark, sfDir))
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    // near-random embeddings cluster poorly, so the bound is modest;
+    // the structural guarantee tested here is probe-subset search
+    assert(recall >= 0.4, f"IVF recall $recall%.2f")
+    assert(ivf.size == exact.size, "IVF must still return k per query")
+  }
+
   test("brute-force join broadcasts the query side (no fact shuffle)") {
     val plan = SimilarityQueries.annBruteTopk(spark, sfDir)
       .queryExecution.executedPlan.toString
