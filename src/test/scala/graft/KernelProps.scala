@@ -1,0 +1,83 @@
+package graft
+
+import graft.expr.{AhoCorasick, TextHash, TextNorm, TopKBuffer}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests for the pure kernels (SURVEY §5: idempotence of X9,
+  * X5∘X5 = X5, transliteration ASCII-closure) plus model-vs-kernel
+  * equivalences for the automaton and the bounded top-k heap. */
+object KernelProps extends Properties("kernels") {
+
+  private val asciiText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf(' ', '-', '.', '(', ')'))).map(_.mkString)
+
+  private val unicodeText: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf('é', 'ü', 'ß', '–', '“', 'µ', '中', ' '))).map(_.mkString)
+
+  property("X5 nfc is idempotent") = forAll(unicodeText) { s =>
+    TextNorm.nfc(TextNorm.nfc(s)) == TextNorm.nfc(s)
+  }
+
+  property("X8 transliteration output is pure ASCII") = forAll(unicodeText) { s =>
+    TextNorm.asciiTranslit(s).forall(_ < 128)
+  }
+
+  property("X8 transliteration is idempotent on its own output") = forAll(unicodeText) { s =>
+    val once = TextNorm.asciiTranslit(s)
+    TextNorm.asciiTranslit(once) == once
+  }
+
+  property("X9 compound normalization is idempotent") = forAll(asciiText) { s =>
+    val n = TextNorm.normalizeCompound(s)
+    TextNorm.normalizeCompound(n) == n
+  }
+
+  property("X9 output has no whitespace or dashes") = forAll(asciiText) { s =>
+    val n = TextNorm.normalizeCompound(s)
+    !n.exists(c => c.isWhitespace || c == '-')
+  }
+
+  private val patternGen = Gen.nonEmptyListOf(
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)).map(_.take(8))
+
+  property("aho-corasick == naive any-contains (case-insensitive)") =
+    forAll(patternGen, asciiText) { (pats, text) =>
+      val ac = new AhoCorasick(pats)
+      val naive = pats.exists(p => text.toLowerCase.contains(p.toLowerCase))
+      ac.matchesAny(text) == naive
+    }
+
+  property("topk buffer == mean of k largest by sorting") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)), Gen.chooseNum(1, 10)) { (xs, k) =>
+      val buf = new TopKBuffer(k)
+      xs.foreach(buf.insert)
+      val expect = xs.sorted(Ordering[Double].reverse).take(k)
+      val got = buf.values.sorted(Ordering[Double].reverse).toList
+      Prop(got == expect) :| s"got $got expect $expect"
+    }
+
+  property("topk merge == union insert") =
+    forAll(Gen.listOf(Gen.chooseNum(-1e3, 1e3)), Gen.listOf(Gen.chooseNum(-1e3, 1e3))) {
+      (xs, ys) =>
+        val a = new TopKBuffer(5); xs.foreach(a.insert)
+        val b = new TopKBuffer(5); ys.foreach(b.insert)
+        b.values.foreach(a.insert)
+        val all = new TopKBuffer(5); (xs ++ ys).foreach(all.insert)
+        a.values.sorted.toList == all.values.sorted.toList
+    }
+
+  property("simhash of identical multisets is equal; hamming 0") =
+    forAll(Gen.listOf(Gen.alphaStr)) { words =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val arr = new GenericArrayData(words.map(w => UTF8String.fromString(w)).toArray[Any])
+      TextHash.simhash64(arr) == TextHash.simhash64(arr)
+    }
+
+  property("fnv64 distinguishes distinct short strings (no trivial collisions)") =
+    forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
+      (a == b) == (TextHash.fnv64(UTF8String.fromString(a)) ==
+        TextHash.fnv64(UTF8String.fromString(b)))
+    }
+}
