@@ -19,12 +19,19 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-gram shingles; empty array for docs shorter than n
-    * (guards the descending-`sequence` trap when size < n). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = split(text, " ")
-    val grams = transform(sequence(lit(1), size(ws) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
-    when(size(ws) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    * (guards the descending-`sequence` trap when size < n).
+    *
+    * IMPORTANT: `tokens` must be a MATERIALIZED attribute (a prior
+    * `.select(split(text, " ").as("ws"))` step), not an inline `split`
+    * expression: higher-order-function lambdas re-evaluate outer
+    * non-attribute subtrees once per element, turning the shingle scan
+    * O(n²) per document. An attribute reference is a cheap bound read,
+    * and CollapseProject keeps the split step separate because the
+    * alias is non-cheap and multiply-referenced. */
+  def wordShingles(tokens: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(tokens) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + lit(k))): _*))
+    when(size(tokens) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
   }
 
   /** Exact set Jaccard from two shingle arrays — integer set sizes, so

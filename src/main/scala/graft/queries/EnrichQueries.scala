@@ -42,9 +42,26 @@ object EnrichQueries {
       .select(col("p_partkey"), col("resolved"))
   }
 
+  /** S6 response parse (finalize_realease.py:658-674 → SURVEY §2.7
+    * JSON note): typed `from_json` + field extraction over the events
+    * `props` JSON string, then grouped stats — the service-response
+    * decode path as a relational operator. Malformed/missing fields
+    * become NULL and drop out of count(k), exactly the reference's
+    * "skip on parse failure" behavior. */
+  def xJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_parsed"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_classify_aggregate" -> (d1ClassifyAggregate _),
     "j5_dict_fallback"      -> (j5DictFallback _),
+    "x_json_extract"        -> (xJsonExtract _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -59,5 +76,9 @@ object EnrichQueries {
     "j5_dict_fallback" ->
       ("SELECT p_partkey, CASE WHEN length(p_type) % 2 = 0 THEN upper(p_type) " +
        "ELSE 'EXT:' || substr(p_type, 1, 3) END AS resolved FROM part"),
+    "x_json_extract" ->
+      ("SELECT event_type, count(k) AS n_parsed, min(k) AS min_k, max(k) AS max_k, " +
+       "round(avg(k), 4) AS avg_k FROM (SELECT event_type, " +
+       "CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) GROUP BY event_type"),
   )
 }

@@ -157,6 +157,26 @@ object RelationalQueries {
       .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"))
   }
 
+  /** A4 (process_pubmed.sh:153, merge_filter.sh:64,86): stage-boundary
+    * row-count telemetry — the reference's `wc -l` after every filter
+    * stage, as one union of per-stage counts. Each branch is a partial
+    * count-aggregate (one long per task reaches the shuffle); in
+    * production this is `df.observe(...)` on the live DAG, which costs
+    * nothing extra — this query form makes it oracle-checkable. */
+  def a4StageCounts(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val scanned = l
+    val filtered = l.filter(col("l_returnflag") === "R")
+    val joined = filtered.join(
+      broadcast(Tables.part(spark, dir).filter(col("p_size") <= 15)),
+      col("l_partkey") === col("p_partkey"))
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
+    stage("1_scanned", scanned)
+      .unionByName(stage("2_filtered", filtered))
+      .unionByName(stage("3_joined", joined))
+  }
+
   /** U2 (finalize_realease.py:607-616): union of heterogeneous frames,
     * schema aligned by literal columns (the "known references get
     * pubmed_references=100" pattern).
@@ -238,6 +258,7 @@ object RelationalQueries {
     "a3_dedup_keep_first"   -> (a3DedupKeepFirst _),
     "q1_pricing_summary"    -> (q1PricingSummary _),
     "a2_group_collect"      -> (a2GroupCollect _),
+    "a4_stage_counts"       -> (a4StageCounts _),
     "a8_binning"            -> (a8Binning _),
     "w1_topk_sort"          -> (w1TopkSort _),
     "w5_first_per_group"    -> (w5FirstPerGroup _),
@@ -271,6 +292,11 @@ object RelationalQueries {
       ("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders, " +
        "string_agg(DISTINCT o_orderstatus, ';' ORDER BY o_orderstatus) AS statuses " +
        "FROM orders GROUP BY o_orderpriority"),
+    "a4_stage_counts" ->
+      ("SELECT '1_scanned' AS stage, count(*) AS n_rows FROM lineitem " +
+       "UNION ALL SELECT '2_filtered', count(*) FROM lineitem WHERE l_returnflag = 'R' " +
+       "UNION ALL SELECT '3_joined', count(*) FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE l_returnflag = 'R' AND p_size <= 15"),
     "a8_binning" ->
       ("SELECT price_bin, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price FROM (" +
        "SELECT o_totalprice, CASE WHEN o_totalprice <= 50000.0 THEN 'very-low' " +

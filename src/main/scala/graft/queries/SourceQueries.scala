@@ -72,6 +72,41 @@ object SourceQueries {
       .select(regexp_replace(col("value"), "^TYPE:", "").as("p_type"))
   }
 
+  /** S3: MeSH-style nested XML scan (process_mesh.py:85-111) — records
+    * carrying a repeated child list (`HeadingMappedToList`), parsed to
+    * an array column, `*`-prefix stripped (process_mesh.py:36,107),
+    * exploded, and mapping-joined against a kept-descriptor dimension
+    * (SCR kept iff ANY mapped DUI is kept; one representative name from
+    * the kept side — process_mesh.py:144-161). XML is BUILT from `part`
+    * rows and parsed back with `from_xml`, so the nested-array parse
+    * path is what is oracle-checked; the dimension (nation) is tiny and
+    * broadcast — the fact side never shuffles before the final per-key
+    * aggregation. */
+  def s3XmlNestedMapping(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    // two mapped entries per record, first one *-prefixed — like an SCR
+    // whose HeadingMappedTo DUIs may carry the leading asterisk
+    val xml = concat(
+      lit("<scr><ui>"), col("p_partkey"), lit("</ui><mapped><m>*N"),
+      pmod(col("p_partkey"), lit(25)), lit("</m><m>N"),
+      pmod(col("p_size"), lit(25)), lit("</m></mapped></scr>"))
+    val schema = "struct<ui:long,mapped:struct<m:array<string>>>"
+    val mapped = p.select(from_xml(xml, lit(schema)).as("r"))
+      .select(col("r.ui").as("scr_ui"), explode(col("r.mapped.m")).as("raw"))
+      .select(col("scr_ui"), regexp_replace(col("raw"), "^\\*", "").as("code"))
+      .distinct()
+    val dim = Tables.nation(spark, dir).select(
+      concat(lit("N"), col("n_nationkey")).as("code"),
+      col("n_name").as("name"),
+      (col("n_regionkey") <= 1).as("kept"))
+    mapped.join(broadcast(dim), Seq("code"))
+      .groupBy(col("scr_ui"))
+      .agg(max(when(col("kept"), 1).otherwise(0)).as("any_kept"),
+        min(when(col("kept"), col("name"))).as("rep_name"))
+      .filter(col("any_kept") === 1)
+      .select(col("scr_ui"), col("rep_name"))
+  }
+
   /** S7/T2: key-level resume — anti-join the input against the
     * already-done key set, then summarize remaining work. */
   def s7ResumeAnti(spark: SparkSession, dir: String): DataFrame = {
@@ -85,6 +120,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_tsv_roundtrip"       -> (s1TsvRoundtrip _),
     "s2_xml_extract"         -> (s2XmlExtract _),
+    "s3_xml_nested_mapping"  -> (s3XmlNestedMapping _),
     "s4_line_list_roundtrip" -> (s4LineListRoundtrip _),
     "s7_resume_anti"         -> (s7ResumeAnti _),
   )
@@ -95,6 +131,13 @@ object SourceQueries {
     "s2_xml_extract" ->
       ("SELECT o_orderkey AS order_id, CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INT) " +
        "AS pub_year, o_orderpriority AS priority FROM orders"),
+    "s3_xml_nested_mapping" ->
+      ("WITH m AS (SELECT p_partkey AS scr_ui, '*N' || (p_partkey % 25) AS raw FROM part " +
+       "UNION ALL SELECT p_partkey, 'N' || (p_size % 25) FROM part), " +
+       "c AS (SELECT DISTINCT scr_ui, regexp_replace(raw, '^\\*', '') AS code FROM m), " +
+       "d AS (SELECT 'N' || n_nationkey AS code, n_name AS name, n_regionkey <= 1 AS kept FROM nation) " +
+       "SELECT scr_ui, min(CASE WHEN kept THEN name END) AS rep_name " +
+       "FROM c JOIN d USING (code) GROUP BY scr_ui HAVING max(CASE WHEN kept THEN 1 ELSE 0 END) = 1"),
     "s4_line_list_roundtrip" ->
       "SELECT DISTINCT p_type FROM part",
     "s7_resume_anti" ->

@@ -70,19 +70,32 @@ object TextAnalysisQueries {
 
   /** Winnowing fingerprint (Schleimer et al. 2003): 4-gram shingle
     * hashes → min per 5-window → distinct sorted signature. xxhash64
-    * has no DuckDB twin → rows-only; properties in the spec. */
+    * has no DuckDB twin → rows-only; properties in the spec.
+    *
+    * Each intermediate array is materialized as its OWN projection so
+    * the lambdas below reference a bound attribute, not an inlined
+    * expression: a single fused projection would re-evaluate the whole
+    * hash array once per sliding window (O(n²·hash) per document —
+    * measured 300+ s at sf0.1 vs ~1 s for this form). CollapseProject
+    * keeps the steps separate because each alias is non-cheap and
+    * referenced more than once. Still a pure scan→project pipeline —
+    * no shuffle, no UDFs. */
   def taFingerprintWinnow(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
+    val ws = col("ws")
     val grams = transform(sequence(lit(1), size(ws) - 3),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
         element_at(ws, i + 2), element_at(ws, i + 3)))
-    val hashes = transform(grams, g => xxhash64(g))
-    val mins = transform(sequence(lit(1), size(hashes) - 4),
-      w => array_min(slice(hashes, w, lit(5))))
-    val fp = array_sort(array_distinct(mins))
+    val h = col("hashes")
+    val mins = transform(sequence(lit(1), size(h) - 4),
+      w => array_min(slice(h, w, lit(5))))
+    val fp = array_sort(array_distinct(col("mins")))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(ws) >= 8)
-      .select(col("doc_id"), fp.as("fingerprint"), size(fp).cast("long").as("n_fp"))
+      .select(col("doc_id"), transform(grams, g => xxhash64(g)).as("hashes"))
+      .select(col("doc_id"), mins.as("mins"))
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"), size(col("fingerprint")).cast("long").as("n_fp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
