@@ -103,13 +103,17 @@ object DedupQueries {
       min(col("h") * lit(a) + lit(b)).as(s"s_$i")
     }
     val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // one 64-bit hash per band (band index folded in) instead of a
+    // concat_ws string: the candidate join shuffles and compares a
+    // single long. A cross-band hash collision can only ADD a candidate
+    // pair, which the exact verify below rejects — recall is unaffected.
     val bandCols = (0 until Bands).map { bi =>
-      concat_ws(",", (0 until rows).map(r => col(s"s_${bi * rows + r}").cast("string")): _*)
+      xxhash64(lit(bi) +: (0 until rows).map(r => col(s"s_${bi * rows + r}")): _*)
     }
-    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_val"), col("doc_id").as("id_b"))
-    val cand = a.join(b, Seq("band_idx", "band_val"))
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_val"))
+    val a = banded.select(col("band_val"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band_val"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     // exact verify on the candidate pairs only; the shingle table is

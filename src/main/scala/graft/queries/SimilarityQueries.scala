@@ -49,6 +49,30 @@ object SimilarityQueries {
         round(col("sim"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** ann_brute_topk in AGGREGATE form: the per-query top-k comes from
+    * the bounded-heap `topk_pairs` aggregate instead of a
+    * `row_number().over(Window)` — partial aggregation means each task
+    * sends at most k pairs per query into the shuffle (O(queries·k)
+    * exchange, independent of N), where the window form must shuffle
+    * and sort ALL N·queries scored rows. Same oracle as the window
+    * form — the two plans are checked equal. This is the 100 TB shape
+    * for J6/A5/A6 top-k similarity. */
+  def annTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.topkpairs.topk_pairs
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topk_pairs(col("sim"), col("vec_id"), 5).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        round(col("p.score"), 6).as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (all-pairs exact form). */
   def annNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // norms are computed once per ROW (projection below the join);
@@ -137,6 +161,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk"           -> (annIvfTopk _),
     "ann_brute_topk"         -> (annBruteTopk _),
+    "ann_topk_agg"           -> (annTopkAgg _),
     "ann_neardup_pairs"      -> (annNearDupPairs _),
     "sim_centroid_confusion" -> (simCentroidConfusion _),
     "ann_lsh_neardup"        -> (annLshNearDup _),
@@ -147,7 +172,17 @@ object SimilarityQueries {
 
   private def cos(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
 
+  private val bruteTopkSql =
+    (s"SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (" +
+     s"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
+     s"${cos("q.embedding", "e.embedding")} AS sim, " +
+     "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+     s"${cos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rnk " +
+     "FROM embeddings q, embeddings e WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) " +
+     "WHERE rnk <= 5")
+
   val oracle: Map[String, String] = Map(
+    "ann_topk_agg" -> bruteTopkSql,
     "ann_brute_topk" ->
       (s"SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (" +
        s"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +

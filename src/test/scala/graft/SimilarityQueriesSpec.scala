@@ -40,6 +40,17 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("topk_pairs aggregate form equals the window form, with no Window in the plan") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val window = rows(SimilarityQueries.annBruteTopk(spark, sfDir))
+    val agg = SimilarityQueries.annTopkAgg(spark, sfDir)
+    assert(rows(agg) == window)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "aggregate form must not plan a Window")
+    assert(plan.contains("topk_pairs"), plan)
+  }
+
   test("LSH near-dup achieves >=60% recall vs exact all-pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
