@@ -24,6 +24,7 @@ object SparkEntry {
       (EnrichQueries.queries, EnrichQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
       (PipelineQueries.queries, PipelineQueries.oracle),
+      (StreamingQueries.queries, StreamingQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamOps
+
+/** Streaming pack (SURVEY §2.9): the incremental layer driven through
+  * the REAL Structured Streaming path and oracle-checked. The query
+  * reads `events` through `readStream` (T1 file-feed source), runs the
+  * shared event-time tumbling aggregation, and drains the backlog with
+  * `Trigger.AvailableNow` into a memory sink — the reference's
+  * "process what's there, then stop" batch-increment semantics
+  * (download_raw.sh:30-31). The result is the SAME relation the batch
+  * `win_tumbling_hour` query computes, so the DuckDB oracle checks the
+  * streaming engine end-to-end: source schema handling (ns→µs
+  * timestamps), watermark plumbing, incremental state, and sink.
+  *
+  * Scale notes: at 100 TB/day the identical plan runs continuously with
+  * `maxFilesPerTrigger` bounding per-batch work and the watermark
+  * bounding window state; AvailableNow here just drains to the end.
+  */
+object StreamingQueries {
+
+  def t1StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    // stage the events file into a drop-folder (the T1 file feed is a
+    // DIRECTORY of arriving files — baseline + updatefiles)
+    val feed = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events_feed")
+    java.nio.file.Files.createDirectories(feed)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      feed.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // schema via the batch loader's source (ts arrives as long nanos;
+    // same legacy-nanos conf the batch path uses)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val qname = "t1_stream_tumbling_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_stream_tumbling" -> (t1StreamTumbling _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_stream_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+       "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events " +
+       "GROUP BY window_start, event_type"),
+  )
+}

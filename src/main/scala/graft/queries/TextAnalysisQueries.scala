@@ -30,9 +30,11 @@ object TextAnalysisQueries {
       size(regexp_extract_all(col("text"), lit(TokenRegex), lit(0))).cast("long").as("re_tokens"))
 
   /** Quality scoring: stopword ratio, punctuation ratio, mean token
-    * length → ordinal band. All-rational arithmetic → oracle-exact. */
+    * length → ordinal band. All-rational arithmetic → oracle-exact.
+    * Tokens are materialized once per row (see Dedup.wordShingles on
+    * why lambdas must reference attributes, not inline expressions). */
   def taQualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    val toks = col("toks")
     val nTok = size(toks).cast("double")
     val stopArr = array(Stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
@@ -43,10 +45,11 @@ object TextAnalysisQueries {
     val avgTokLen = (length(col("text")) - nTok + 1.0) / nTok
     val band = when(stopRatio >= 0.10, "high")
       .when(stopRatio >= 0.05, "medium").otherwise("low")
-    Tables.documents(spark, dir).select(
-      col("doc_id"), round(stopRatio, 6).as("stopword_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(avgTokLen, 6).as("avg_token_len"), band.as("quality_band"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), round(stopRatio, 6).as("stopword_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(avgTokLen, 6).as("avg_token_len"), band.as("quality_band"))
   }
 
   /** Language-ID: distinct marker-word hits per language profile,
@@ -54,7 +57,9 @@ object TextAnalysisQueries {
     * profile matches. N-gram-profile LID reduced to its word-marker
     * core — deterministic and oracle-expressible. */
   def taLangId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    // tokens materialized once per row; the marker-filter lambdas then
+    // probe a bound attribute instead of re-splitting text per marker
+    val toks = col("toks")
     val scores = LangMarkers.map { case (lang, markers) =>
       lang -> size(filter(array(markers.map(lit): _*), m => array_contains(toks, m))).cast("long")
     }
@@ -63,9 +68,10 @@ object TextAnalysisQueries {
       .when(es >= de && es > 0, "es")
       .when(de > 0, "de")
       .otherwise("und")
-    Tables.documents(spark, dir).select(
-      col("doc_id"), en.as("score_en"), es.as("score_es"), de.as("score_de"),
-      pred.as("pred_lang"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), en.as("score_en"), es.as("score_es"), de.as("score_de"),
+        pred.as("pred_lang"))
   }
 
   /** Winnowing fingerprint (Schleimer et al. 2003): 4-gram shingle
