@@ -25,6 +25,7 @@ object SparkEntry {
       (MultimodalQueries.queries, MultimodalQueries.oracle),
       (PipelineQueries.queries, PipelineQueries.oracle),
       (StreamingQueries.queries, StreamingQueries.oracle),
+      (SketchQueries.queries, SketchQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -48,6 +48,29 @@ object WindowQueries {
         round(avg(col("value")).over(byUserTime.rowsBetween(-2, 0)), 6))
       .select(col("event_id"), col("user_id"), col("mavg"))
 
+  /** AS-OF JOIN (net-new; SURVEY §2.3 notes the reference lacks it):
+    * each purchase matched to the user's most recent STRICTLY-earlier
+    * click. Composed from existing ops (preference (a) of the custom-
+    * operator ladder): filter both event roles into ONE relation, then
+    * a running `max` over a range frame ending 1 µs before the current
+    * row — a single shuffle on user_id, no join at all, where the naive
+    * plan is an N×M theta-join per user. The strict `<` at microsecond
+    * precision is pinned on both sides (oracle casts ns→µs before its
+    * native ASOF JOIN) so tie semantics can't drift between engines. */
+  def asofJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("tus"),
+        when(col("event_type") === "click", unix_micros(col("ts"))).as("click_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    e.withColumn("asof_us", max(col("click_us")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), timestamp_micros(col("asof_us")).as("asof_click_ts"))
+  }
+
   /** Tumbling 1-hour event-time window (batch form of the streaming
     * windowed agg — epoch-aligned, same as DuckDB date_trunc). */
   def winTumblingHour(spark: SparkSession, dir: String): DataFrame =
@@ -133,6 +156,7 @@ object WindowQueries {
     "win_rank_top3"      -> (winRankTop3 _),
     "win_lag_delta"      -> (winLagDelta _),
     "win_moving_avg"     -> (winMovingAvg _),
+    "asof_join_events"   -> (asofJoinEvents _),
     "win_tumbling_hour"  -> (winTumblingHour _),
     "win_sliding_hour"   -> (winSlidingHour _),
     "win_sessionize"     -> (winSessionize _),
@@ -154,6 +178,11 @@ object WindowQueries {
     "win_moving_avg" ->
       ("SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id " +
        "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg FROM events"),
+    "asof_join_events" ->
+      ("WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'), " +
+       "c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') " +
+       "SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, c.ts AS asof_click_ts " +
+       "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts"),
     "win_tumbling_hour" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
        "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events " +

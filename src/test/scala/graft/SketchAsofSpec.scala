@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.{SketchQueries, WindowQueries}
+import org.apache.spark.sql.functions._
+
+class SketchAsofSpec extends SparkSpecBase {
+
+  test("HLL++ cardinality is within 5x rsd of exact; quantiles bracket the exact rank") {
+    val rows = SketchQueries.sketchCardinalityQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 5 * SketchQueries.Rsd,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+      assert(r.getAs[Double]("value_p50") <= r.getAs[Double]("value_p95"))
+    }
+    // quantile sanity on the full value column: p50 must split the data
+    // within the sketch's rank-accuracy tolerance
+    val e = Tables.events(spark, sfDir)
+    val p50 = SketchQueries.sketchCardinalityQuantiles(spark, sfDir)
+      .agg(min("value_p50")).collect().head.getDouble(0)
+    val total = e.count().toDouble
+    val below = e.filter(col("value") <= p50).count().toDouble
+    assert(below / total > 0.05 && below / total < 0.95)
+  }
+
+  test("as-of join matches the brute-force greatest-earlier-click per purchase") {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("click_ts"))
+    val brute = p.join(c, $"user_id" === $"cu" && $"click_ts" < $"purchase_ts", "left")
+      .groupBy($"user_id", $"purchase_id", $"purchase_ts")
+      .agg(max($"click_ts").as("asof_click_ts"))
+      .collect().map(r => (r.getLong(1), Option(r.get(3)).map(_.toString))).toMap
+    val fast = WindowQueries.asofJoinEvents(spark, sfDir)
+      .collect().map(r => (r.getLong(1), Option(r.get(3)).map(_.toString))).toMap
+    assert(fast.size == brute.size)
+    assert(fast == brute)
+  }
+
+  test("as-of join plans one exchange on user_id and no join operator") {
+    val plan = WindowQueries.asofJoinEvents(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Exchange"), plan)
+  }
+}
