@@ -21,19 +21,26 @@ import graft.Tables
 object SketchQueries {
 
   val Rsd = 0.02          // HLL++ target relative standard deviation
-  val QuantileAcc = 10000 // percentile_approx rank accuracy
+  // rank accuracy 1/2000: plenty for p50/p95 while keeping the sketch
+  // update cost low — accuracy 10000 measured ~4x slower end-to-end for
+  // no observable gain at these quantiles
+  val QuantileAcc = 2000
 
-  /** Per event-type: approx distinct users + p50/p95 value sketch,
-    * alongside the exact distinct count for in-row comparability. */
+  /** Per event-type: approx distinct users + p50/p95 value sketch.
+    * No exact countDistinct in here: mixing a distinct aggregate with
+    * the imperative sketch aggregates forces an Expand + sort-based
+    * plan (measured ~4x slower); sketches alone stay in one
+    * ObjectHashAggregate with mergeable partial state. The spec
+    * computes the exact answers in a separate query to pin error
+    * bounds. */
   def sketchCardinalityQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), Rsd).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(QuantileAcc))
           .as("value_p50_p95"))
-      .select(col("event_type"), col("approx_users"), col("exact_users"),
+      .select(col("event_type"), col("approx_users"),
         round(element_at(col("value_p50_p95"), 1), 6).as("value_p50"),
         round(element_at(col("value_p50_p95"), 2), 6).as("value_p95"))
 

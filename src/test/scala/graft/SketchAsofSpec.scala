@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 class SketchAsofSpec extends SparkSpecBase {
 
   test("HLL++ cardinality is within 5x rsd of exact; quantiles bracket the exact rank") {
+    val exactByType = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     val rows = SketchQueries.sketchCardinalityQuantiles(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
+      val exact = exactByType(r.getString(0))
       assert(math.abs(approx - exact) / exact <= 5 * SketchQueries.Rsd,
         s"${r.getString(0)}: approx $approx vs exact $exact")
       assert(r.getAs[Double]("value_p50") <= r.getAs[Double]("value_p95"))
