@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{AhoCorasick, TextHash, TextNorm, TopKBuffer}
+import graft.expr.{AhoCorasick, TextHash, TextNorm, TopKBuffer, TopKPairsBuffer}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
@@ -66,6 +66,32 @@ object KernelProps extends Properties("kernels") {
         b.values.foreach(a.insert)
         val all = new TopKBuffer(5); (xs ++ ys).foreach(all.insert)
         a.values.sorted.toList == all.values.sorted.toList
+    }
+
+  private val pairsGen = Gen.nonEmptyListOf(for {
+    s <- Gen.chooseNum(-1e6, 1e6)
+    i <- Gen.chooseNum(0L, 50L) // small id range to exercise score ties
+  } yield (s, i))
+
+  property("topk_pairs buffer == k best pairs by (score desc, id asc) sort") =
+    forAll(pairsGen, Gen.chooseNum(1, 8)) { (ps, k) =>
+      val buf = new TopKPairsBuffer(k)
+      ps.foreach { case (s, i) => buf.insert(s, i) }
+      // duplicates count as separate entries in both the buffer and
+      // the sort-based reference
+      val expect = ps.sortBy { case (s, i) => (-s, i) }.take(k)
+      Prop(buf.sortedPairs.toList == expect) :| s"got ${buf.sortedPairs.toList} expect $expect"
+    }
+
+  property("topk_pairs merge == union insert") =
+    forAll(pairsGen, pairsGen) { (xs, ys) =>
+      val a = new TopKPairsBuffer(5); xs.foreach { case (s, i) => a.insert(s, i) }
+      val b = new TopKPairsBuffer(5); ys.foreach { case (s, i) => b.insert(s, i) }
+      var j = 0
+      while (j < b.size) { a.insert(b.score(j), b.id(j)); j += 1 }
+      val all = new TopKPairsBuffer(5)
+      (xs ++ ys).foreach { case (s, i) => all.insert(s, i) }
+      a.sortedPairs.toList == all.sortedPairs.toList
     }
 
   property("simhash of identical multisets is equal; hamming 0") =
