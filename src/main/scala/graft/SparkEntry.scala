@@ -26,6 +26,7 @@ object SparkEntry {
       (PipelineQueries.queries, PipelineQueries.oracle),
       (StreamingQueries.queries, StreamingQueries.oracle),
       (SketchQueries.queries, SketchQueries.oracle),
+      (ScaleQueries.queries, ScaleQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -45,6 +45,16 @@ class SketchAsofSpec extends SparkSpecBase {
     assert(fast == brute)
   }
 
+  test("bucketed co-located join plans a sort-merge join with NO exchange") {
+    val df = graft.queries.ScaleQueries.bucketedColocatedJoin(spark, sfDir)
+    val joinPlan = df.queryExecution.executedPlan.toString
+    assert(joinPlan.contains("SortMergeJoin"), joinPlan)
+    // the aggregation above the join still exchanges on the group key;
+    // the JOIN subtree itself must not. Slice the plan at the join.
+    val fromJoin = joinPlan.substring(joinPlan.indexOf("SortMergeJoin"))
+    assert(!fromJoin.contains("Exchange"), fromJoin)
+  }
+
   test("as-of join plans one exchange on user_id and no join operator") {
     val plan = WindowQueries.asofJoinEvents(spark, sfDir)
       .queryExecution.executedPlan.toString
