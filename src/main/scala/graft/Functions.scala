@@ -1,0 +1,48 @@
+package graft
+
+import graft.expr._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface of the library's custom expressions: every custom
+  * Catalyst expression is also callable from `spark.sql(...)`, either
+  * by registering into an existing session (`Functions.register`) or
+  * via `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  * build (which additionally installs the MultiContains optimizer
+  * rule). Builders take SQL literals for the non-column parameters
+  * (pattern lists, k).
+  */
+object Functions {
+
+  private def str(e: Expression): String = e.eval() match {
+    case s: UTF8String => s.toString
+    case s: String => s
+    case other => other.toString
+  }
+  private def int(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => other.toString.toInt
+  }
+
+  /** name → builder over analyzed argument expressions. Aggregate
+    * builders return the raw AggregateFunction; the analyzer wraps it. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "normalize_nfc"       -> (e => NormalizeNfc(e.head)),
+    "transliterate_ascii" -> (e => TransliterateAscii(e.head)),
+    "normalize_compound"  -> (e => NormalizeCompound(e.head)),
+    "simhash64"           -> (e => SimHash64(e.head)),
+    "dot_product"         -> (e => DotProduct(e(0), e(1))),
+    "multi_contains_any"  -> (e => MultiContainsAny(e.head, e.tail.map(str))),
+    "topk_mean"           -> (e => TopKMean(e(0), int(e(1)))),
+    "topk_pairs"          -> (e => TopKPairs(e(0), e(1), int(e(2)))),
+  )
+
+  /** Register all functions into an existing session (temp functions,
+    * session-scoped). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+}

@@ -42,9 +42,18 @@ object MultiContainsRewrite extends Rule[LogicalPlan] {
     }
 }
 
-/** `spark.sql.extensions=graft.GraftExtensionsInstaller`-style injector
-  * (also usable via `spark.experimental.extraOptimizations`). */
+/** `spark.sql.extensions=graft.plans.GraftExtensions` injector: the
+  * MultiContains optimizer rule plus the library's SQL function surface
+  * (also usable piecemeal via `spark.experimental.extraOptimizations`
+  * and `graft.Functions.register`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => MultiContainsRewrite)
+    graft.Functions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        builder))
+    }
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The custom expressions are callable from SQL after
+  * Functions.register (or via the GraftExtensions session hook). */
+class SqlFunctionsSpec extends SparkSpecBase {
+
+  test("every registered SQL function evaluates through spark.sql") {
+    Functions.register(spark)
+    spark.sql("SELECT 1").createOrReplaceTempView("dual")
+
+    val norm = spark.sql(
+      "SELECT normalize_nfc('éclat') AS n, transliterate_ascii('éclat—x') AS t, " +
+      "normalize_compound('Rotenone - B') AS c").collect().head
+    assert(norm.getString(0) == "éclat") // composed NFC form
+    assert(norm.getString(1).forall(_ < 128))
+    assert(norm.getString(2) == "rotenoneb")
+
+    val hash = spark.sql(
+      "SELECT simhash64(array('a','b')) AS h1, simhash64(array('a','b')) AS h2").collect().head
+    assert(hash.getLong(0) == hash.getLong(1))
+
+    val dot = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect().head
+    assert(dot.getDouble(0) == 11.0)
+
+    val mc = spark.sql(
+      "SELECT multi_contains_any('the rotenone paper', 'rotenone', 'metformin') AS m, " +
+      "multi_contains_any('nothing here', 'rotenone', 'metformin') AS n").collect().head
+    assert(mc.getBoolean(0) && !mc.getBoolean(1))
+
+    val agg = spark.sql(
+      "SELECT topk_mean(v, 2) AS m FROM VALUES (1.0d), (5.0d), (3.0d) AS t(v)").collect().head
+    assert(agg.getDouble(0) == 4.0)
+
+    val pairs = spark.sql(
+      "SELECT topk_pairs(s, i, 2) AS p FROM VALUES (1.0d, 10L), (5.0d, 20L), (3.0d, 30L) AS t(s, i)")
+      .collect().head.getSeq[Row](0)
+    assert(pairs.map(r => (r.getDouble(0), r.getLong(1))) == Seq((5.0, 20L), (3.0, 30L)))
+  }
+}
