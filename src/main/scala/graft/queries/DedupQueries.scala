@@ -51,16 +51,25 @@ object DedupQueries {
       .persist()
     val withSz = sh.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
     val plen = (col("sz") - ceil(col("sz") * lit(JaccardThreshold)).cast("int")) + 1
+    // posexplode keeps each prefix shingle's 1-based rank for the
+    // positional filter below
     val ex = withSz.select(col("doc_id"), col("sz"),
-      explode(slice(col("hs"), lit(1), plen)).as("shingle"))
-    val a = ex.select(col("shingle"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
-    val b = ex.select(col("shingle"), col("doc_id").as("id_b"), col("sz").as("sz_b"))
-    // size prefilter is still provably safe: j >= t implies
-    // min(sz)/max(sz) >= t (j = I/(A+B-I) <= min/max).
+      posexplode(slice(col("hs"), lit(1), plen)).as(Seq("pos0", "shingle")))
+      .select(col("doc_id"), col("sz"), (col("pos0") + 1).as("pos"), col("shingle"))
+    val a = ex.select(col("shingle"), col("doc_id").as("id_a"), col("sz").as("sz_a"), col("pos").as("pos_a"))
+    val b = ex.select(col("shingle"), col("doc_id").as("id_b"), col("sz").as("sz_b"), col("pos").as("pos_b"))
+    // size prefilter: j >= t implies min(sz)/max(sz) >= t
+    // (j = I/(A+B-I) <= min/max). Positional filter (PPJoin): a match
+    // at sorted ranks (pa, pb) bounds the achievable overlap by
+    // min(szA-pa, szB-pb)+1 — this match plus everything after it —
+    // which must reach α = ceil(t/(1+t)·(szA+szB)), the overlap J >= t
+    // requires. Both prune candidates BEFORE the distinct shuffle.
+    val alpha = ceil(lit(JaccardThreshold / (1 + JaccardThreshold)) * (col("sz_a") + col("sz_b")))
     val cand = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
         col("sz_b").cast("double") >= col("sz_a") * JaccardThreshold &&
-        col("sz_a").cast("double") >= col("sz_b") * JaccardThreshold)
+        col("sz_a").cast("double") >= col("sz_b") * JaccardThreshold &&
+        (least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) + 1) >= alpha)
       .select(col("id_a"), col("id_b")).distinct()
     // exact verify per candidate pair; broadcast at this SF — at 100 TB
     // these become shuffle joins keyed on doc_id, linear in candidates.
