@@ -1,0 +1,38 @@
+package graft
+
+import graft.queries.{ScaleQueries, SourceQueries, StreamingQueries}
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpecBase {
+
+  test("every source/streaming/scale query runs non-empty on the smoke SF") {
+    (SourceQueries.queries ++ StreamingQueries.queries ++ ScaleQueries.queries)
+      .foreach { case (name, fn) =>
+        val n = fn(spark, sfDir).count()
+        assert(n > 0, s"$name returned 0 rows")
+      }
+  }
+
+  test("TSV scan tolerates a malformed short row (the smiles.txt edge case)") {
+    // SURVEY §5: data/reference/smiles.txt carries one malformed
+    // single-field row — the scan must not abort the job on it.
+    val dir = "/tmp/graft_sources/malformed_tsv"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/data.tsv"),
+      "name\tsmiles\nmetformin\tCN(C)C(=N)NC(=N)N\nmalformedonly\nrotenone\tCC(=C)C1CC2=C(O1)C=CC3=C2OC4COC5=CC(=C(C=C5C4C3=O)OC)OC\n")
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("smiles", StringType)))
+    val permissive = spark.read.option("sep", "\t").option("header", "true")
+      .schema(schema).csv(dir)
+    // PERMISSIVE (default): the short row survives with a null column
+    assert(permissive.count() == 3)
+    assert(permissive.filter(org.apache.spark.sql.functions.col("smiles").isNull).count() == 1)
+    // DROPMALFORMED: the engine-side "skip bad rows" policy drops it.
+    // collect(), not count(): count() prunes every column so the parser
+    // never sees the short row and DROPMALFORMED silently no-ops — a
+    // real Spark CSV pitfall worth pinning here.
+    val dropped = spark.read.option("sep", "\t").option("header", "true")
+      .option("mode", "DROPMALFORMED").schema(schema).csv(dir)
+    assert(dropped.collect().length == 2)
+  }
+}
