@@ -28,11 +28,24 @@ object Dedup {
     * O(n²) per document. An attribute reference is a cheap bound read,
     * and CollapseProject keeps the split step separate because the
     * alias is non-cheap and multiply-referenced. */
-  def wordShingles(tokens: Column, n: Int): Column = {
+  def wordShingles(tokens: Column, n: Int): Column =
+    array_distinct(wordGrams(tokens, n))
+
+  /** Word n-grams WITHOUT dedup — pair with a downstream
+    * `array_distinct` over the 64-bit gram hashes instead:
+    * `array_distinct` on a string array is quadratic in string
+    * compares (measured as the dominant cost of the whole shingling
+    * stage), while on longs it is a hash-set pass. */
+  def wordGrams(tokens: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(tokens) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + lit(k))): _*))
-    when(size(tokens) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    when(size(tokens) >= n, grams).otherwise(array().cast("array<string>"))
   }
+
+  /** Sorted distinct 64-bit shingle-hash array — the canonical hashed
+    * shingle-set representation both dedup queries join and verify on. */
+  def shingleHashes(grams: Column): Column =
+    array_sort(array_distinct(transform(grams, g => xxhash64(g))))
 
   /** Exact set Jaccard from two shingle arrays — integer set sizes, so
     * the double division is bit-identical across engines. */

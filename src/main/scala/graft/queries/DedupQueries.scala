@@ -42,13 +42,20 @@ object DedupQueries {
     * universe are ~2^-40 (and the oracle would catch one). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // sorted hash array = the canonical global order the prefix theorem
-    // needs; materialized per projection step (see Dedup.wordShingles).
+    // needs; materialized per projection step (see Dedup.wordGrams).
+    // Dedup happens on the hashes, not the gram strings — string
+    // array_distinct was the dominant cost of the whole query.
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), wordShingles(col("ws"), ShingleN).as("sg"))
-      .select(col("doc_id"), array_sort(transform(col("sg"), s => xxhash64(s))).as("hs"))
+      .select(col("doc_id"), wordGrams(col("ws"), ShingleN).as("sg"))
+      .select(col("doc_id"), shingleHashes(col("sg")).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist()
+    // materialize the cache BEFORE fanning out: the index table feeds
+    // several join branches, and under AQE those stages otherwise race
+    // to compute the same cached partitions concurrently (duplicated
+    // shingling work + block-lock contention).
+    sh.count()
     val withSz = sh.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
     val plen = (col("sz") - ceil(col("sz") * lit(JaccardThreshold)).cast("int")) + 1
     // posexplode keeps each prefix shingle's 1-based rank for the
@@ -71,11 +78,12 @@ object DedupQueries {
         col("sz_a").cast("double") >= col("sz_b") * JaccardThreshold &&
         (least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) + 1) >= alpha)
       .select(col("id_a"), col("id_b")).distinct()
-    // exact verify per candidate pair; broadcast at this SF — at 100 TB
-    // these become shuffle joins keyed on doc_id, linear in candidates.
+    // exact verify per candidate pair — shuffle joins keyed on doc_id
+    // (linear in candidates; the 100 TB shape, and no driver-side
+    // collect of the persisted shingle table).
     cand
-      .join(broadcast(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))), "id_a")
-      .join(broadcast(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("j", col("inter") /
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")).cast("double"))
@@ -99,15 +107,21 @@ object DedupQueries {
     val coefs = Array.fill(MinhashPerms)(
       (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
     // the shingle table feeds three branches (signatures + both verify
-    // joins) — persist the 1-row-per-doc form so the shingle transform
-    // runs once, not three times
+    // joins) — persist the 1-row-per-doc HASHED form so the shingle
+    // transform runs once, not three times, and dedup/verify work on
+    // longs, not strings (same xxhash64 values as before: hash of the
+    // same gram strings, deduped after hashing)
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), wordShingles(col("ws"), ShingleN).as("sg"))
-      .filter(size(col("sg")) > 0)
+      .select(col("doc_id"), wordGrams(col("ws"), ShingleN).as("sg"))
+      .select(col("doc_id"), shingleHashes(col("sg")).as("hs"))
+      .filter(size(col("hs")) > 0)
       .persist()
-    val ex = sh.select(col("doc_id"), explode(col("sg")).as("shingle"))
-      .withColumn("h", shiftrightunsigned(xxhash64(col("shingle")), 33))
+    // materialize before the three consumers fan out (see the same note
+    // in dedupNgramJaccard)
+    sh.count()
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("shash"))
+      .withColumn("h", shiftrightunsigned(col("shash"), 33))
     val sigCols = coefs.zipWithIndex.map { case ((a, b), i) =>
       min(col("h") * lit(a) + lit(b)).as(s"s_$i")
     }
@@ -125,13 +139,14 @@ object DedupQueries {
     val cand = a.join(b, Seq("band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // exact verify on the candidate pairs only; the shingle table is
-    // small enough to broadcast here — at 100 TB this becomes a shuffle
-    // join keyed on doc_id, still linear in candidate count.
+    // exact verify on the candidate pairs only — shuffle joins keyed on
+    // doc_id (the 100 TB shape: linear in candidates, no driver-side
+    // collect of the shingle table; broadcasting the persisted frame
+    // also proved stall-prone in long benchmark sessions).
     cand
-      .join(broadcast(sh.select(col("doc_id").as("id_a"), col("sg").as("sg_a"))), "id_a")
-      .join(broadcast(sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b"))), "id_b")
-      .withColumn("j", jaccard(col("sg_a"), col("sg_b")))
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("j", jaccard(col("hs_a"), col("hs_b")))
       .filter(col("j") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
