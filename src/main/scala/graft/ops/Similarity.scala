@@ -53,14 +53,18 @@ object Similarity {
     var cents: DataFrame = null
     (0 until iters).foreach { _ =>
       cents = centroids(assigned, "cluster", vecCol)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(idCol).orderBy(col("__sim").desc, col("__c").asc)
-      assigned = df.crossJoin(broadcast(cents.select(col("cluster").as("__c"), col("centroid"))))
-        .withColumn("__sim", cosine(col(vecCol), col("centroid")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .withColumn("cluster", col("__c"))
-        .drop("__c", "__sim", "__rn", "centroid")
+      // nearest centroid via max_by over (sim desc, cluster asc) — the
+      // scored rows partial-aggregate map-side so the shuffle carries
+      // one (id, cluster) per vector, and the EMBEDDINGS are shuffled
+      // once in the join-back; the former row_number window shuffled
+      // the full embedding rows k times. Tie-break (-cluster) matches
+      // the window's (sim desc, cluster asc) exactly — deterministic.
+      val best = df.crossJoin(broadcast(cents.select(col("cluster").as("__c"), col("centroid"))))
+        .select(col(idCol), col("__c"),
+          cosine(col(vecCol), col("centroid")).as("__sim"))
+        .groupBy(col(idCol))
+        .agg(max_by(col("__c"), struct(col("__sim"), (-col("__c")).as("__nc"))).as("cluster"))
+      assigned = df.join(best, idCol)
     }
     (assigned, centroids(assigned, "cluster", vecCol))
   }
