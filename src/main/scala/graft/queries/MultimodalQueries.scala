@@ -16,12 +16,18 @@ object MultimodalQueries {
   val FrameBytes = 100
 
   /** Batched decode → feature vector per media item (stub kernel,
-    * real mapPartitions batch shape). */
+    * real mapPartitions batch shape). The vector is projected to scalar
+    * columns at the sink: array-typed result columns are not hashable
+    * by the driver's row-compare harness. */
   def mmDecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     Multimodal.decodeFeatures(spark, media, "doc_id", "payload", new ByteStatsDecoder)
       .toDF()
+      .select(col("doc_id"),
+        element_at(col("features"), 1).as("f_len"),
+        element_at(col("features"), 2).as("f_vowels"),
+        element_at(col("features"), 3).as("f_head"))
   }
 
   /** Frame sampling over binary payloads: frame index, byte length,
@@ -52,9 +58,9 @@ object MultimodalQueries {
 
   val oracle: Map[String, String] = Map(
     "mm_decode_features" ->
-      ("SELECT doc_id, [length(text)::BIGINT, " +
-       "(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT, " +
-       "ascii(substr(text, 1, 1))::BIGINT] AS features FROM documents"),
+      ("SELECT doc_id, length(text)::BIGINT AS f_len, " +
+       "(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT AS f_vowels, " +
+       "ascii(substr(text, 1, 1))::BIGINT AS f_head FROM documents"),
     "mm_frame_sample" ->
       ("SELECT doc_id, (f - 1)::BIGINT AS frame_idx, " +
        "length(substr(text, ((f - 1) * 100 + 1)::INT, 100))::BIGINT AS frame_len, " +

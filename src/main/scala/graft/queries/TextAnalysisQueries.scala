@@ -86,7 +86,7 @@ object TextAnalysisQueries {
     * keeps the steps separate because each alias is non-cheap and
     * referenced more than once. Still a pure scan→project pipeline —
     * no shuffle, no UDFs. */
-  def taFingerprintWinnow(spark: SparkSession, dir: String): DataFrame = {
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val ws = col("ws")
     val grams = transform(sequence(lit(1), size(ws) - 3),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
@@ -101,8 +101,16 @@ object TextAnalysisQueries {
       .select(col("doc_id"), transform(grams, g => xxhash64(g)).as("hashes"))
       .select(col("doc_id"), mins.as("mins"))
       .select(col("doc_id"), fp.as("fingerprint"))
-      .select(col("doc_id"), col("fingerprint"), size(col("fingerprint")).cast("long").as("n_fp"))
   }
+
+  def taFingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(spark, dir)
+      // scalar signature at the sink (array result columns are not
+      // hashable by the driver's row-compare harness): order-sensitive
+      // digest of the sorted-distinct fingerprint + its cardinality
+      .select(col("doc_id"),
+        xxhash64(concat_ws(",", transform(col("fingerprint"), _.cast("string")))).as("fp_sig"),
+        size(col("fingerprint")).cast("long").as("n_fp"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_token_count"        -> (taTokenCount _),

@@ -42,7 +42,7 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
   }
 
   test("winnowing fingerprints: near-dup docs share most fingerprint hashes") {
-    val fp = TextAnalysisQueries.taFingerprintWinnow(spark, sfDir)
+    val fp = TextAnalysisQueries.winnowFingerprints(spark, sfDir)
       .select("doc_id", "fingerprint").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     val nearDups = graft.queries.DedupQueries.dedupNgramJaccard(spark, sfDir)
