@@ -28,15 +28,29 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .write.format("noop").mode("overwrite").save()
     }
-    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named
+    // queries; SPARK_GRAFT_REPEAT=n times each query n times and keeps
+    // the last measurement (isolates first-run codegen compile cost)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[bench-start] $name ${System.currentTimeMillis()}")
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop per-query persisted frames (Verify does the same): cached
+        // blocks accumulating across 77 queries age the session and skew
+        // the later queries' times
+        spark.catalog.clearCache()
+        dt
+      }
+      if (repeat > 1)
+        System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
+      name -> times.last
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -16,13 +16,35 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(path(dir, name))
 
+  /** Fact-table scan, redistributed across cores when the file layout
+    * under-parallelizes the read. Parquet splits at row-group
+    * boundaries; the harness tables are written as ONE row group per
+    * file, so every scan otherwise collapses to a single task and all
+    * scan-side expression work (shingling, JSON parse, regex) runs
+    * serially — jstack on the aged bench showed exactly one RUNNABLE
+    * executor thread. The production analogue is the standard explicit
+    * redistribution after an unsplittable source (gzip text, tiny-file
+    * dumps); on well-written multi-row-group data the same code keeps
+    * the exchange but its cost stays one narrow pass, and filters still
+    * push through Repartition into the scan (PushDownPredicates).
+    * HASH partitioning on the table key (not round-robin) skips the
+    * sort-before-repartition pass and lets a downstream groupBy/join on
+    * the same key reuse the exchange. Dimensions (region/nation/
+    * supplier/part) stay un-repartitioned: they broadcast. */
+  private def fact(spark: SparkSession, dir: String, name: String,
+                   key: String): DataFrame = {
+    val df = read(spark, dir, name)
+    df.repartition(spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = fact(spark, dir, "orders", "o_orderkey")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = fact(spark, dir, "lineitem", "l_orderkey")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
     * via the nanosAsLong legacy conf. Read it as long nanos, then expose
     * a microsecond `TimestampType` (floor-truncated — same as DuckDB's
@@ -34,7 +56,9 @@ object Tables {
     read(spark, dir, "events").withColumn(
       "ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+      .repartition(spark.sparkContext.defaultParallelism,
+        org.apache.spark.sql.functions.col("event_id"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame = fact(spark, dir, "documents", "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = fact(spark, dir, "embeddings", "vec_id")
 }

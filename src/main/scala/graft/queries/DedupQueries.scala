@@ -45,11 +45,18 @@ object DedupQueries {
     // needs; materialized per projection step (see Dedup.wordGrams).
     // Dedup happens on the hashes, not the gram strings — string
     // array_distinct was the dominant cost of the whole query.
+    // the short-doc filter MUST be the cheap token-count form, placed
+    // BEFORE the gram/hash projections: `filter(size(hs) > 0)` after
+    // them is equivalent, but predicate pushdown substitutes the alias
+    // chain into the predicate — the HOF lambdas then re-reference
+    // split(text) per ELEMENT (O(words²) per doc) in the single-task
+    // scan stage (jstack'd: one RUNNABLE thread in UTF8String.split for
+    // 60+ s). size(ws) >= n pushes down to a single cheap split call.
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= ShingleN)
       .select(col("doc_id"), wordGrams(col("ws"), ShingleN).as("sg"))
       .select(col("doc_id"), shingleHashes(col("sg")).as("hs"))
-      .filter(size(col("hs")) > 0)
       .persist()
     // materialize the cache BEFORE fanning out: the index table feeds
     // several join branches, and under AQE those stages otherwise race
@@ -111,11 +118,13 @@ object DedupQueries {
     // transform runs once, not three times, and dedup/verify work on
     // longs, not strings (same xxhash64 values as before: hash of the
     // same gram strings, deduped after hashing)
+    // cheap-form short-doc filter BEFORE the gram projections — see the
+    // pushdown-substitution note in dedupNgramJaccard
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= ShingleN)
       .select(col("doc_id"), wordGrams(col("ws"), ShingleN).as("sg"))
       .select(col("doc_id"), shingleHashes(col("sg")).as("hs"))
-      .filter(size(col("hs")) > 0)
       .persist()
     // materialize before the three consumers fan out (see the same note
     // in dedupNgramJaccard)
