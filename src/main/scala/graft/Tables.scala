@@ -29,8 +29,14 @@ object Tables {
     * push through Repartition into the scan (PushDownPredicates).
     * HASH partitioning on the table key (not round-robin) skips the
     * sort-before-repartition pass and lets a downstream groupBy/join on
-    * the same key reuse the exchange. Dimensions (region/nation/
-    * supplier/part) stay un-repartitioned: they broadcast. */
+    * the same key reuse the exchange. Applied ONLY where every consumer
+    * does expensive per-row scan work (documents: shingling/cleaning/
+    * tokenizing; embeddings: vector math) — relational tables are left
+    * alone because their queries' first groupBy/join exchange already
+    * parallelizes, and an unconditional repartition would just stack a
+    * second shuffle under it (WindowQueriesSpec asserts exactly that).
+    * CPU-heavy consumers of other tables opt in at the query site
+    * (e.g. the JSON-parse scan over events). Dimensions broadcast. */
   private def fact(spark: SparkSession, dir: String, name: String,
                    key: String): DataFrame = {
     val df = read(spark, dir, name)
@@ -43,8 +49,8 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame    = fact(spark, dir, "orders", "o_orderkey")
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = fact(spark, dir, "lineitem", "l_orderkey")
+  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
     * via the nanosAsLong legacy conf. Read it as long nanos, then expose
     * a microsecond `TimestampType` (floor-truncated — same as DuckDB's
@@ -56,9 +62,12 @@ object Tables {
     read(spark, dir, "events").withColumn(
       "ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-      .repartition(spark.sparkContext.defaultParallelism,
-        org.apache.spark.sql.functions.col("event_id"))
   }
+  /** Events redistributed for CPU-heavy scan consumers (JSON parse) —
+    * see `fact` for when this is worth a shuffle. */
+  def eventsRedistributed(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).repartition(spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("event_id"))
   def documents(spark: SparkSession, dir: String): DataFrame = fact(spark, dir, "documents", "doc_id")
   def embeddings(spark: SparkSession, dir: String): DataFrame = fact(spark, dir, "embeddings", "vec_id")
 }

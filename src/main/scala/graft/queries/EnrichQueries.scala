@@ -49,7 +49,9 @@ object EnrichQueries {
     * become NULL and drop out of count(k), exactly the reference's
     * "skip on parse failure" behavior. */
   def xJsonExtract(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
+    // redistributed scan: per-row Jackson parse is the expensive part
+    // and otherwise runs inside the (single-split) scan task
+    Tables.eventsRedistributed(spark, dir)
       .select(col("event_type"),
         from_json(col("props"), "k INT", Map.empty[String, String]).getField("k").as("k"))
       .groupBy(col("event_type"))
