@@ -27,6 +27,7 @@ object SparkEntry {
       (StreamingQueries.queries, StreamingQueries.oracle),
       (SketchQueries.queries, SketchQueries.oracle),
       (ScaleQueries.queries, ScaleQueries.oracle),
+      (OlapQueries.queries, OlapQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -41,6 +41,26 @@ object MultimodalQueries {
         ascii(col("frame").cast("string")).cast("long").as("head_byte"))
   }
 
+  val ResizeBytes = 256
+
+  /** Resize (crop) over binary payloads: clamp each payload to a fixed
+    * byte budget — the media analogue of image resize with the codec
+    * stubbed (the real kernel would decode→scale→re-encode through the
+    * same batched-binary plumbing as [[mmDecodeFeatures]]). Pure
+    * codegen'd substr/length on the binary column; scalar outputs so
+    * the driver can hash-compare. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val resized = col("payload").substr(lit(1), lit(ResizeBytes))
+    media.select(col("doc_id"),
+      length(col("payload")).cast("long").as("orig_len"),
+      length(resized).cast("long").as("resized_len"),
+      ascii(resized.cast("string")).cast("long").as("head_byte"),
+      ascii(col("payload").substr(least(length(col("payload")), lit(ResizeBytes)).cast("int"), lit(1))
+        .cast("string")).cast("long").as("tail_byte"))
+  }
+
   /** P3: CHECK-constraint violation counts over orders — one
     * conditional-sum pass, unpivoted. */
   def p3ConstraintCheck(spark: SparkSession, dir: String): DataFrame =
@@ -53,6 +73,7 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_frame_sample"    -> (mmFrameSample _),
+    "mm_resize"          -> (mmResize _),
     "p3_constraint_check" -> (p3ConstraintCheck _),
   )
 
@@ -61,6 +82,12 @@ object MultimodalQueries {
       ("SELECT doc_id, length(text)::BIGINT AS f_len, " +
        "(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT AS f_vowels, " +
        "ascii(substr(text, 1, 1))::BIGINT AS f_head FROM documents"),
+    "mm_resize" ->
+      ("SELECT doc_id, length(text)::BIGINT AS orig_len, " +
+       "least(length(text), 256)::BIGINT AS resized_len, " +
+       "ascii(substr(text, 1, 1))::BIGINT AS head_byte, " +
+       "ascii(substr(text, least(length(text), 256)::INT, 1))::BIGINT AS tail_byte " +
+       "FROM documents"),
     "mm_frame_sample" ->
       ("SELECT doc_id, (f - 1)::BIGINT AS frame_idx, " +
        "length(substr(text, ((f - 1) * 100 + 1)::INT, 100))::BIGINT AS frame_len, " +

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Net-new OLAP operator pack (no reference counterpart — SURVEY §2.4
+  * notes the reference has no grouping sets / cube / rollup and no
+  * sampling; a complete engine needs them, and training-data pipelines
+  * lean on deterministic sampling constantly).
+  *
+  * Scale notes: rollup/cube are plain hash aggregates — Spark expands
+  * to grouping sets and keeps partial aggregation, so the exchange
+  * carries one partial row per (set, key) per task. Pivot with an
+  * explicit value list is a single conditional aggregate (no second
+  * scan, no distinct-values job). Hash-mod sampling is a scan-stage
+  * filter: it pushes to the source, costs one md5 per row, needs no
+  * sort, no sample() RNG state, and picks the SAME rows on every
+  * engine — which is why it is the reproducible-training-subset
+  * idiom (and why it is oracle-checkable at all).
+  */
+object OlapQueries {
+
+  /** ROLLUP (priority, status): per-group + per-priority + grand
+    * totals. Rollup nulls are labeled 'ALL' (the grouped columns are
+    * non-null in the data, so the label is unambiguous). */
+  def olapRollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("sum_price"))
+
+  /** CUBE (returnflag, linestatus): all four grouping sets in one
+    * aggregate over lineitem. */
+  def olapCubeLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("avg_qty"))
+
+  /** PIVOT order status → one count column per status, keyed by
+    * priority. The explicit value list keeps it a single conditional
+    * aggregate (no distinct-values pre-job, stable output schema). */
+  def olapPivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      // empty pivot cells are NULL counts in Spark but 0 under the
+      // oracle's FILTER form — normalize
+      .select(col("priority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_finished"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+
+  /** Deterministic hash-mod sample (~25%): md5 of the key decides
+    * membership, so the subset is stable across runs AND engines —
+    * the reproducible-sampling idiom for training-data pipelines
+    * (sample(), by contrast, is RNG-and-partitioning dependent). */
+  def xSampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(ascii(substring(md5(col("l_orderkey").cast("string")), 1, 1)) % 4 === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** Stratified deterministic sample: per-stratum rates (R:1/8, A:2/8,
+    * N:3/8) from the same md5 hash — the class-rebalancing form. */
+  def xSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = ascii(substring(md5(col("l_orderkey").cast("string")), 1, 1)) % 8
+    val rate = when(col("l_returnflag") === "R", 1)
+      .when(col("l_returnflag") === "A", 2).otherwise(3)
+    Tables.lineitem(spark, dir)
+      .filter(bucket < rate)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_rollup_orders"  -> (olapRollupOrders _),
+    "olap_cube_lineitem"  -> (olapCubeLineitem _),
+    "olap_pivot_status"   -> (olapPivotStatus _),
+    "x_sample_hash"       -> (xSampleHash _),
+    "x_sample_stratified" -> (xSampleStratified _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "olap_rollup_orders" ->
+      ("SELECT coalesce(o_orderpriority, 'ALL') AS priority, " +
+       "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n_orders, " +
+       "round(sum(o_totalprice), 2) AS sum_price FROM orders " +
+       "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"),
+    "olap_cube_lineitem" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, " +
+       "coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n_items, " +
+       "round(avg(l_quantity), 6) AS avg_qty FROM lineitem " +
+       "GROUP BY CUBE (l_returnflag, l_linestatus)"),
+    "olap_pivot_status" ->
+      ("SELECT o_orderpriority AS priority, " +
+       "count(*) FILTER (o_orderstatus = 'O') AS n_open, " +
+       "count(*) FILTER (o_orderstatus = 'F') AS n_finished, " +
+       "count(*) FILTER (o_orderstatus = 'P') AS n_pending " +
+       "FROM orders GROUP BY o_orderpriority"),
+    "x_sample_hash" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, " +
+       "count(DISTINCT l_orderkey) AS n_orders, round(sum(l_quantity), 2) AS sum_qty " +
+       "FROM lineitem WHERE ascii(substr(md5(l_orderkey::VARCHAR), 1, 1)) % 4 = 0 " +
+       "GROUP BY l_returnflag"),
+    "x_sample_stratified" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, " +
+       "round(sum(l_extendedprice), 2) AS sum_price FROM lineitem " +
+       "WHERE ascii(substr(md5(l_orderkey::VARCHAR), 1, 1)) % 8 < " +
+       "(CASE WHEN l_returnflag = 'R' THEN 1 WHEN l_returnflag = 'A' THEN 2 ELSE 3 END) " +
+       "GROUP BY l_returnflag"),
+  )
+}

@@ -51,8 +51,40 @@ object StreamingQueries {
     spark.table(qname)
   }
 
+  /** T2: key-level streaming dedup with watermark-bounded state — the
+    * streaming form of the reference's resume-from-output key skip
+    * (run_gpt_filter.py:81-95,236-246). The feed drains in one
+    * AvailableNow batch here, so `dropDuplicatesWithinWatermark` is an
+    * exact distinct over the backlog and the projection to the key
+    * columns makes the result deterministic (WHICH physical row
+    * survives per key is arrival-order-dependent; the key set is not).
+    * At 100 TB/day the same plan runs continuously: state is one entry
+    * per key inside the watermark horizon, evicted as event time
+    * advances. */
+  def t2StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val feed = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events_feed")
+    java.nio.file.Files.createDirectories(feed)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      feed.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = StreamOps.dedupByKeys(stream, Seq("user_id", "event_type"), "ts", "24 hours")
+      .select(col("user_id"), col("event_type"))
+    val qname = "t2_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = deduped.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_stream_tumbling" -> (t1StreamTumbling _),
+    "t2_stream_dedup"    -> (t2StreamDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -60,5 +92,7 @@ object StreamingQueries {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
        "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events " +
        "GROUP BY window_start, event_type"),
+    "t2_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
   )
 }

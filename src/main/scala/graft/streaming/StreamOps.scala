@@ -33,8 +33,13 @@ object StreamOps {
     * reference's resume-from-output key skip). */
   def dedupByKey(events: DataFrame, keyCol: String, tsCol: String,
                  watermark: String): DataFrame =
+    dedupByKeys(events, Seq(keyCol), tsCol, watermark)
+
+  /** Composite-key form of [[dedupByKey]]. */
+  def dedupByKeys(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keyCol)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Tumbling event-time counts — identical transform for batch and
     * streaming input (watermark is a no-op on batch frames). */
