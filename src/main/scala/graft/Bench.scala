@@ -16,6 +16,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // 84 queries × several codegen'd stages each overflow the default
+      // 100-entry generated-class cache; eviction then causes Janino
+      // recompile storms mid-bench (jstack: threads blocked in
+      // GeneratedClass.generate) that land on arbitrary queries
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-reader paths once so the first timed

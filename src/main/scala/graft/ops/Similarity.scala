@@ -30,15 +30,21 @@ object Similarity {
 
   /** K sign-bits of dot products against deterministic random
     * hyperplanes (seeded driver-side constant) — random-hyperplane LSH:
-    * P[bit match] = 1 - angle/π. Emitted as a compact bucket id. */
+    * P[bit match] = 1 - angle/π. Emitted as a compact bucket id.
+    *
+    * Each plane is a single `typedlit` ARRAY LITERAL node. The previous
+    * `array(lit, lit, ...)` form was a CreateArray with `dim` literal
+    * children — 16 tables × 4 planes × 64 dims ≈ 4k expression nodes in
+    * one projection, whose generated code rebuilt every plane array PER
+    * ROW and took Janino seconds to compile (jstack during slow runs:
+    * 8 threads in GeneratedClass.generate, the rest blocked waiting on
+    * the codegen cache). A Literal array is one constant reference. */
   def randomHyperplaneBits(v: Column, dim: Int, k: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(k, dim)(rnd.nextGaussian())
-    val bits = planes.map { p =>
-      val plane = array(p.map(x => lit(x)): _*)
-      when(dot(v, plane) >= 0, lit(1L)).otherwise(lit(0L))
-    }
-    bits.zipWithIndex.map { case (b, i) => b * lit(1L << i) }.reduce(_ + _)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** IVF index: k coarse centroids learned with `iters` Lloyd steps

@@ -18,11 +18,15 @@ object EnrichQueries {
   def d1ClassifyAggregate(spark: SparkSession, dir: String): DataFrame = {
     val results = ClassifyOp(spark, Tables.documents(spark, dir), "doc_id", "text",
       new RetryingClassifier(new DeterministicClassifier, sleep = _ => ()))
+    // (id, compound) pairs are unique by construction (the classifier
+    // emits DISTINCT names per doc), so count/collect_list equal
+    // countDistinct/collect_set — and skip the distinct-aggregate
+    // Expand plan, keeping one ObjectHashAggregate pass
     results.toDF()
       .filter(lower(col("confidence")) =!= "no")
       .groupBy(col("compound"))
-      .agg(countDistinct(col("id")).as("n_docs"),
-        array_join(sort_array(collect_set(col("id"))), ";").as("doc_ids"))
+      .agg(count(col("id")).as("n_docs"),
+        array_join(sort_array(collect_list(col("id"))), ";").as("doc_ids"))
   }
 
   /** J5: dict-first lookup with lowercase fallback then "remote" fetch

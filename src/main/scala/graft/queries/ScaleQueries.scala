@@ -28,13 +28,18 @@ object ScaleQueries {
     val base = s"/tmp/graft_bucketed/$suffix"
     val ordersT = s"orders_bkt_$suffix"
     val lineitemT = s"lineitem_bkt_$suffix"
+    // repartition on the bucket key first: the write then runs one task
+    // per bucket (hash-aligned with bucketBy) instead of single-file
+    // tasks each sorting and emitting all 8 buckets
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$base/orders").saveAsTable(ordersT)
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$base/lineitem").saveAsTable(lineitemT)
