@@ -15,6 +15,10 @@ run / fork := true
 // as the benchmark JSON; sbt's "[success] Total time..." footer otherwise
 // lands after it and breaks the parse (BENCH_r01.json: "parsed": null).
 Global / showSuccess := false
+// Inherit stdout/stderr in forked runs: the bench JSON line then prints
+// raw instead of wrapped as "[info] {...}", so a bare json.loads of the
+// last line works.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
