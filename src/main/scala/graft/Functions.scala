@@ -25,6 +25,12 @@ object Functions {
     case l: Long => l.toInt
     case other => other.toString.toInt
   }
+  private def dbl(e: Expression): Double = e.eval() match {
+    case d: Double => d
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => other.toString.toDouble
+  }
 
   /** name → builder over analyzed argument expressions. Aggregate
     * builders return the raw AggregateFunction; the analyzer wraps it. */
@@ -34,6 +40,9 @@ object Functions {
     "normalize_compound"  -> (e => NormalizeCompound(e.head)),
     "simhash64"           -> (e => SimHash64(e.head)),
     "dot_product"         -> (e => DotProduct(e(0), e(1))),
+    "bit_tanimoto"        -> (e => BitTanimoto(e(0), e(1))),
+    "bit_tversky"         -> (e => BitTversky(e(0), e(1), dbl(e(2)), dbl(e(3)))),
+    "bit_dice"            -> (e => BitDice(e(0), e(1))),
     "multi_contains_any"  -> (e => MultiContainsAny(e.head, e.tail.map(str))),
     "topk_mean"           -> (e => TopKMean(e(0), int(e(1)))),
     "topk_pairs"          -> (e => TopKPairs(e(0), e(1), int(e(2)))),

@@ -158,6 +158,62 @@ object SimilarityQueries {
         round(col("sim"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** Deterministic bit fingerprint from embedding sign bits: 4 words ×
+    * 16 bits, word w bit i set iff embedding[16w+i] > 0 — the stand-in
+    * for ECFP fingerprints (chemistry perception is input data per
+    * SURVEY §7; the RELATIONAL similarity machinery on top is what the
+    * engine owns). Built with HOFs over the embedding ATTRIBUTE
+    * (materialized per projection — see Dedup.wordGrams on the lambda
+    * re-evaluation trap). */
+  private def bitFingerprint(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(3)), w =>
+      aggregate(sequence(lit(1), lit(16)), lit(0L), (acc, i) =>
+        acc + when(element_at(emb, (w * 16 + i).cast("int")) > 0f,
+          pow(lit(2.0), (i - 1).cast("double")).cast("long")).otherwise(lit(0L))))
+
+  /** D4+J6/A5/A6 over bit fingerprints: per item, the best reference by
+    * Tanimoto (argmax with ref-id tie-break), the max similarity, and
+    * the top-3 mean — the reference's `add_tanimoto_scores` triple
+    * (finalize_realease.py:199-222) on the engine's fused popcount
+    * kernel. Refs broadcast; one scan of the fact side. */
+  def simFpTanimotoTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.bitsimfunctions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bitFingerprint(col("embedding")).as("fp"))
+    val refs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("ref_id"), col("fp").as("ref_fp"))
+    val top3 = slice(reverse(array_sort(collect_list(col("sim")))), 1, 3)
+    e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(refs))
+      .select(col("vec_id"), col("ref_id"), bit_tanimoto(col("fp"), col("ref_fp")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("ref_id"), struct(col("sim"), (-col("ref_id")).as("nr"))).as("best_ref"),
+        round(max(col("sim")), 6).as("max_sim"),
+        round(aggregate(top3, lit(0.0), _ + _) / size(top3), 6).as("top3_mean"))
+  }
+
+  /** J7: per item the best reference under Tversky(.7,.3) AND under
+    * Dice — two argmaxes in one aggregate pass over the same scored
+    * rows (the reference scores both metrics per pair,
+    * finalize_realease.py:407-418). */
+  def simFpTverskyDice(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.bitsimfunctions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bitFingerprint(col("embedding")).as("fp"))
+    val refs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("ref_id"), col("fp").as("ref_fp"))
+    e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(refs))
+      .select(col("vec_id"), col("ref_id"),
+        bit_tversky(col("fp"), col("ref_fp"), 0.7, 0.3).as("tv"),
+        bit_dice(col("fp"), col("ref_fp")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("ref_id"), struct(col("tv"), (-col("ref_id")).as("nr"))).as("best_tversky_ref"),
+        round(max(col("tv")), 6).as("best_tversky"),
+        max_by(col("ref_id"), struct(col("dc"), (-col("ref_id")).as("nr"))).as("best_dice_ref"),
+        round(max(col("dc")), 6).as("best_dice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk"           -> (annIvfTopk _),
     "ann_brute_topk"         -> (annBruteTopk _),
@@ -165,7 +221,16 @@ object SimilarityQueries {
     "ann_neardup_pairs"      -> (annNearDupPairs _),
     "sim_centroid_confusion" -> (simCentroidConfusion _),
     "ann_lsh_neardup"        -> (annLshNearDup _),
+    "sim_fp_tanimoto_topk"   -> (simFpTanimotoTopk _),
+    "sim_fp_tversky_dice"    -> (simFpTverskyDice _),
   )
+
+  /** DuckDB twin of [[bitFingerprint]]: 4×16 sign-bit words. */
+  private val fpCte =
+    ("WITH fp AS (SELECT vec_id, list_transform(generate_series(0,3), w -> " +
+     "CAST(list_sum(list_transform(generate_series(1,16), i -> " +
+     "CASE WHEN embedding[w*16+i] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS fp " +
+     "FROM embeddings)")
 
   private val cosSql =
     "list_dot_product(%s::DOUBLE[], %s::DOUBLE[]) / (sqrt(list_dot_product(%s::DOUBLE[], %s::DOUBLE[])) * sqrt(list_dot_product(%s::DOUBLE[], %s::DOUBLE[])))"
@@ -209,5 +274,37 @@ object SimilarityQueries {
        "SELECT label, pred_label, count(*) AS n FROM scored WHERE rn = 1 " +
        "GROUP BY label, pred_label"),
     // ann_lsh_neardup intentionally omitted → driver rows-only check.
+    "sim_fp_tanimoto_topk" ->
+      (s"$fpCte, scored AS (SELECT t.vec_id, r.vec_id AS ref_id, " +
+       "CASE WHEN list_sum(list_transform(generate_series(1,4), k -> bit_count(t.fp[k] | r.fp[k]))) = 0 THEN 0.0 " +
+       "ELSE list_sum(list_transform(generate_series(1,4), k -> bit_count(t.fp[k] & r.fp[k])))::DOUBLE / " +
+       "list_sum(list_transform(generate_series(1,4), k -> bit_count(t.fp[k] | r.fp[k]))) END AS sim " +
+       "FROM fp t, fp r WHERE t.vec_id >= 5 AND r.vec_id < 5), " +
+       "ranked AS (SELECT vec_id, ref_id, sim, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ref_id ASC) AS rn FROM scored), " +
+       "tops AS (SELECT vec_id, list(sim ORDER BY sim DESC, ref_id ASC) AS sims FROM scored GROUP BY vec_id) " +
+       "SELECT r.vec_id, max(CASE WHEN rn = 1 THEN ref_id END) AS best_ref, " +
+       "round(max(sim), 6) AS max_sim, " +
+       "round(any_value(list_sum(t.sims[1:3])) / 3, 6) AS top3_mean " +
+       "FROM ranked r JOIN tops t ON r.vec_id = t.vec_id GROUP BY r.vec_id"),
+    "sim_fp_tversky_dice" ->
+      (s"$fpCte, scored AS (SELECT vec_id, ref_id, " +
+       "CASE WHEN (inter + 0.7 * only_a + 0.3 * only_b) = 0 THEN 0.0 " +
+       "ELSE inter / (inter + 0.7 * only_a + 0.3 * only_b) END AS tv, " +
+       "CASE WHEN pa + pb = 0 THEN 0.0 ELSE 2.0 * inter / (pa + pb) END AS dc FROM (" +
+       "SELECT t.vec_id, r.vec_id, " +
+       "list_sum(list_transform(generate_series(1,4), k -> bit_count(t.fp[k] & r.fp[k])))::DOUBLE AS inter, " +
+       "list_sum(list_transform(generate_series(1,4), k -> bit_count(t.fp[k] & ~r.fp[k])))::DOUBLE AS only_a, " +
+       "list_sum(list_transform(generate_series(1,4), k -> bit_count(r.fp[k] & ~t.fp[k])))::DOUBLE AS only_b, " +
+       "list_sum(list_transform(generate_series(1,4), k -> bit_count(t.fp[k])))::DOUBLE AS pa, " +
+       "list_sum(list_transform(generate_series(1,4), k -> bit_count(r.fp[k])))::DOUBLE AS pb " +
+       "FROM fp t, fp r WHERE t.vec_id >= 5 AND r.vec_id < 5) t(vec_id, ref_id, inter, only_a, only_b, pa, pb)), " +
+       "ranked AS (SELECT vec_id, ref_id, tv, dc, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY tv DESC, ref_id ASC) AS rn_tv, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY dc DESC, ref_id ASC) AS rn_dc FROM scored) " +
+       "SELECT vec_id, max(CASE WHEN rn_tv = 1 THEN ref_id END) AS best_tversky_ref, " +
+       "round(max(tv), 6) AS best_tversky, " +
+       "max(CASE WHEN rn_dc = 1 THEN ref_id END) AS best_dice_ref, " +
+       "round(max(dc), 6) AS best_dice FROM ranked GROUP BY vec_id"),
   )
 }

@@ -58,6 +58,32 @@ object KernelProps extends Properties("kernels") {
       Prop(got == expect) :| s"got $got expect $expect"
     }
 
+  private val bitvecGen: Gen[Array[Long]] =
+    Gen.listOfN(4, Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.toArray)
+  private def ad(a: Array[Long]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+  private def bitSet(a: Array[Long]): Set[Int] =
+    (0 until 256).filter(i => (a(i / 64) >> (i % 64) & 1L) == 1L).toSet
+
+  property("bit tanimoto == set-model jaccard") = forAll(bitvecGen, bitvecGen) { (a, b) =>
+    val (sa, sb) = (bitSet(a), bitSet(b))
+    val expect = if ((sa ++ sb).isEmpty) 0.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size
+    expr.BitSimKernels.tanimoto(ad(a), ad(b)) == expect
+  }
+
+  property("bit kernels: self-sim 1, symmetry, tversky(.5,.5)=dice, dice=2t/(1+t)") =
+    forAll(bitvecGen, bitvecGen) { (a, b) =>
+      val k = expr.BitSimKernels
+      val t = k.tanimoto(ad(a), ad(b))
+      val d = k.dice(ad(a), ad(b))
+      val selfOk = a.forall(_ == 0L) || k.tanimoto(ad(a), ad(a)) == 1.0
+      val symOk = t == k.tanimoto(ad(b), ad(a)) && d == k.dice(ad(b), ad(a))
+      val tverskyDice = math.abs(k.tversky(ad(a), ad(b), 0.5, 0.5) - d) < 1e-12
+      val diceRel = math.abs(d - 2 * t / (1 + t)) < 1e-12
+      Prop(selfOk && symOk && tverskyDice && diceRel)
+    }
+
   property("topk merge == union insert") =
     forAll(Gen.listOf(Gen.chooseNum(-1e3, 1e3)), Gen.listOf(Gen.chooseNum(-1e3, 1e3))) {
       (xs, ys) =>
