@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
 import graft.streaming.StreamOps
 
 /** Streaming pack (SURVEY §2.9): the incremental layer driven through
@@ -82,9 +83,54 @@ object StreamingQueries {
     spark.table(qname)
   }
 
+  /** Custom per-key state (north-star `mapGroupsWithState`): running
+    * per-user count + latest event (explicit (ts, event_id) tiebreak),
+    * driven through the file-feed source in update mode. The stream
+    * carries RAW long-nano timestamps — state logic compares longs, no
+    * timestamp decode needed on the hot path. */
+  def t4StreamStateful(spark: SparkSession, dir: String): DataFrame = {
+    val feed = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events_feed")
+    java.nio.file.Files.createDirectories(feed)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      feed.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
+    val agg = StreamOps.statefulUserAgg(spark, stream.toDF())
+      .select(col("user_id"), col("n_events"),
+        col("last_event_id"), col("last_type"))
+    val qname = "t4_stream_stateful_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
+  /** T3: idempotent re-publish — the busiest day's summary is written
+    * to its dated partition TWICE (wipe + rewrite, finalize_realease
+    * .py:105-113); the read-back proves replace-not-duplicate. The
+    * one-row collect picks the partition date — the dynamic-overwrite
+    * key, not data movement. */
+  def t3Republish(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val day = ev.agg(max(to_date(col("ts")))).collect()(0).getDate(0).toString
+    val summary = ev.filter(to_date(col("ts")) === lit(day))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+    val out = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/republish"
+    StreamOps.republish(summary, out, day)
+    StreamOps.republish(summary, out, day) // second publish must replace, not append
+    spark.read.parquet(s"$out/date=$day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_stream_tumbling" -> (t1StreamTumbling _),
     "t2_stream_dedup"    -> (t2StreamDedup _),
+    "t3_republish"       -> (t3Republish _),
+    "t4_stream_stateful" -> (t4StreamStateful _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -94,5 +140,15 @@ object StreamingQueries {
        "GROUP BY window_start, event_type"),
     "t2_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "t3_republish" ->
+      ("SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value " +
+       "FROM events WHERE ts::DATE = (SELECT max(ts::DATE) FROM events) " +
+       "GROUP BY event_type"),
+    "t4_stream_stateful" ->
+      ("WITH ranked AS (SELECT user_id, event_id, event_type, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+       "FROM events), counts AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) " +
+       "SELECT c.user_id, c.n_events, r.event_id AS last_event_id, r.event_type AS last_type " +
+       "FROM counts c JOIN ranked r ON c.user_id = r.user_id AND r.rn = 1"),
   )
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamReader, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamReader, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Incremental layer (SURVEY §2.9): the reference's file-feed ingestion
   * (T1: baseline + daily updatefiles), key-level resume/dedup (T2), and
@@ -60,4 +60,38 @@ object StreamOps {
     * re-running the same day replaces, not duplicates. */
   def republish(df: DataFrame, outDir: String, date: String): Unit =
     df.write.mode("overwrite").parquet(s"$outDir/date=$date")
+
+  /** Custom per-key state via `flatMapGroupsWithState` (north-star:
+    * KeyValueGroupedDataset state ops): running event count + the
+    * latest event type per user, with an explicit (ts, event_id)
+    * tiebreak so the result is arrival-order independent. State is one
+    * small tuple per live key; in production pair with a timeout
+    * (`GroupStateTimeout.EventTimeTimeout` + watermark) to bound the
+    * keyspace — NoTimeout here because the harness drain is one batch. */
+  def statefulUserAgg(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts").cast("long").as("ts"),
+        col("event_type").cast("string").as("event_type"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) => {
+          var acc = state.getOption.getOrElse(UserRunning(uid, 0L, Long.MinValue, Long.MinValue, ""))
+          rows.foreach { e =>
+            val newer = e.ts > acc.last_ts || (e.ts == acc.last_ts && e.event_id > acc.last_event_id)
+            acc = UserRunning(uid, acc.n_events + 1,
+              if (newer) e.ts else acc.last_ts,
+              if (newer) e.event_id else acc.last_event_id,
+              if (newer) e.event_type else acc.last_type)
+          }
+          state.update(acc)
+          Iterator.single(acc)
+        })
+  }
 }
+
+case class UserEvent(user_id: Long, event_id: Long, ts: Long, event_type: String)
+case class UserRunning(user_id: Long, n_events: Long, last_ts: Long,
+                       last_event_id: Long, last_type: String)
