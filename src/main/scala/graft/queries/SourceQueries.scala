@@ -25,8 +25,14 @@ object SourceQueries {
   /** S1+K1: TSV-with-header write (gzip) → schema'd TSV scan. */
   def s1TsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp(dir, "lineitem_tsv")
+    // partitioned gzip output: gzip text is unsplittable, so ONE file
+    // would serialize both the write and the read-back on single tasks
+    // (the round-1 shape; worst observed 24 s) — many files keep both
+    // directions parallel, which is also the only workable layout at
+    // 100 TB (SURVEY §2.1 S1 scale note)
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"), col("l_quantity"))
+      .repartition(spark.sparkContext.defaultParallelism, col("l_orderkey"))
       .write.mode("overwrite")
       .option("sep", "\t").option("header", "true").option("compression", "gzip")
       .csv(out)
