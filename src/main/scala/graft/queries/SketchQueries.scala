@@ -26,29 +26,56 @@ object SketchQueries {
   // no observable gain at these quantiles
   val QuantileAcc = 2000
 
-  /** Per event-type: approx distinct users + p50/p95 value sketch.
-    * No exact countDistinct in here: mixing a distinct aggregate with
-    * the imperative sketch aggregates forces an Expand + sort-based
-    * plan (measured ~4x slower); sketches alone stay in one
-    * ObjectHashAggregate with mergeable partial state. The spec
-    * computes the exact answers in a separate query to pin error
-    * bounds. */
-  def sketchCardinalityQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
+  /** Rank margin for the quantile bound check: the sketch guarantees
+    * rank error ≤ 1/QuantileAcc (0.0005); the check allows 10x that. */
+  val QuantileMargin = 0.005
+
+  /** Per event-type: approx distinct users + p50/p95 value sketch,
+    * VERIFIED against the exact answers in-query. Sketch internals are
+    * engine-specific, so raw sketch outputs can never hash-match a
+    * DuckDB oracle — instead the query emits the exact distinct count
+    * plus BOOLEAN error-bound assertions (HLL++ within 3·rsd; sketch
+    * quantiles inside the exact p±margin envelope), and the oracle
+    * expects TRUE — the meaningful correctness statement for an
+    * approximate operator, enforced by the driver's hash compare.
+    *
+    * The sketches and the exact answers are aggregated SEPARATELY and
+    * joined on the (tiny) group key: mixing a distinct aggregate with
+    * the imperative sketch aggregates would force an Expand +
+    * sort-based plan (measured ~4x slower); each branch stays a
+    * mergeable one-pass ObjectHashAggregate. */
+  def sketchCardinalityQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sk = ev.groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), Rsd).as("approx_users"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(QuantileAcc))
-          .as("value_p50_p95"))
-      .select(col("event_type"), col("approx_users"),
-        round(element_at(col("value_p50_p95"), 1), 6).as("value_p50"),
-        round(element_at(col("value_p50_p95"), 2), 6).as("value_p95"))
+          .as("ps"))
+    val ex = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        expr(s"percentile(value, array(${0.5 - QuantileMargin}, ${0.5 + QuantileMargin}, " +
+          s"${0.95 - QuantileMargin}, ${0.95 + QuantileMargin}))").as("bounds"))
+    sk.join(ex, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * (3 * Rsd)).as("approx_users_ok"),
+        element_at(col("ps"), 1).between(
+          element_at(col("bounds"), 1), element_at(col("bounds"), 2)).as("p50_ok"),
+        element_at(col("ps"), 2).between(
+          element_at(col("bounds"), 3), element_at(col("bounds"), 4)).as("p95_ok"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cardinality_quantiles" -> (sketchCardinalityQuantiles _),
   )
 
-  /** Sketch layouts are engine-specific → rows-only (spec pins error
-    * bounds vs exact). */
-  val oracle: Map[String, String] = Map.empty
+  /** The oracle checks the exact count and expects every bound
+    * assertion to hold — a sketch drifting past its published error
+    * envelope fails the driver's hash compare. */
+  val oracle: Map[String, String] = Map(
+    "sketch_cardinality_quantiles" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+       "TRUE AS approx_users_ok, TRUE AS p50_ok, TRUE AS p95_ok " +
+       "FROM events GROUP BY event_type"),
+  )
 }

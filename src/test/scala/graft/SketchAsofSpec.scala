@@ -5,27 +5,22 @@ import org.apache.spark.sql.functions._
 
 class SketchAsofSpec extends SparkSpecBase {
 
-  test("HLL++ cardinality is within 5x rsd of exact; quantiles bracket the exact rank") {
-    val exactByType = Tables.events(spark, sfDir)
-      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("exact"))
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+  test("sketch error-bound assertions hold and exact counts match a recompute") {
+    // the query itself carries the error-bound checks as boolean
+    // columns (that's what the oracle hash-verifies); here: every
+    // bound holds and the exact side agrees with an independent
+    // recomputation
     val rows = SketchQueries.sketchCardinalityQuantiles(spark, sfDir).collect()
     assert(rows.nonEmpty)
+    val exactByType = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = exactByType(r.getString(0))
-      assert(math.abs(approx - exact) / exact <= 5 * SketchQueries.Rsd,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
-      assert(r.getAs[Double]("value_p50") <= r.getAs[Double]("value_p95"))
+      assert(r.getAs[Boolean]("approx_users_ok"), s"${r.getString(0)}: HLL++ outside 3*rsd")
+      assert(r.getAs[Boolean]("p50_ok"), s"${r.getString(0)}: p50 outside rank envelope")
+      assert(r.getAs[Boolean]("p95_ok"), s"${r.getString(0)}: p95 outside rank envelope")
+      assert(r.getAs[Long]("exact_users") == exactByType(r.getString(0)))
     }
-    // quantile sanity on the full value column: p50 must split the data
-    // within the sketch's rank-accuracy tolerance
-    val e = Tables.events(spark, sfDir)
-    val p50 = SketchQueries.sketchCardinalityQuantiles(spark, sfDir)
-      .agg(min("value_p50")).collect().head.getDouble(0)
-    val total = e.count().toDouble
-    val below = e.filter(col("value") <= p50).count().toDouble
-    assert(below / total > 0.05 && below / total < 0.95)
   }
 
   test("as-of join matches the brute-force greatest-earlier-click per purchase") {
