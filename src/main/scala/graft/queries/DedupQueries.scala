@@ -177,11 +177,31 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** MinHash quality as ORACLE-CHECKED data: full-join the LSH pairs
+    * against the exact n-gram Jaccard pairs and emit the true-pair
+    * count plus boolean assertions — recall ≥ 0.9 and exact precision
+    * (the verify step guarantees every emitted pair is a true pair).
+    * Hash-seeded operators can never hash-match an oracle directly;
+    * their quality contract can (same pattern as the sketch pack). */
+  def dedupMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = dedupNgramJaccard(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("t"))
+    val lsh = dedupMinhashLsh(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("f"))
+    exact.join(lsh, Seq("id_a", "id_b"), "full")
+      .agg(sum(col("t")).as("n_true"), sum(col("t") * col("f")).as("hits"),
+        sum(when(col("t").isNull, 1).otherwise(0)).as("extras"))
+      .select(col("n_true").cast("long").as("n_true_pairs"),
+        (col("hits") >= col("n_true") * 0.9).as("recall_ok"),
+        (col("extras") === 0).as("precision_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_exact"         -> (dedupExact _),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
-    "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_exact"          -> (dedupExact _),
+    "dedup_ngram_jaccard"  -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
+    "dedup_simhash"        -> (dedupSimhash _),
+    "dedup_minhash_recall" -> (dedupMinhashRecall _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,6 +218,16 @@ object DedupQueries {
        "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
        "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
     // dedup_minhash_lsh / dedup_simhash: driver rows-only (hash funcs
-    // have no DuckDB equivalent); recall asserted in DedupQueriesSpec.
+    // have no DuckDB equivalent); recall asserted in DedupQueriesSpec
+    // AND oracle-enforced via dedup_minhash_recall.
+    "dedup_minhash_recall" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
+       "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
+       "ELSE [] END AS sg FROM t) " +
+       "SELECT count(*)::BIGINT AS n_true_pairs, TRUE AS recall_ok, TRUE AS precision_ok FROM (" +
+       "SELECT a.doc_id, b.doc_id, " +
+       "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
+       "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
   )
 }

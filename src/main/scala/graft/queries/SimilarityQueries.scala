@@ -214,8 +214,42 @@ object SimilarityQueries {
         round(max(col("dc")), 6).as("best_dice"))
   }
 
+  /** LSH near-dup quality as oracle-checked data (see
+    * DedupQueries.dedupMinhashRecall): true-pair count + recall ≥ 0.5
+    * and exact precision (cosine-verified candidates only). */
+  def annLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("t"))
+    val lsh = annLshNearDup(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("f"))
+    exact.join(lsh, Seq("id_a", "id_b"), "full")
+      .agg(sum(col("t")).as("n_true"), sum(col("t") * col("f")).as("hits"),
+        sum(when(col("t").isNull, 1).otherwise(0)).as("extras"))
+      .select(col("n_true").cast("long").as("n_true_pairs"),
+        (col("hits") >= col("n_true") * 0.5).as("recall_ok"),
+        (col("extras") === 0).as("precision_ok"))
+  }
+
+  /** IVF quality as oracle-checked data: neighbor-set recall ≥ 0.3 vs
+    * brute force at 3/8 probes, and the structural guarantee that IVF
+    * still returns exactly k per query. */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("t"))
+    val ivf = annIvfTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("f"))
+    exact.join(ivf, Seq("query_id", "neighbor_id"), "full")
+      .agg(sum(col("t")).as("n_true"), sum(col("t") * col("f")).as("hits"),
+        sum(col("f")).as("n_ivf"))
+      .select(col("n_true").cast("long").as("n_true_neighbors"),
+        (col("hits") >= col("n_true") * 0.3).as("recall_ok"),
+        (col("n_ivf") === col("n_true")).as("k_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk"           -> (annIvfTopk _),
+    "ann_lsh_recall"         -> (annLshRecall _),
+    "ann_ivf_recall"         -> (annIvfRecall _),
     "ann_brute_topk"         -> (annBruteTopk _),
     "ann_topk_agg"           -> (annTopkAgg _),
     "ann_neardup_pairs"      -> (annNearDupPairs _),
@@ -273,7 +307,19 @@ object SimilarityQueries {
        "FROM embeddings e, cent c) " +
        "SELECT label, pred_label, count(*) AS n FROM scored WHERE rn = 1 " +
        "GROUP BY label, pred_label"),
-    // ann_lsh_neardup intentionally omitted → driver rows-only check.
+    // ann_lsh_neardup intentionally omitted → driver rows-only check
+    // (quality oracle-enforced via ann_lsh_recall / ann_ivf_recall).
+    "ann_lsh_recall" ->
+      (s"SELECT count(*)::BIGINT AS n_true_pairs, TRUE AS recall_ok, TRUE AS precision_ok " +
+       "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
+       s"AND ${cos("a.embedding", "b.embedding")} >= $NearDupThreshold"),
+    "ann_ivf_recall" ->
+      ("SELECT count(*)::BIGINT AS n_true_neighbors, TRUE AS recall_ok, TRUE AS k_ok FROM (" +
+       s"SELECT q.vec_id, e.vec_id AS nid, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       s"${cos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rnk " +
+       "FROM embeddings q, embeddings e WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) " +
+       "WHERE rnk <= 5"),
     "sim_fp_tanimoto_topk" ->
       (s"$fpCte, scored AS (SELECT t.vec_id, r.vec_id AS ref_id, " +
        "CASE WHEN list_sum(list_transform(generate_series(1,4), k -> bit_count(t.fp[k] | r.fp[k]))) = 0 THEN 0.0 " +
