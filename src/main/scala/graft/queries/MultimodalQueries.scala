@@ -61,6 +61,32 @@ object MultimodalQueries {
         .cast("string")).cast("long").as("tail_byte"))
   }
 
+  /** P1: provenance sidecar round-trip — write an artifact through
+    * `writeWithProvenance` (observe-counted rows + content sha256 +
+    * step/params in `_provenance.json`), then surface the sidecar's
+    * claims as a row the oracle can recompute: the artifact name, the
+    * recorded row count, and a boolean that the recorded count matches
+    * a re-read of the data (the sha256 is layout-specific, so the
+    * VERIFIABLE provenance claims are what the oracle checks). */
+  def p1Provenance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val out = s"/tmp/graft_provenance/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/orders_summary"
+    val artifact = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(fcount(lit(1)).as("n_orders"))
+    Provenance.writeWithProvenance(artifact, out, "p1_orders_summary",
+      Map("source" -> "orders", "group" -> "o_orderpriority"))
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_provenance.json")))
+    val recorded = spark.read.json(
+      spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+      .select(col("step"), col("rows").cast("long").as("recorded_rows"))
+    val actual = spark.read.parquet(out).agg(fcount(lit(1)).as("actual_rows"))
+    recorded.crossJoin(actual)
+      .select(col("step"), col("recorded_rows"),
+        (col("recorded_rows") === col("actual_rows")).as("rows_match"))
+  }
+
   /** P3: CHECK-constraint violation counts over orders — one
     * conditional-sum pass, unpivoted. */
   def p3ConstraintCheck(spark: SparkSession, dir: String): DataFrame =
@@ -74,6 +100,7 @@ object MultimodalQueries {
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_frame_sample"    -> (mmFrameSample _),
     "mm_resize"          -> (mmResize _),
+    "p1_provenance"      -> (p1Provenance _),
     "p3_constraint_check" -> (p3ConstraintCheck _),
   )
 
@@ -88,6 +115,10 @@ object MultimodalQueries {
        "ascii(substr(text, 1, 1))::BIGINT AS head_byte, " +
        "ascii(substr(text, least(length(text), 256)::INT, 1))::BIGINT AS tail_byte " +
        "FROM documents"),
+    "p1_provenance" ->
+      ("SELECT 'p1_orders_summary' AS step, " +
+       "count(DISTINCT o_orderpriority)::BIGINT AS recorded_rows, " +
+       "TRUE AS rows_match FROM orders"),
     "mm_frame_sample" ->
       ("SELECT doc_id, (f - 1)::BIGINT AS frame_idx, " +
        "length(substr(text, ((f - 1) * 100 + 1)::INT, 100))::BIGINT AS frame_len, " +
