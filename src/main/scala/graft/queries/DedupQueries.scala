@@ -196,12 +196,28 @@ object DedupQueries {
         (col("extras") === 0).as("precision_ok"))
   }
 
+  /** SimHash quality as oracle-checked data: recall of the hamming≤6
+    * candidate pairs against the exact Jaccard≥0.7 pairs (the spec's
+    * ≥0.9 assertion with margin; SimHash admits false positives by
+    * design, so precision is not asserted). */
+  def dedupSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = dedupNgramJaccard(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("t"))
+    val sh = dedupSimhash(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("f"))
+    exact.join(sh, Seq("id_a", "id_b"), "left")
+      .agg(sum(col("t")).as("n_true"), sum(col("t") * col("f")).as("hits"))
+      .select(col("n_true").cast("long").as("n_true_pairs"),
+        (col("hits") >= col("n_true") * 0.8).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),
     "dedup_ngram_jaccard"  -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
     "dedup_simhash"        -> (dedupSimhash _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
+    "dedup_simhash_recall" -> (dedupSimhashRecall _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -226,6 +242,15 @@ object DedupQueries {
        "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
        "ELSE [] END AS sg FROM t) " +
        "SELECT count(*)::BIGINT AS n_true_pairs, TRUE AS recall_ok, TRUE AS precision_ok FROM (" +
+       "SELECT a.doc_id, b.doc_id, " +
+       "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
+       "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
+    "dedup_simhash_recall" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
+       "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
+       "ELSE [] END AS sg FROM t) " +
+       "SELECT count(*)::BIGINT AS n_true_pairs, TRUE AS recall_ok FROM (" +
        "SELECT a.doc_id, b.doc_id, " +
        "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
        "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),

@@ -112,11 +112,33 @@ object TextAnalysisQueries {
         xxhash64(concat_ws(",", transform(col("fingerprint"), _.cast("string")))).as("fp_sig"),
         size(col("fingerprint")).cast("long").as("n_fp"))
 
+  /** Winnowing quality as oracle-checked data: for every exact
+    * near-dup pair (3-gram Jaccard ≥ 0.7), the two documents'
+    * fingerprint sets must overlap ≥ 50% of the smaller set (the
+    * spec's mean-overlap assertion, tightened to per-pair-mean). The
+    * fingerprints themselves are hash-seeded → rows-only; this overlap
+    * contract is what the oracle enforces. */
+  def taWinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.queries.DedupQueries.dedupNgramJaccard(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val fp = winnowFingerprints(spark, dir)
+    val joined = pairs
+      .join(fp.select(col("doc_id").as("id_a"), col("fingerprint").as("fp_a")), "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("fingerprint").as("fp_b")), "id_b")
+      .select(size(array_intersect(col("fp_a"), col("fp_b"))).cast("double").as("inter"),
+        least(size(col("fp_a")), size(col("fp_b"))).cast("double").as("minsz"))
+    joined.agg(count(lit(1)).as("n_pairs"),
+        avg(col("inter") / col("minsz")).as("mean_overlap"))
+      .select(col("n_pairs").cast("long").as("n_pairs"),
+        (col("mean_overlap") >= 0.5).as("overlap_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_token_count"        -> (taTokenCount _),
     "ta_quality_score"      -> (taQualityScore _),
     "ta_lang_id"            -> (taLangId _),
     "ta_fingerprint_winnow" -> (taFingerprintWinnow _),
+    "ta_winnow_overlap"     -> (taWinnowOverlap _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,6 +165,16 @@ object TextAnalysisQueries {
        "len(list_filter(['el','la','de','los','que'], m -> list_contains(ws, m)))::BIGINT AS s_es, " +
        "len(list_filter(['der','die','das','und','ist'], m -> list_contains(ws, m)))::BIGINT AS s_de " +
        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))"),
-    // ta_fingerprint_winnow: rows-only (xxhash64 not in DuckDB).
+    // ta_fingerprint_winnow: rows-only (xxhash64 not in DuckDB);
+    // fingerprint quality oracle-enforced via ta_winnow_overlap.
+    "ta_winnow_overlap" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
+       "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
+       "ELSE [] END AS sg FROM t) " +
+       "SELECT count(*)::BIGINT AS n_pairs, TRUE AS overlap_ok FROM (" +
+       "SELECT a.doc_id, b.doc_id, " +
+       "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
+       "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
   )
 }
