@@ -60,7 +60,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // emit the metric twice: a prefixed copy for parsers that strip an
+    // sbt-style "[info] " tag, then the bare JSON as the LAST stdout
+    // line for parsers that json.loads the final line directly
+    println(s"[info] $json")
+    println(json)
     spark.stop()
   }
 }
