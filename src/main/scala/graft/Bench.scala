@@ -24,13 +24,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-reader paths once so the first timed
-    // query doesn't absorb session startup; touches only the tiny
-    // `nation` table — no fact data is cached ahead of timing.
+    // query doesn't absorb session startup: exercise the GENERIC
+    // operator shapes (scan, shuffle agg, broadcast join, window, sort)
+    // on the 25-row `nation` table — compiles the shared generated-code
+    // infrastructure without touching fact data or the measured queries.
     locally {
-      import spark.implicits._
-      spark.range(1000).select(org.apache.spark.sql.functions.sum($"id"))
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.range(1000).select(sum(col("id")))
         .write.format("noop").mode("overwrite").save()
-      spark.read.parquet(s"$sfDir/nation.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.write.format("noop").mode("overwrite").save()
+      n.groupBy(col("n_regionkey")).agg(count(lit(1)), collect_list(col("n_name")))
+        .write.format("noop").mode("overwrite").save()
+      n.join(broadcast(n.select(col("n_regionkey").as("rk")).distinct()),
+          col("n_regionkey") === col("rk"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
+        .orderBy(col("rn")).limit(5)
         .write.format("noop").mode("overwrite").save()
     }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named
