@@ -152,11 +152,39 @@ object WindowQueries {
       .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
   }
 
+  /** RANGE JOIN, bucketed (net-new): per purchase, the user's clicks in
+    * the strictly-preceding hour. The naive form is an inequality
+    * theta-join (cartesian per user at any scale); the scale path
+    * buckets time into window-width slots and turns the range predicate
+    * into an EQUI-join on (user_id, bucket) — each click is exploded
+    * into its own and the next bucket (a window of one bucket width
+    * spans at most two slots), the exact range condition then filters
+    * the co-partitioned candidates. Shuffle volume: 2x the click rows
+    * on a uniformly distributed key — no cartesian anywhere. */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val BucketUs = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pts"))
+      .withColumn("bkt", floor(col("pts") / BucketUs))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("cts"))
+      .withColumn("cbkt", floor(col("cts") / BucketUs))
+      .select(col("user_id"), col("cts"),
+        explode(array(col("cbkt"), col("cbkt") + 1)).as("bkt"))
+    p.join(c, Seq("user_id", "bkt"))
+      .filter(col("cts") >= col("pts") - BucketUs && col("cts") < col("pts"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("cts")).as("last_click_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank_top3"      -> (winRankTop3 _),
     "win_lag_delta"      -> (winLagDelta _),
     "win_moving_avg"     -> (winMovingAvg _),
     "asof_join_events"   -> (asofJoinEvents _),
+    "range_join_bucketed" -> (rangeJoinBucketed _),
     "win_tumbling_hour"  -> (winTumblingHour _),
     "win_sliding_hour"   -> (winSlidingHour _),
     "win_sessionize"     -> (winSessionize _),
@@ -183,6 +211,14 @@ object WindowQueries {
        "c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') " +
        "SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, c.ts AS asof_click_ts " +
        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts"),
+    "range_join_bucketed" ->
+      ("WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pts " +
+       "FROM events WHERE event_type = 'purchase'), " +
+       "c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts FROM events WHERE event_type = 'click') " +
+       "SELECT purchase_id, count(*) AS n_clicks, max(cts) AS last_click_us " +
+       "FROM p JOIN c ON p.user_id = c.user_id " +
+       "AND c.cts >= p.pts - 3600000000 AND c.cts < p.pts " +
+       "GROUP BY purchase_id"),
     "win_tumbling_hour" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
        "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events " +

@@ -44,6 +44,25 @@ class WindowQueriesSpec extends SparkSpecBase {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
   }
 
+  test("bucketed range join is an equi-join (no cartesian, no nested loop)") {
+    val df = WindowQueries.rangeJoinBucketed(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    // results match a brute-force inequality join
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), unix_micros(col("ts")).as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cts"))
+    val brute = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - 3600L * 1000000L && col("cts") < col("pts"))
+      .groupBy(col("pid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, s"bucketed=${got.size} brute=${brute.size}")
+  }
+
   test("tumbling windows partition the event stream exactly") {
     val df = WindowQueries.winTumblingHour(spark, sfDir)
     val total = df.agg(sum("n_events")).collect().head.getLong(0)
