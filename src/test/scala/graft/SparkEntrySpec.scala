@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry integrity: `Map ++` across packs silently overwrites on a
+  * name collision, which would shadow a query (and its oracle) without
+  * any error — pin the invariants the driver contract depends on. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("no query-name collisions across packs") {
+    val packs = Seq(
+      "relational" -> graft.queries.RelationalQueries.queries.keySet,
+      "text" -> graft.queries.TextQueries.queries.keySet,
+      "window" -> graft.queries.WindowQueries.queries.keySet,
+      "similarity" -> graft.queries.SimilarityQueries.queries.keySet,
+      "dedup" -> graft.queries.DedupQueries.queries.keySet,
+      "textanalysis" -> graft.queries.TextAnalysisQueries.queries.keySet,
+      "source" -> graft.queries.SourceQueries.queries.keySet,
+      "enrich" -> graft.queries.EnrichQueries.queries.keySet,
+      "multimodal" -> graft.queries.MultimodalQueries.queries.keySet,
+      "pipeline" -> graft.queries.PipelineQueries.queries.keySet,
+      "streaming" -> graft.queries.StreamingQueries.queries.keySet,
+      "sketch" -> graft.queries.SketchQueries.queries.keySet,
+      "scale" -> graft.queries.ScaleQueries.queries.keySet,
+      "olap" -> graft.queries.OlapQueries.queries.keySet,
+    )
+    val all = packs.flatMap { case (p, ks) => ks.map(_ -> p) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"colliding query names: ${dups.map { case (k, v) => s"$k in ${v.map(_._2)}" }}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key has a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
+  test("oracle coverage: only the hash-seeded operators are rows-only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set("ann_ivf_topk", "ann_lsh_neardup", "dedup_minhash_lsh",
+      "dedup_simhash", "ta_fingerprint_winnow")
+    assert(rowsOnly == expected,
+      s"rows-only drift: extra=${rowsOnly -- expected} missing=${expected -- rowsOnly}")
+  }
+}
