@@ -21,6 +21,10 @@ object Bench {
       // recompile storms mid-bench (jstack: threads blocked in
       // GeneratedClass.generate) that land on arbitrary queries
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // shuffle/spill scratch on the RAM-backed tmpfs: the bench host's
+      // /tmp is a virtio disk whose write stalls dominated run-to-run
+      // variance (see ScratchDirs)
+      .config("spark.local.dir", ScratchDirs.dir("spark_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-reader paths once so the first timed
@@ -42,6 +46,15 @@ object Bench {
         .withColumn("rn", row_number().over(
           Window.partitionBy("n_regionkey").orderBy("n_nationkey")))
         .orderBy(col("rn")).limit(5)
+        .write.format("noop").mode("overwrite").save()
+      // force CollationAwareUTF8String.<clinit>: Spark 4 builds its ICU
+      // case-mapping tables lazily on the first NON-ASCII case op,
+      // a 20-30 s one-time cost that otherwise lands on whichever
+      // measured query's data first trips it (jstack: one RUNNABLE
+      // thread in com.ibm.icu CaseMapImpl.toTitle for the whole stall,
+      // under CollationAwareUTF8String.<clinit>)
+      spark.range(1).select(
+          lower(lit("Étude")), upper(lit("ß")), initcap(lit("élan")))
         .write.format("noop").mode("overwrite").save()
     }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the run to named

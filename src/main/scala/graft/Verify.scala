@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // see Bench: avoid generated-class cache thrash across 84 queries
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.local.dir", ScratchDirs.dir("spark_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -70,7 +70,7 @@ object MultimodalQueries {
     * VERIFIABLE provenance claims are what the oracle checks). */
   def p1Provenance(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => fcount}
-    val out = s"/tmp/graft_provenance/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/orders_summary"
+    val out = graft.ScratchDirs.dir("provenance", dir.replaceAll("[^a-zA-Z0-9]", "_"), "orders_summary")
     val artifact = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(fcount(lit(1)).as("n_orders"))

@@ -25,7 +25,7 @@ object ScaleQueries {
     * fallback at this small SF. */
   def bucketedColocatedJoin(spark: SparkSession, dir: String): DataFrame = {
     val suffix = java.lang.Integer.toHexString(dir.hashCode)
-    val base = s"/tmp/graft_bucketed/$suffix"
+    val base = graft.ScratchDirs.dir("bucketed", suffix)
     val ordersT = s"orders_bkt_$suffix"
     val lineitemT = s"lineitem_bkt_$suffix"
     // repartition on the bucket key first: the write then runs one task

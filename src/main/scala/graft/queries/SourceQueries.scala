@@ -20,7 +20,7 @@ import graft.Tables
 object SourceQueries {
 
   private def tmp(dir: String, name: String): String =
-    s"/tmp/graft_sources/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+    graft.ScratchDirs.dir("sources", dir.replaceAll("[^a-zA-Z0-9]", "_"), name)
 
   /** S1+K1: TSV-with-header write (gzip) → schema'd TSV scan. */
   def s1TsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {

@@ -27,7 +27,7 @@ object StreamingQueries {
     // stage the events file into a drop-folder (the T1 file feed is a
     // DIRECTORY of arriving files — baseline + updatefiles)
     val feed = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events_feed")
+      graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "events_feed"))
     java.nio.file.Files.createDirectories(feed)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -64,7 +64,7 @@ object StreamingQueries {
     * advances. */
   def t2StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val feed = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events_feed")
+      graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "events_feed"))
     java.nio.file.Files.createDirectories(feed)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -90,7 +90,7 @@ object StreamingQueries {
     * timestamp decode needed on the hot path. */
   def t4StreamStateful(spark: SparkSession, dir: String): DataFrame = {
     val feed = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events_feed")
+      graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "events_feed"))
     java.nio.file.Files.createDirectories(feed)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -120,7 +120,7 @@ object StreamingQueries {
     val summary = ev.filter(to_date(col("ts")) === lit(day))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
-    val out = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/republish"
+    val out = graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "republish")
     StreamOps.republish(summary, out, day)
     StreamOps.republish(summary, out, day) // second publish must replace, not append
     spark.read.parquet(s"$out/date=$day")
