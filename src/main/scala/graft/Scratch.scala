@@ -13,9 +13,13 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { name =>
-      println(s"==== $name ====")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    args.foreach {
+      case "entry" =>
+        val n = SparkEntry.entry(spark).count()
+        println(s"==== entry rows=$n ====")
+      case name =>
+        println(s"==== $name ====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -17,6 +17,12 @@ object Verify {
       .config("spark.local.dir", ScratchDirs.dir("spark_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pre-init the ICU collation tables (see Bench warmup): the lazy
+    // 20-30 s CollationAwareUTF8String class init otherwise lands
+    // inside an arbitrary query's dump
+    spark.range(1).select(
+      org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.lit("Étude")))
+      .collect()
     new java.io.File(outDir).mkdirs()
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to named queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
