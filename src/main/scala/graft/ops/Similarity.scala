@@ -52,25 +52,29 @@ object Similarity {
     * vector labeled with its nearest centroid. Returns (df + `cluster`
     * column, centroids df (cluster, centroid)). Search probes only the
     * nprobe nearest clusters per query — the classic IVF trade of
-    * recall for a k/nprobe-fold candidate reduction. */
+    * recall for a k/nprobe-fold candidate reduction.
+    *
+    * Assignment is a PURE PROJECTION: each iteration collects the k
+    * (tiny: k × dim doubles) centroids to the driver — the standard
+    * k-means shape, a model parameter transfer, not a data collect —
+    * and reassigns via a literal argmax (`greatest` over
+    * (sim, -cluster) structs, identical tie-break to the former
+    * max_by). The previous form spent 3 shuffles per iteration
+    * (crossJoin-score, max_by agg, join-back); now only the centroid
+    * REDUCTION shuffles, which is unavoidable and tiny. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, k: Int,
                iters: Int): (DataFrame, DataFrame) = {
     var assigned = df.withColumn("cluster", col(idCol) % k)
-    var cents: DataFrame = null
     (0 until iters).foreach { _ =>
-      cents = centroids(assigned, "cluster", vecCol)
-      // nearest centroid via max_by over (sim desc, cluster asc) — the
-      // scored rows partial-aggregate map-side so the shuffle carries
-      // one (id, cluster) per vector, and the EMBEDDINGS are shuffled
-      // once in the join-back; the former row_number window shuffled
-      // the full embedding rows k times. Tie-break (-cluster) matches
-      // the window's (sim desc, cluster asc) exactly — deterministic.
-      val best = df.crossJoin(broadcast(cents.select(col("cluster").as("__c"), col("centroid"))))
-        .select(col(idCol), col("__c"),
-          cosine(col(vecCol), col("centroid")).as("__sim"))
-        .groupBy(col(idCol))
-        .agg(max_by(col("__c"), struct(col("__sim"), (-col("__c")).as("__nc"))).as("cluster"))
-      assigned = df.join(best, idCol)
+      val cents = centroids(assigned, "cluster", vecCol).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val scored = cents.map { case (c, v) =>
+        struct(cosine(col(vecCol), typedlit(v)).as("s"), lit(-c).as("nc"))
+      }
+      val top = if (scored.length == 1) scored.head
+                else greatest(scored.toIndexedSeq: _*)
+      assigned = df.withColumn("cluster", (-top.getField("nc")).cast("long"))
     }
     (assigned, centroids(assigned, "cluster", vecCol))
   }
