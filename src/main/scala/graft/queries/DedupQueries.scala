@@ -20,6 +20,33 @@ object DedupQueries {
   val SimhashMaxHamming = 6
   val MinhashSeed = 42L
 
+  /** Persisted 1-row-per-doc hashed-shingle table shared by the dedup
+    * pipelines (and BOTH sides of the recall query — one cache, not
+    * two identical ones).
+    *
+    * The short-doc filter MUST be the cheap token-count form, placed
+    * BEFORE the gram/hash projections: `filter(size(hs) > 0)` after
+    * them is equivalent, but predicate pushdown substitutes the alias
+    * chain into the predicate — the HOF lambdas then re-reference
+    * split(text) per ELEMENT (O(words²) per doc) in the single-task
+    * scan stage (jstack'd: one RUNNABLE thread in UTF8String.split for
+    * 60+ s). size(ws) >= n pushes down to a single cheap split call.
+    *
+    * The cache is materialized (count) BEFORE consumers fan out: the
+    * index table feeds several join branches, and under AQE those
+    * stages otherwise race to compute the same cached partitions
+    * concurrently (duplicated shingling work + block-lock contention). */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= ShingleN)
+      .select(col("doc_id"), wordGrams(col("ws"), ShingleN).as("sg"))
+      .select(col("doc_id"), shingleHashes(col("sg")).as("hs"))
+      .persist()
+    sh.count()
+    sh
+  }
+
   /** A1/exact dedup: sha256 content digest → canonical (min) doc_id +
     * group size. One hash-shuffle on the digest. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -40,29 +67,14 @@ object DedupQueries {
     * one array_intersect per pair. Hashing shingles to 64-bit keys cuts
     * shuffle volume ~3x; collision odds over the distinct-shingle
     * universe are ~2^-40 (and the oracle would catch one). */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramPairsFrom(shingleTable(spark, dir))
+
+  private def ngramPairsFrom(sh: DataFrame): DataFrame = {
     // sorted hash array = the canonical global order the prefix theorem
     // needs; materialized per projection step (see Dedup.wordGrams).
     // Dedup happens on the hashes, not the gram strings — string
     // array_distinct was the dominant cost of the whole query.
-    // the short-doc filter MUST be the cheap token-count form, placed
-    // BEFORE the gram/hash projections: `filter(size(hs) > 0)` after
-    // them is equivalent, but predicate pushdown substitutes the alias
-    // chain into the predicate — the HOF lambdas then re-reference
-    // split(text) per ELEMENT (O(words²) per doc) in the single-task
-    // scan stage (jstack'd: one RUNNABLE thread in UTF8String.split for
-    // 60+ s). size(ws) >= n pushes down to a single cheap split call.
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= ShingleN)
-      .select(col("doc_id"), wordGrams(col("ws"), ShingleN).as("sg"))
-      .select(col("doc_id"), shingleHashes(col("sg")).as("hs"))
-      .persist()
-    // materialize the cache BEFORE fanning out: the index table feeds
-    // several join branches, and under AQE those stages otherwise race
-    // to compute the same cached partitions concurrently (duplicated
-    // shingling work + block-lock contention).
-    sh.count()
     val withSz = sh.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
     val plen = (col("sz") - ceil(col("sz") * lit(JaccardThreshold)).cast("int")) + 1
     // posexplode keeps each prefix shingle's 1-based rank for the
@@ -101,7 +113,10 @@ object DedupQueries {
   /** MinHash+LSH: signature → bands → bucket equi-join → exact verify.
     * Rows-only for the driver (xxhash64 has no DuckDB twin); recall vs
     * the exact baseline asserted in DedupQueriesSpec. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(shingleTable(spark, dir))
+
+  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
     val rows = MinhashPerms / Bands
     // one base hash per (doc, shingle) row; the 32 "permutations" are
     // affine maps a*h+b (odd a, Long wrap) min-aggregated in a SINGLE
@@ -113,22 +128,6 @@ object DedupQueries {
     val rnd = new scala.util.Random(MinhashSeed)
     val coefs = Array.fill(MinhashPerms)(
       (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
-    // the shingle table feeds three branches (signatures + both verify
-    // joins) — persist the 1-row-per-doc HASHED form so the shingle
-    // transform runs once, not three times, and dedup/verify work on
-    // longs, not strings (same xxhash64 values as before: hash of the
-    // same gram strings, deduped after hashing)
-    // cheap-form short-doc filter BEFORE the gram projections — see the
-    // pushdown-substitution note in dedupNgramJaccard
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= ShingleN)
-      .select(col("doc_id"), wordGrams(col("ws"), ShingleN).as("sg"))
-      .select(col("doc_id"), shingleHashes(col("sg")).as("hs"))
-      .persist()
-    // materialize before the three consumers fan out (see the same note
-    // in dedupNgramJaccard)
-    sh.count()
     val ex = sh.select(col("doc_id"), explode(col("hs")).as("shash"))
       .withColumn("h", shiftrightunsigned(col("shash"), 33))
     val sigCols = coefs.zipWithIndex.map { case ((a, b), i) =>
@@ -184,9 +183,11 @@ object DedupQueries {
     * Hash-seeded operators can never hash-match an oracle directly;
     * their quality contract can (same pattern as the sketch pack). */
   def dedupMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = dedupNgramJaccard(spark, dir)
+    // ONE shared shingle cache feeds both the exact and the LSH side
+    val sh = shingleTable(spark, dir)
+    val exact = ngramPairsFrom(sh)
       .select(col("id_a"), col("id_b"), lit(1).as("t"))
-    val lsh = dedupMinhashLsh(spark, dir)
+    val lsh = minhashPairsFrom(sh)
       .select(col("id_a"), col("id_b"), lit(1).as("f"))
     exact.join(lsh, Seq("id_a", "id_b"), "full")
       .agg(sum(col("t")).as("n_true"), sum(col("t") * col("f")).as("hits"),
@@ -201,7 +202,7 @@ object DedupQueries {
     * ≥0.9 assertion with margin; SimHash admits false positives by
     * design, so precision is not asserted). */
   def dedupSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = dedupNgramJaccard(spark, dir)
+    val exact = ngramPairsFrom(shingleTable(spark, dir))
       .select(col("id_a"), col("id_b"), lit(1).as("t"))
     val sh = dedupSimhash(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("f"))
