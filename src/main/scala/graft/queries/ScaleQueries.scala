@@ -51,8 +51,31 @@ object ScaleQueries {
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** Two-phase SALTED aggregation (net-new): the standard defense when
+    * a groupBy key is heavily skewed — e.g. counting per event_type
+    * when one type dominates the stream. Phase 1 aggregates on
+    * (key, salt) so the hot key's partials spread over `Salts`
+    * reducers; phase 2 combines the per-salt partials on the now-tiny
+    * keyspace. Every aggregate here must be decomposable
+    * (count→sum, sum→sum, max→max); the result is bit-identical to the
+    * direct groupBy, which is exactly what the oracle checks. At this
+    * SF the direct plan is fine — the query pins the TECHNIQUE's
+    * correctness so the 100 TB form is a constant change. */
+  def saltedSkewAgg(spark: SparkSession, dir: String): DataFrame = {
+    val Salts = 16
+    val salted = Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(Salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"), max(col("value")).as("pmax"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("psum")), 6).as("sum_value"),
+        round(max(col("pmax")), 6).as("max_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_colocated_join" -> (bucketedColocatedJoin _),
+    "salted_skew_agg"         -> (saltedSkewAgg _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -61,5 +84,8 @@ object ScaleQueries {
        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "GROUP BY o_orderpriority"),
+    "salted_skew_agg" ->
+      ("SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value, " +
+       "round(max(value), 6) AS max_value FROM events GROUP BY event_type"),
   )
 }
