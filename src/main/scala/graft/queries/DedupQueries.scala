@@ -159,18 +159,33 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup candidates: 64-bit fingerprints, pairs within
-    * hamming <= 6. Fingerprinting is one codegen'd scan; the pair scan
-    * is cheap bit math (and at scale would be bucketed by fingerprint
-    * prefix chunks — pigeonhole: hamming<=6 over 8 chunks guarantees a
-    * matching chunk, same join shape as MinHash bands). */
+  /** SimHash near-dup pairs within hamming <= 6, via PIGEONHOLE
+    * bucketing (the scale shape, not a crossJoin): split each 64-bit
+    * fingerprint into 8 byte chunks — two prints within hamming 6 < 8
+    * differ in at most 6 chunks, so AT LEAST one chunk matches exactly
+    * (Charikar/Manku-style chunked simhash dedup). Equi-join on
+    * (chunk_idx, chunk_val) yields a guaranteed-complete candidate set
+    * at ~8x row fan-out; the exact hamming filter then verifies
+    * candidates only. Same results as the all-pairs form (the recall
+    * oracle and spec pin it), but the join shuffles on a uniformly
+    * distributed key instead of materializing N²/2 pairs. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.documents(spark, dir)
       .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
-    val a = s.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = s.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b)
+      .persist()
+    s.count() // materialize before the candidate and verify branches fan out
+    val chunkExprs = (0 until 8).map(i =>
+      shiftrightunsigned(col("sh"), i * 8).bitwiseAND(lit(0xFFL)))
+    val chunks = s.select(col("doc_id"),
+      posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val a = chunks.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(s.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(s.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= SimhashMaxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
