@@ -31,9 +31,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-JVM temp space (streaming checkpoints/WAL, spill temp files)
+// on the RAM-backed tmpfs when available: /tmp is a virtio disk whose
+// write stalls skew benchmark runs (see graft.ScratchDirs).
+val forkTmpDir: String = {
+  val shm = new java.io.File("/dev/shm")
+  val d = if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_tmp" else "/tmp"
+  new java.io.File(d).mkdirs(); d
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  s"-Djava.io.tmpdir=$forkTmpDir",
   // local[32] on the 128 GiB bench host: 8g heap makes the 77-query
   // bench session GC-bound by the time the later queries run (driver
   // round 1 measured d1_classify_aggregate 25 s aged vs 4 s fresh).
