@@ -19,12 +19,18 @@ import org.apache.spark.sql.types._
   * needs in the same pass.
   */
 object BitSimKernels {
+  // a word past a vector's end is an empty word (set semantics over the
+  // UNION of lengths) — truncating at min length would silently
+  // overstate similarity for mismatched-length fingerprints
+  @inline private def word(a: ArrayData, i: Int): Long =
+    if (i < a.numElements()) a.getLong(i) else 0L
+
   /** |A∧B| / |A∨B| (0 when both empty). */
   def tanimoto(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = math.max(a.numElements(), b.numElements())
     var inter = 0L; var union = 0L; var i = 0
     while (i < n) {
-      val x = a.getLong(i); val y = b.getLong(i)
+      val x = word(a, i); val y = word(b, i)
       inter += java.lang.Long.bitCount(x & y)
       union += java.lang.Long.bitCount(x | y)
       i += 1
@@ -35,10 +41,10 @@ object BitSimKernels {
   /** |A∧B| / (|A∧B| + α·|A∖B| + β·|B∖A|) — the reference's
     * substructure-biased similarity at α=.7, β=.3. */
   def tversky(a: ArrayData, b: ArrayData, alpha: Double, beta: Double): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = math.max(a.numElements(), b.numElements())
     var inter = 0L; var onlyA = 0L; var onlyB = 0L; var i = 0
     while (i < n) {
-      val x = a.getLong(i); val y = b.getLong(i)
+      val x = word(a, i); val y = word(b, i)
       inter += java.lang.Long.bitCount(x & y)
       onlyA += java.lang.Long.bitCount(x & ~y)
       onlyB += java.lang.Long.bitCount(y & ~x)
@@ -50,10 +56,10 @@ object BitSimKernels {
 
   /** 2·|A∧B| / (|A| + |B|). */
   def dice(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = math.max(a.numElements(), b.numElements())
     var inter = 0L; var pa = 0L; var pb = 0L; var i = 0
     while (i < n) {
-      val x = a.getLong(i); val y = b.getLong(i)
+      val x = word(a, i); val y = word(b, i)
       inter += java.lang.Long.bitCount(x & y)
       pa += java.lang.Long.bitCount(x)
       pb += java.lang.Long.bitCount(y)

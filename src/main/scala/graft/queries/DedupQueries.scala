@@ -204,9 +204,12 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), lit(1).as("t"))
     val lsh = minhashPairsFrom(sh)
       .select(col("id_a"), col("id_b"), lit(1).as("f"))
+    // coalesce(...,0): a global agg over an empty (dup-free) corpus
+    // yields NULL sums, and the oracle expects (0, TRUE, TRUE)
     exact.join(lsh, Seq("id_a", "id_b"), "full")
-      .agg(sum(col("t")).as("n_true"), sum(col("t") * col("f")).as("hits"),
-        sum(when(col("t").isNull, 1).otherwise(0)).as("extras"))
+      .agg(coalesce(sum(col("t")), lit(0)).as("n_true"),
+        coalesce(sum(col("t") * col("f")), lit(0)).as("hits"),
+        coalesce(sum(when(col("t").isNull, 1).otherwise(0)), lit(0)).as("extras"))
       .select(col("n_true").cast("long").as("n_true_pairs"),
         (col("hits") >= col("n_true") * 0.9).as("recall_ok"),
         (col("extras") === 0).as("precision_ok"))
@@ -222,7 +225,8 @@ object DedupQueries {
     val sh = dedupSimhash(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("f"))
     exact.join(sh, Seq("id_a", "id_b"), "left")
-      .agg(sum(col("t")).as("n_true"), sum(col("t") * col("f")).as("hits"))
+      .agg(coalesce(sum(col("t")), lit(0)).as("n_true"),
+        coalesce(sum(col("t") * col("f")), lit(0)).as("hits"))
       .select(col("n_true").cast("long").as("n_true_pairs"),
         (col("hits") >= col("n_true") * 0.8).as("recall_ok"))
   }

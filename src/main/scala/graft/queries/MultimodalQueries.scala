@@ -48,7 +48,11 @@ object MultimodalQueries {
     * stubbed (the real kernel would decode→scale→re-encode through the
     * same batched-binary plumbing as [[mmDecodeFeatures]]). Pure
     * codegen'd substr/length on the binary column; scalar outputs so
-    * the driver can hash-compare. */
+    * the driver can hash-compare. NOTE: the oracle recomputes these
+    * BYTE quantities with VARCHAR functions, which agree only because
+    * the harness corpus is ASCII (same standing assumption as
+    * mm_frame_sample — a non-ASCII corpus needs a byte-exact oracle
+    * via octet_length/BLOB substr). */
   def mmResize(spark: SparkSession, dir: String): DataFrame = {
     val media = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

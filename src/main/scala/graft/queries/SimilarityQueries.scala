@@ -222,9 +222,11 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"), lit(1).as("t"))
     val lsh = annLshNearDup(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("f"))
+    // coalesce(...,0): empty exact set must yield (0, TRUE, TRUE), not NULLs
     exact.join(lsh, Seq("id_a", "id_b"), "full")
-      .agg(sum(col("t")).as("n_true"), sum(col("t") * col("f")).as("hits"),
-        sum(when(col("t").isNull, 1).otherwise(0)).as("extras"))
+      .agg(coalesce(sum(col("t")), lit(0)).as("n_true"),
+        coalesce(sum(col("t") * col("f")), lit(0)).as("hits"),
+        coalesce(sum(when(col("t").isNull, 1).otherwise(0)), lit(0)).as("extras"))
       .select(col("n_true").cast("long").as("n_true_pairs"),
         (col("hits") >= col("n_true") * 0.5).as("recall_ok"),
         (col("extras") === 0).as("precision_ok"))
@@ -239,8 +241,9 @@ object SimilarityQueries {
     val ivf = annIvfTopk(spark, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("f"))
     exact.join(ivf, Seq("query_id", "neighbor_id"), "full")
-      .agg(sum(col("t")).as("n_true"), sum(col("t") * col("f")).as("hits"),
-        sum(col("f")).as("n_ivf"))
+      .agg(coalesce(sum(col("t")), lit(0)).as("n_true"),
+        coalesce(sum(col("t") * col("f")), lit(0)).as("hits"),
+        coalesce(sum(col("f")), lit(0)).as("n_ivf"))
       .select(col("n_true").cast("long").as("n_true_neighbors"),
         (col("hits") >= col("n_true") * 0.3).as("recall_ok"),
         (col("n_ivf") === col("n_true")).as("k_ok"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -51,18 +51,31 @@ object SketchQueries {
         approx_count_distinct(col("user_id"), Rsd).as("approx_users"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(QuantileAcc))
           .as("ps"))
-    val ex = ev.groupBy(col("event_type"))
+      .select(col("event_type"), col("approx_users"),
+        element_at(col("ps"), 1).as("p50s"), element_at(col("ps"), 2).as("p95s"))
+    // the quantile check is RANK-based — the sketch's actual guarantee
+    // (a returned element's rank is within ±ε·n of the target rank,
+    // here with 10x margin): count values <=/< the sketch's answer and
+    // bound those counts. Valid for any group size, unlike comparing
+    // against interpolated exact percentiles (which sit strictly above
+    // the low data value in tiny groups).
+    def rankOk(p: Double, le: Column, lt: Column, n: Column): Column =
+      (le >= floor(lit(p - QuantileMargin) * n)) &&
+        (lt <= ceil(lit(p + QuantileMargin) * n))
+    ev.join(broadcast(sk), "event_type")
+      .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"),
-        expr(s"percentile(value, array(${0.5 - QuantileMargin}, ${0.5 + QuantileMargin}, " +
-          s"${0.95 - QuantileMargin}, ${0.95 + QuantileMargin}))").as("bounds"))
-    sk.join(ex, "event_type")
+        count(lit(1)).as("n"),
+        first(col("approx_users")).as("approx_users"),
+        sum(when(col("value") <= col("p50s"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p50s"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p95s"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("value") < col("p95s"), 1L).otherwise(0L)).as("lt95"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * (3 * Rsd)).as("approx_users_ok"),
-        element_at(col("ps"), 1).between(
-          element_at(col("bounds"), 1), element_at(col("bounds"), 2)).as("p50_ok"),
-        element_at(col("ps"), 2).between(
-          element_at(col("bounds"), 3), element_at(col("bounds"), 4)).as("p95_ok"))
+        rankOk(0.5, col("le50"), col("lt50"), col("n")).as("p50_ok"),
+        rankOk(0.95, col("le95"), col("lt95"), col("n")).as("p95_ok"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

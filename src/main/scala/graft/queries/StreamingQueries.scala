@@ -23,9 +23,12 @@ import graft.streaming.StreamOps
   */
 object StreamingQueries {
 
-  def t1StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    // stage the events file into a drop-folder (the T1 file feed is a
-    // DIRECTORY of arriving files — baseline + updatefiles)
+  /** Stage `events.parquet` into a drop-folder (the T1 file feed is a
+    * DIRECTORY of arriving files — baseline + updatefiles) and open it
+    * as a streaming source with the batch loader's raw long-nano
+    * schema. `decodeTs` adds the µs timestamp column the event-time
+    * operators need; the stateful op keeps raw nanos instead. */
+  private def stagedEventFeed(spark: SparkSession, dir: String): DataFrame = {
     val feed = java.nio.file.Paths.get(
       graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "events_feed"))
     java.nio.file.Files.createDirectories(feed)
@@ -33,12 +36,16 @@ object StreamingQueries {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       feed.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // schema via the batch loader's source (ts arrives as long nanos;
-    // same legacy-nanos conf the batch path uses)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
+  }
+
+  private def decodeTs(stream: DataFrame): DataFrame =
+    stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def t1StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val stream = decodeTs(stagedEventFeed(spark, dir))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -63,17 +70,7 @@ object StreamingQueries {
     * per key inside the watermark horizon, evicted as event time
     * advances. */
   def t2StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val feed = java.nio.file.Paths.get(
-      graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "events_feed"))
-    java.nio.file.Files.createDirectories(feed)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      feed.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = decodeTs(stagedEventFeed(spark, dir))
     val deduped = StreamOps.dedupByKeys(stream, Seq("user_id", "event_type"), "ts", "24 hours")
       .select(col("user_id"), col("event_type"))
     val qname = "t2_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
@@ -89,16 +86,7 @@ object StreamingQueries {
     * carries RAW long-nano timestamps — state logic compares longs, no
     * timestamp decode needed on the hot path. */
   def t4StreamStateful(spark: SparkSession, dir: String): DataFrame = {
-    val feed = java.nio.file.Paths.get(
-      graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "events_feed"))
-    java.nio.file.Files.createDirectories(feed)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      feed.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
+    val stream = stagedEventFeed(spark, dir)
     val agg = StreamOps.statefulUserAgg(spark, stream.toDF())
       .select(col("user_id"), col("n_events"),
         col("last_event_id"), col("last_type"))

@@ -127,10 +127,14 @@ object TextAnalysisQueries {
       .join(fp.select(col("doc_id").as("id_b"), col("fingerprint").as("fp_b")), "id_b")
       .select(size(array_intersect(col("fp_a"), col("fp_b"))).cast("double").as("inter"),
         least(size(col("fp_a")), size(col("fp_b"))).cast("double").as("minsz"))
+    // the inner join restricts to pairs where BOTH docs carry a
+    // fingerprint (winnowing needs >= 8 words) — the oracle applies the
+    // same restriction; coalesce makes the empty-corpus row (0, TRUE)
+    // instead of NULLs
     joined.agg(count(lit(1)).as("n_pairs"),
         avg(col("inter") / col("minsz")).as("mean_overlap"))
       .select(col("n_pairs").cast("long").as("n_pairs"),
-        (col("mean_overlap") >= 0.5).as("overlap_ok"))
+        coalesce(col("mean_overlap") >= 0.5, lit(true)).as("overlap_ok"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -169,12 +173,14 @@ object TextAnalysisQueries {
     // fingerprint quality oracle-enforced via ta_winnow_overlap.
     "ta_winnow_overlap" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
-       "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
+       "sh AS (SELECT doc_id, len(ws) AS nw, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
        "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
        "ELSE [] END AS sg FROM t) " +
        "SELECT count(*)::BIGINT AS n_pairs, TRUE AS overlap_ok FROM (" +
+       // both docs must be fingerprintable (>= 8 words) — mirrors the
+       // Spark side's inner join against winnowFingerprints
        "SELECT a.doc_id, b.doc_id, " +
        "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
-       "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
+       "FROM sh a, sh b WHERE a.doc_id < b.doc_id AND a.nw >= 8 AND b.nw >= 8) WHERE j >= 0.7"),
   )
 }

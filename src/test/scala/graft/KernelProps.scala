@@ -65,6 +65,18 @@ object KernelProps extends Properties("kernels") {
   private def bitSet(a: Array[Long]): Set[Int] =
     (0 until 256).filter(i => (a(i / 64) >> (i % 64) & 1L) == 1L).toSet
 
+  property("bit kernels use union-of-lengths semantics (trailing words = empty)") =
+    forAll(bitvecGen) { a =>
+      val short = a.take(2)
+      val padded = short ++ Array(0L, 0L)
+      val t1 = expr.BitSimKernels.tanimoto(ad(a), ad(short))
+      val t2 = expr.BitSimKernels.tanimoto(ad(a), ad(padded))
+      // regression: min-length truncation made tanimoto([-1,-1],[-1]) = 1.0
+      val trunc = expr.BitSimKernels.tanimoto(
+        ad(Array(-1L, -1L)), ad(Array(-1L)))
+      t1 == t2 && math.abs(trunc - 0.5) < 1e-12
+    }
+
   property("bit tanimoto == set-model jaccard") = forAll(bitvecGen, bitvecGen) { (a, b) =>
     val (sa, sb) = (bitSet(a), bitSet(b))
     val expect = if ((sa ++ sb).isEmpty) 0.0
