@@ -84,7 +84,33 @@ object OlapQueries {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
 
+  /** Exact continuous percentiles per group (the EXACT counterpart of
+    * the sketch pack's approximate quantiles; both engines define
+    * percentile/quantile_cont as linear rank interpolation). Exact
+    * percentile is a sort-based aggregate — fine per group here, and
+    * the 100 TB path swaps in percentile_approx's mergeable sketch. */
+  def aggExactPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  /** Statistical moments + bivariate stats per group: stddev/variance
+    * (sample), covariance and Pearson correlation of value vs user_id —
+    * all single-pass mergeable aggregates with identical definitions
+    * across engines. */
+  def aggStatsMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(round(stddev_samp(col("value")), 6).as("sd_value"),
+        round(var_samp(col("value")), 6).as("var_value"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("covar_vu"),
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_vu"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_exact_percentiles" -> (aggExactPercentiles _),
+    "agg_stats_moments"   -> (aggStatsMoments _),
     "olap_rollup_orders"  -> (olapRollupOrders _),
     "olap_cube_lineitem"  -> (olapCubeLineitem _),
     "olap_pivot_status"   -> (olapPivotStatus _),
@@ -93,6 +119,15 @@ object OlapQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_exact_percentiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+       "round(quantile_cont(value, 0.9), 6) AS p90, " +
+       "round(quantile_cont(value, 0.99), 6) AS p99 FROM events GROUP BY event_type"),
+    "agg_stats_moments" ->
+      ("SELECT event_type, round(stddev_samp(value), 6) AS sd_value, " +
+       "round(var_samp(value), 6) AS var_value, " +
+       "round(covar_samp(value, user_id), 6) AS covar_vu, " +
+       "round(corr(value, user_id), 6) AS corr_vu FROM events GROUP BY event_type"),
     "olap_rollup_orders" ->
       ("SELECT coalesce(o_orderpriority, 'ALL') AS priority, " +
        "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n_orders, " +
