@@ -179,7 +179,21 @@ object WindowQueries {
       .agg(count(lit(1)).as("n_clicks"), max(col("cts")).as("last_click_us"))
   }
 
+  /** Distribution ranking functions (net-new; completes the window
+    * family): quartile bucket, percent_rank, cume_dist per user over
+    * event time — all computed in the ONE per-user sort the other
+    * per-user windows already pay. */
+  def winDistributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distribution_ranks" -> (winDistributionRanks _),
     "win_rank_top3"      -> (winRankTop3 _),
     "win_lag_delta"      -> (winLagDelta _),
     "win_moving_avg"     -> (winMovingAvg _),
@@ -211,6 +225,12 @@ object WindowQueries {
        "c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') " +
        "SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, c.ts AS asof_click_ts " +
        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts"),
+    "win_distribution_ranks" ->
+      ("SELECT user_id, event_id, " +
+       "ntile(4) OVER w AS quartile, " +
+       "round(percent_rank() OVER w, 6) AS pct_rank, " +
+       "round(cume_dist() OVER w, 6) AS cume " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)"),
     "range_join_bucketed" ->
       ("WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pts " +
        "FROM events WHERE event_type = 'purchase'), " +
