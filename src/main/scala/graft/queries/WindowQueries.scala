@@ -192,8 +192,21 @@ object WindowQueries {
         round(cume_dist().over(w), 6).as("cume"))
   }
 
+  /** Custom physical operator (extension ladder rung (c), see
+    * graft.plans.TopKPerKey): top-3 events by value per user as WHOLE
+    * ROWS with O(keys·k) state — same semantics as the
+    * `row_number() <= 3` window (the oracle), without the full
+    * per-group sort. Spec asserts TopKPerKeyExec in the plan. */
+  def topkCustomOp(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKeyOp(
+      Tables.events(spark, dir).select(col("user_id"), col("event_id"), col("value")),
+      keys = Seq(col("user_id")),
+      order = Seq(col("value").desc, col("event_id").asc),
+      k = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_distribution_ranks" -> (winDistributionRanks _),
+    "topk_custom_op"     -> (topkCustomOp _),
     "win_rank_top3"      -> (winRankTop3 _),
     "win_lag_delta"      -> (winLagDelta _),
     "win_moving_avg"     -> (winMovingAvg _),
@@ -225,6 +238,11 @@ object WindowQueries {
        "c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click') " +
        "SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts, c.ts AS asof_click_ts " +
        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts"),
+    "topk_custom_op" ->
+      ("SELECT user_id, event_id, value FROM (" +
+       "SELECT user_id, event_id, value, row_number() OVER " +
+       "(PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn " +
+       "FROM events) WHERE rn <= 3"),
     "win_distribution_ranks" ->
       ("SELECT user_id, event_id, " +
        "ntile(4) OVER w AS quartile, " +

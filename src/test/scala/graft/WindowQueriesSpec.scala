@@ -63,6 +63,22 @@ class WindowQueriesSpec extends SparkSpecBase {
     assert(got == brute, s"bucketed=${got.size} brute=${brute.size}")
   }
 
+  test("custom top-k operator plans to TopKPerKeyExec over one exchange") {
+    val df = WindowQueries.topkCustomOp(spark, sfDir)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKey"), plan) // exec node prints without the Exec suffix
+    // EnsureRequirements supplies exactly the clustered-by-key exchange
+    assert("""Exchange hashpartitioning\(user_id""".r.findFirstIn(plan).isDefined, plan)
+    // no full sort anywhere: bounded heaps replace the window's sort
+    assert(!plan.contains("Sort "), plan)
+    // per-group cardinality: never more than k rows per user
+    import org.apache.spark.sql.functions.{col, count, max}
+    val worst = df.groupBy(col("user_id")).agg(count(col("event_id")).as("n"))
+      .agg(max(col("n"))).collect().head.getLong(0)
+    assert(worst <= 3)
+  }
+
   test("tumbling windows partition the event stream exactly") {
     val df = WindowQueries.winTumblingHour(spark, sfDir)
     val total = df.agg(sum("n_events")).collect().head.getLong(0)
