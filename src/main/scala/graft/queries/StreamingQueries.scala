@@ -97,6 +97,37 @@ object StreamingQueries {
     spark.table(qname)
   }
 
+  /** Stream-stream interval join (north-star Structured Streaming
+    * surface): clicks joined to same-user purchases that land within
+    * 30 minutes, both sides watermarked so the join state is bounded —
+    * Spark buffers each side only until the watermark passes the
+    * interval's upper bound, then evicts (without the time bound the
+    * state would grow with the full history at 100 TB/day). Inner join
+    * in append mode drains exactly once per matched pair. Both inputs
+    * are branches of the SAME file-feed source — the planner scans the
+    * feed once per microbatch and the self-join is two stateful sides.
+    */
+  def t5StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stream = decodeTs(stagedEventFeed(spark, dir))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        expr("c_user = p_user AND purchase_ts >= click_ts AND " +
+             "purchase_ts <= click_ts + interval 30 minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+    val qname = "t5_stream_stream_join_" + java.lang.Integer.toHexString(dir.hashCode)
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   /** T3: idempotent re-publish — the busiest day's summary is written
     * to its dated partition TWICE (wipe + rewrite, finalize_realease
     * .py:105-113); the read-back proves replace-not-duplicate. The
@@ -119,6 +150,7 @@ object StreamingQueries {
     "t2_stream_dedup"    -> (t2StreamDedup _),
     "t3_republish"       -> (t3Republish _),
     "t4_stream_stateful" -> (t4StreamStateful _),
+    "t5_stream_stream_join" -> (t5StreamStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -138,5 +170,10 @@ object StreamingQueries {
        "FROM events), counts AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) " +
        "SELECT c.user_id, c.n_events, r.event_id AS last_event_id, r.event_type AS last_type " +
        "FROM counts c JOIN ranked r ON c.user_id = r.user_id AND r.rn = 1"),
+    "t5_stream_stream_join" ->
+      ("SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id " +
+       "FROM events c JOIN events p ON c.user_id = p.user_id " +
+       "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+       "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
   )
 }
