@@ -46,6 +46,14 @@ object Functions {
     "multi_contains_any"  -> (e => MultiContainsAny(e.head, e.tail.map(str))),
     "topk_mean"           -> (e => TopKMean(e(0), int(e(1)))),
     "topk_pairs"          -> (e => TopKPairs(e(0), e(1), int(e(2)))),
+    // Spark's internal runtime-filter bloom pair, surfaced as SQL
+    // functions: build a bloom over the dim keys (one aggregate), probe
+    // it scan-side on the fact (scalar-subquery broadcast) — the J2
+    // semi-join scale path when the key set outgrows a literal IN list.
+    "bloom_filter_agg" -> (e =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(e(0), e(1), e(2))),
+    "bloom_might_contain" -> (e =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1))),
   )
 
   /** Register all functions into an existing session (temp functions,

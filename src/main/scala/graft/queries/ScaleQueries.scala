@@ -73,9 +73,43 @@ object ScaleQueries {
         round(max(col("pmax")), 6).as("max_value"))
   }
 
+  /** Bloom-pruned semi-join (net-new): the J2 semi-join scale path when
+    * the dimension key set is too large to inline as literals and the
+    * planner won't broadcast it. A Bloom filter over the dim keys is
+    * built with ONE aggregate (Spark's own runtime-filter bloom,
+    * surfaced as `bloom_filter_agg`), ships to every fact task as a
+    * scalar subquery, and prunes the fact SCAN-side before the shuffle
+    * — at 100 TB this drops the shuffled volume to the semi-join's
+    * selectivity. Bloom false positives are removed by the exact
+    * semi-join on the survivors, so the result is bit-identical to the
+    * plain semi-join the oracle runs. (Spark's AQE injects this rewrite
+    * itself when stats justify it; the explicit form pins the
+    * technique and works on any plan.) */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.Functions.register(spark) // session-scoped, idempotent
+    val sfx = java.lang.Integer.toHexString(dir.hashCode)
+    Tables.lineitem(spark, dir).createOrReplaceTempView(s"lineitem_bloom_$sfx")
+    Tables.orders(spark, dir).createOrReplaceTempView(s"orders_bloom_$sfx")
+    spark.sql(s"""
+      WITH pruned AS (
+        SELECT l_orderkey, l_returnflag, l_extendedprice
+        FROM lineitem_bloom_$sfx
+        WHERE bloom_might_contain(
+          (SELECT bloom_filter_agg(xxhash64(o_orderkey), 150000L, 1200000L)
+           FROM orders_bloom_$sfx WHERE o_orderstatus = 'F'),
+          xxhash64(l_orderkey)))
+      SELECT l_returnflag, count(*) AS n_items,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM pruned
+      WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders_bloom_$sfx WHERE o_orderstatus = 'F')
+      GROUP BY l_returnflag""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_colocated_join" -> (bucketedColocatedJoin _),
     "salted_skew_agg"         -> (saltedSkewAgg _),
+    "bloom_semi_join"         -> (bloomSemiJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -87,5 +121,10 @@ object ScaleQueries {
     "salted_skew_agg" ->
       ("SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value, " +
        "round(max(value), 6) AS max_value FROM events GROUP BY event_type"),
+    "bloom_semi_join" ->
+      ("SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price " +
+       "FROM lineitem WHERE l_orderkey IN " +
+       "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') " +
+       "GROUP BY l_returnflag"),
   )
 }

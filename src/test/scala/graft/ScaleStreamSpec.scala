@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{ScaleQueries, StreamingQueries}
+
+/** Bloom-pruned semi-join + stream-stream interval join: value parity
+  * with the un-pruned / batch forms, and the plan shape that makes the
+  * bloom variant a scale win (the probe sits fact-side, before the
+  * shuffle). */
+class ScaleStreamSpec extends SparkSpecBase {
+
+  test("bloom_semi_join equals the exact semi-join and probes fact-side") {
+    val df = ScaleQueries.bloomSemiJoin(spark, sfDir)
+    // the bloom probe must appear in the plan (scan-side pruning), built
+    // from ONE dim-side aggregate shipped as a scalar subquery
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    val exact = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    assert(df.exceptAll(exact).isEmpty && exact.exceptAll(df).isEmpty,
+      "bloom-pruned result diverges from exact semi-join")
+  }
+
+  test("t5 stream-stream join reaches batch interval-join parity") {
+    val streamed = StreamingQueries.t5StreamStreamJoin(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val batch = c.join(p, expr(
+        "cu = pu AND pts >= cts AND pts <= cts + interval 30 minutes"))
+      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"))
+    assert(streamed.count() > 0, "stream-stream join produced no pairs")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed pairs diverge from batch interval join")
+  }
+}
