@@ -106,10 +106,62 @@ object ScaleQueries {
       GROUP BY l_returnflag""")
   }
 
+  /** CDC MERGE/upsert (net-new): the incremental-maintenance operator
+    * every periodically-refreshed 100 TB table needs — apply a change
+    * set (inserts + updates + deletes) to a snapshot in ONE pass: full
+    * outer join on the key, delete rows dropped, change rows taking the
+    * new values, untouched rows passing through. One shuffle on the
+    * merge key; at scale pair it with partition-overwrite of only the
+    * touched partitions (the T3 pattern) so the rewrite cost tracks the
+    * delta, not the snapshot. The change set here is derived
+    * deterministically from the snapshot itself so the oracle can
+    * reproduce it: key%13→delete, else key%7→update, key%11→insert
+    * under a shifted key. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val upd = snap.filter(col("o_orderkey") % 13 === 0 || col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        round(col("o_totalprice") + 100, 2).as("new_price"))
+    val ins = snap.filter(col("o_orderkey") % 11 === 0)
+      // floor-truncate, not round: halving can land exactly on .xx5
+      // doubles where Spark's and DuckDB's round() disagree; floor of
+      // the same IEEE double is identical everywhere
+      .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("op"),
+        (floor(col("o_totalprice") * 0.5 * 100) / 100).as("new_price"))
+    snap.join(upd.unionByName(ins), col("o_orderkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(coalesce(col("k"), col("o_orderkey")).as("o_orderkey"),
+        when(col("op").isin("U", "I"), col("new_price"))
+          .otherwise(round(col("o_totalprice"), 2)).as("totalprice"),
+        coalesce(col("op"), lit("K")).as("src"))
+  }
+
+  /** Date-partitioned sink + partition-pruned scan (net-new): the
+    * standard 100 TB layout — facts land partitioned by event date, and
+    * a date-ranged read touches only the matching partition dirs (the
+    * spec asserts non-empty PartitionFilters on the scan, i.e. pruning
+    * happens at planning, before any file IO). The reference's dated
+    * release dirs (P2) are this layout's publication edge. */
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.ScratchDirs.dir("partitioned",
+      java.lang.Integer.toHexString(dir.hashCode))
+    val ev = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val maxDay = ev.agg(max(col("event_date"))).collect()(0).getDate(0)
+    val lo = java.sql.Date.valueOf(maxDay.toLocalDate.minusDays(2))
+    spark.read.parquet(out)
+      .filter(col("event_date") >= lit(lo))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_colocated_join" -> (bucketedColocatedJoin _),
     "salted_skew_agg"         -> (saltedSkewAgg _),
     "bloom_semi_join"         -> (bloomSemiJoin _),
+    "merge_upsert"            -> (mergeUpsert _),
+    "k_partitioned_prune"     -> (partitionedPrune _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -126,5 +178,23 @@ object ScaleQueries {
        "FROM lineitem WHERE l_orderkey IN " +
        "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') " +
        "GROUP BY l_returnflag"),
+    "merge_upsert" ->
+      ("WITH changes AS (" +
+       "SELECT o_orderkey AS k, CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op, " +
+       "round(o_totalprice + 100, 2) AS new_price FROM orders " +
+       "WHERE o_orderkey % 13 = 0 OR o_orderkey % 7 = 0 " +
+       "UNION ALL " +
+       "SELECT o_orderkey + 10000000, 'I', floor(o_totalprice * 0.5 * 100) / 100 FROM orders " +
+       "WHERE o_orderkey % 11 = 0) " +
+       "SELECT coalesce(c.k, s.o_orderkey) AS o_orderkey, " +
+       "CASE WHEN c.op IN ('U','I') THEN c.new_price ELSE round(s.o_totalprice, 2) END AS totalprice, " +
+       "coalesce(c.op, 'K') AS src " +
+       "FROM orders s FULL OUTER JOIN changes c ON s.o_orderkey = c.k " +
+       "WHERE coalesce(c.op, '') <> 'D'"),
+    "k_partitioned_prune" ->
+      ("SELECT ts::DATE AS event_date, event_type, count(*) AS n_events, " +
+       "round(sum(value), 6) AS sum_value FROM events " +
+       "WHERE ts::DATE >= (SELECT max(ts::DATE) - INTERVAL 2 DAY FROM events) " +
+       "GROUP BY event_date, event_type"),
   )
 }

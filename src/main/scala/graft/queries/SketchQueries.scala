@@ -78,8 +78,39 @@ object SketchQueries {
         rankOk(0.95, col("le95"), col("lt95"), col("n")).as("p95_ok"))
   }
 
+  /** Count–min-sketch heavy hitters (net-new): frequency estimation
+    * with O(w·d) state regardless of input size — THE streaming
+    * frequent-items sketch when exact per-key counts would be a
+    * full-size shuffle. Built with Spark's native `count_min_sketch`
+    * partial aggregate (sketches merge map-side; one ~w·d array per
+    * partition crosses the wire), then each group key is probed against
+    * the merged sketch. CMS guarantees est ≥ true and, with probability
+    * ≥ confidence, est ≤ true + ε·N — emitted as a boolean contract the
+    * oracle expects TRUE (fixed seed ⇒ deterministic). The one-row
+    * sketch collect is the probe side, not data movement; the exact
+    * counts stay a distributed aggregate. */
+  def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val Eps = 0.0001; val Conf = 0.99; val Seed = 42
+    val ev = Tables.events(spark, dir)
+    val skBytes = ev.agg(
+        expr(s"count_min_sketch(event_type, ${Eps}d, ${Conf}d, $Seed)").as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+    val keys = exact.select(col("event_type")).collect().map(_.getString(0)).toSeq
+    import spark.implicits._
+    val est = keys.map(k => (k, cms.estimateCount(k))).toDF("event_type", "est_n")
+    exact.join(broadcast(est), "event_type")
+      .withColumn("n_total", sum(col("exact_n")).over())
+      .select(col("event_type"), col("exact_n"),
+        (col("est_n") >= col("exact_n") &&
+          col("est_n") <= col("exact_n") + ceil(col("n_total") * Eps)).as("cms_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cardinality_quantiles" -> (sketchCardinalityQuantiles _),
+    "sketch_heavy_hitters"         -> (sketchHeavyHitters _),
   )
 
   /** The oracle checks the exact count and expects every bound
@@ -89,6 +120,9 @@ object SketchQueries {
     "sketch_cardinality_quantiles" ->
       ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
        "TRUE AS approx_users_ok, TRUE AS p50_ok, TRUE AS p95_ok " +
+       "FROM events GROUP BY event_type"),
+    "sketch_heavy_hitters" ->
+      ("SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok " +
        "FROM events GROUP BY event_type"),
   )
 }

@@ -25,6 +25,18 @@ class ScaleStreamSpec extends SparkSpecBase {
       "bloom-pruned result diverges from exact semi-join")
   }
 
+  test("k_partitioned_prune prunes partitions at planning time") {
+    val df = ScaleQueries.partitionedPrune(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1").nonEmpty,
+      s"scan has no partition filters:\n$scan")
+    // the date filter must NOT appear as a post-scan data filter —
+    // pruning happens before IO, not per-row
+    assert(!scan.contains("PushedFilters: [IsNotNull(event_date)"),
+      "event_date leaked into data filters instead of partition pruning")
+  }
+
   test("t5 stream-stream join reaches batch interval-join parity") {
     val streamed = StreamingQueries.t5StreamStreamJoin(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
