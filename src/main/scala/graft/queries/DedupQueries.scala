@@ -231,6 +231,46 @@ object DedupQueries {
         (col("hits") >= col("n_true") * 0.8).as("recall_ok"))
   }
 
+  /** Connected components over the near-dup pair graph (net-new): the
+    * step a real training-data dedup pipeline runs AFTER pair
+    * generation — transitively close the pairs so each near-dup
+    * CLUSTER keeps one canonical doc (pairs alone would keep both ends
+    * of an a–b–c chain). Iterative min-label propagation: each round,
+    * every node takes the min component id among itself and its
+    * neighbors; converges in O(component diameter) rounds — near-dup
+    * chains are short, so a handful of distributed joins, each
+    * shuffling only the (tiny) edge set. The driver-side loop tests a
+    * zero-count convergence predicate, not data. Oracle: DuckDB
+    * recursive-CTE transitive closure over the identical pair query. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ngramPairsFrom(shingleTable(spark, dir))
+      .select(col("id_a"), col("id_b"))
+    val sym = edges.union(edges.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").persist()
+    sym.count()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).persist()
+    labels.count()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 20) {
+      val viaNeighbors = sym.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("comp"))
+      val next = labels.select(col("node"), col("comp")).union(viaNeighbors)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp")).persist()
+      next.count()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    val out = labels.groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+    sym.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),
     "dedup_ngram_jaccard"  -> (dedupNgramJaccard _),
@@ -238,6 +278,7 @@ object DedupQueries {
     "dedup_simhash"        -> (dedupSimhash _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_simhash_recall" -> (dedupSimhashRecall _),
+    "dedup_components"     -> (dedupComponents _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -274,5 +315,19 @@ object DedupQueries {
        "SELECT a.doc_id, b.doc_id, " +
        "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
        "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
+    "dedup_components" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
+       "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
+       "ELSE [] END AS sg FROM t), " +
+       "pairs AS (SELECT id_a, id_b FROM (" +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
+       "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7), " +
+       "edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+       "reach AS (SELECT s AS node, d AS r FROM edges " +
+       "UNION SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s), " +
+       "comp AS (SELECT node, least(node, min(r)) AS comp_id FROM reach GROUP BY node) " +
+       "SELECT comp_id, count(*) AS n_docs, max(node) AS max_doc FROM comp GROUP BY comp_id"),
   )
 }

@@ -108,7 +108,25 @@ object OlapQueries {
         round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("covar_vu"),
         round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_vu"))
 
+  /** Unpivot/melt (net-new, the inverse of `olap_pivot_status`): three
+    * per-row measures rotated into (measure, val) long form — the shape
+    * feature pipelines want before a per-measure groupBy. `Dataset
+    * .unpivot` plans as a single Expand (3 output rows per input, no
+    * shuffle, no join); the aggregation on top shuffles the tiny
+    * (measure,) keyspace only. */
+  def olapUnpivotMelt(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("val")), 2).as("sum_val"),
+        round(min(col("val")), 2).as("min_val"), round(max(col("val")), 2).as("max_val"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_unpivot_melt"     -> (olapUnpivotMelt _),
     "agg_exact_percentiles" -> (aggExactPercentiles _),
     "agg_stats_moments"   -> (aggStatsMoments _),
     "olap_rollup_orders"  -> (olapRollupOrders _),
@@ -119,6 +137,13 @@ object OlapQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "olap_unpivot_melt" ->
+      ("WITH m AS (SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem " +
+       "UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem " +
+       "UNION ALL SELECT 'l_discount', l_discount FROM lineitem) " +
+       "SELECT measure, count(*) AS n_rows, round(sum(val), 2) AS sum_val, " +
+       "round(min(val), 2) AS min_val, round(max(val), 2) AS max_val " +
+       "FROM m GROUP BY measure"),
     "agg_exact_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
        "round(quantile_cont(value, 0.9), 6) AS p90, " +

@@ -137,7 +137,36 @@ object TextAnalysisQueries {
         coalesce(col("mean_overlap") >= 0.5, lit(true)).as("overlap_ok"))
   }
 
+  /** TF-IDF top terms per document (net-new): the standard
+    * term-weighting pass of a text corpus pipeline — token explode →
+    * per-(doc,term) TF → per-term DF → score → top-3 terms per doc.
+    * Two shuffles (doc,term / term), both on uniform keys; the DF side
+    * is tiny (vocabulary) and broadcasts back onto TF. The score uses
+    * LINEAR idf (tf·N/df): a single correctly-rounded IEEE division of
+    * exact integers, bit-identical across engines, where log-idf's
+    * libm `ln` could diverge in the last ulp and flip a rank tiebreak.
+    * Ordering ties break on term asc, so ranking is fully
+    * deterministic. */
+  def taTfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // one scalar; the scoring stays distributed
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("score", (col("tf") * lit(nDocs)) / col("df"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tfidf_top_terms"    -> (taTfidfTopTerms _),
     "ta_token_count"        -> (taTokenCount _),
     "ta_quality_score"      -> (taQualityScore _),
     "ta_lang_id"            -> (taLangId _),
@@ -146,6 +175,15 @@ object TextAnalysisQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ta_tfidf_top_terms" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+       "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY doc_id, term), " +
+       "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+       "n AS (SELECT count(*) AS nd FROM documents), " +
+       "scored AS (SELECT doc_id, term, tf, df, (tf * nd) / df AS score FROM tf JOIN dfq USING (term), n), " +
+       "ranked AS (SELECT doc_id, term, tf, df, " +
+       "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) " +
+       "SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3"),
     "ta_token_count" ->
       ("SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens, " +
        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS re_tokens " +

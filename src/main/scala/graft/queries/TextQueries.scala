@@ -130,7 +130,36 @@ object TextQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
 
+  /** Fuzzy dictionary join by edit distance (net-new, motivated by the
+    * reference's typos.txt repair table): corrupted names — one
+    * character deleted at a key-derived position — matched back to the
+    * clean dictionary by minimum levenshtein. The join is BLOCKED
+    * before the distance kernel runs: dictionary side broadcast (it's a
+    * dimension), candidates restricted to a ±2 length band, so the
+    * quadratic levenshtein only touches a sliver of the cross product —
+    * the 100 TB shape is block + verify, never distance-on-cross-join.
+    * Best match per input via min(struct): one hash aggregate, no
+    * window sort, deterministic (distance, name) tiebreak. */
+  def fuzzyJoinLevenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    // delete the char at 0-based position (p_partkey % length)
+    val pos = pmod(col("p_partkey"), length(col("p_name")))
+    val typo = parts.select(col("p_partkey"),
+      concat(substring(col("p_name"), lit(1), pos),
+        substring(col("p_name"), pos + lit(2), lit(1000000))).as("typo"))
+    val dict = parts.select(col("p_name")).distinct()
+    typo.join(broadcast(dict),
+        abs(length(col("typo")) - length(col("p_name"))) <= 2 &&
+          levenshtein(col("typo"), col("p_name")) <= 2)
+      .groupBy(col("p_partkey"), col("typo"))
+      .agg(min(struct(levenshtein(col("typo"), col("p_name")).as("dist"),
+        col("p_name").as("matched"))).as("best"))
+      .select(col("p_partkey"), col("typo"),
+        col("best.matched").as("matched"), col("best.dist").cast("long").as("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join_levenshtein" -> (fuzzyJoinLevenshtein _),
     "f4_regex_filter"     -> (f4RegexFilter _),
     "f6_multi_literal_anti" -> (f6MultiLiteralAnti _),
     "f6_aho_corasick"     -> (f6AhoCorasick _),
@@ -147,6 +176,17 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "fuzzy_join_levenshtein" ->
+      ("WITH typo AS (SELECT p_partkey, " +
+       "substr(p_name, 1, p_partkey % length(p_name)) || " +
+       "substr(p_name, (p_partkey % length(p_name)) + 2) AS typo FROM part), " +
+       "dict AS (SELECT DISTINCT p_name FROM part), " +
+       "cand AS (SELECT t.p_partkey, t.typo, d.p_name, levenshtein(t.typo, d.p_name) AS dist " +
+       "FROM typo t JOIN dict d ON abs(length(t.typo) - length(d.p_name)) <= 2 " +
+       "AND levenshtein(t.typo, d.p_name) <= 2) " +
+       "SELECT p_partkey, typo, p_name AS matched, dist FROM (" +
+       "SELECT *, row_number() OVER (PARTITION BY p_partkey, typo ORDER BY dist, p_name) AS rn " +
+       "FROM cand) WHERE rn = 1"),
     "f4_regex_filter" ->
       ("SELECT doc_id, lang FROM documents WHERE regexp_matches(text, '(?i)(join|merge|group)') " +
        "AND (regexp_matches(text, '(?i)spark') OR regexp_matches(text, '(?i)stream'))"),
