@@ -120,7 +120,26 @@ object PipelineQueries {
       col("p_brand").rlike("^Brand#[0-9]{2}$").as("brand_code_ok"),
       exists(split(col("p_type"), " "), w => w.rlike("^(an|st)")).as("has_marker_term"))
 
+  /** Date-function pack (net-new breadth; the reference's only date ops
+    * are X3 year-extract and current_date): truncation, quarter,
+    * ISO day-of-week, calendar-aware month arithmetic (add_months
+    * clamps month-end exactly like DuckDB's interval add), day diffs to
+    * a fixed anchor, and last_day — all codegen'd scan-side scalars.
+    * Spark's dayofweek is Sunday-based while DuckDB's isodow is
+    * Monday-based; `weekday()+1` == isodow pins one convention. */
+  def xDateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"),
+      add_months(col("o_orderdate"), 3).as("plus_3m"),
+      datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate"))
+        .cast("long").as("days_to_anchor"),
+      last_day(col("o_orderdate")).as("month_end"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_date_functions"    -> (xDateFunctions _),
     "e2e_finalize"        -> (e2eFinalize _),
     "f2_f3_f5_scan_filters" -> (f2f3f5ScanFilters _),
     "j4_mapping_join"     -> (j4MappingJoin _),
@@ -137,6 +156,12 @@ object PipelineQueries {
     "FROM documents"
 
   val oracle: Map[String, String] = Map(
+    "x_date_functions" ->
+      ("SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, " +
+       "quarter(o_orderdate)::BIGINT AS qtr, isodow(o_orderdate)::BIGINT AS iso_dow, " +
+       "CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m, " +
+       "date_diff('day', o_orderdate, DATE '1998-12-31')::BIGINT AS days_to_anchor, " +
+       "last_day(o_orderdate) AS month_end FROM orders"),
     "e2e_finalize" ->
       (s"WITH fanout AS ($fanoutCte), " +
        "f8 AS (SELECT doc_id, compound FROM fanout WHERE lower(confidence) != 'no' " +

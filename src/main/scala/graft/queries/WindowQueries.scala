@@ -48,6 +48,20 @@ object WindowQueries {
         round(avg(col("value")).over(byUserTime.rowsBetween(-2, 0)), 6))
       .select(col("event_id"), col("user_id"), col("mavg"))
 
+  /** first_value / last_value / nth_value over an explicit unbounded
+    * frame (completing the frame-function surface): each event row
+    * carries its user's first, last, and second event value in time
+    * order. Deterministic (ts, event_id) ordering; one shuffle on
+    * user_id shared by all three functions. */
+  def winFirstLastNth(spark: SparkSession, dir: String): DataFrame = {
+    val full = byUserTime.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .withColumn("first_v", round(first(col("value")).over(full), 6))
+      .withColumn("last_v", round(last(col("value")).over(full), 6))
+      .withColumn("second_v", round(nth_value(col("value"), 2).over(full), 6))
+      .select(col("event_id"), col("user_id"), col("first_v"), col("last_v"), col("second_v"))
+  }
+
   /** AS-OF JOIN (net-new; SURVEY §2.3 notes the reference lacks it):
     * each purchase matched to the user's most recent STRICTLY-earlier
     * click. Composed from existing ops (preference (a) of the custom-
@@ -207,6 +221,7 @@ object WindowQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_distribution_ranks" -> (winDistributionRanks _),
     "topk_custom_op"     -> (topkCustomOp _),
+    "win_first_last_nth" -> (winFirstLastNth _),
     "win_rank_top3"      -> (winRankTop3 _),
     "win_lag_delta"      -> (winLagDelta _),
     "win_moving_avg"     -> (winMovingAvg _),
@@ -223,6 +238,13 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_first_last_nth" ->
+      ("SELECT event_id, user_id, " +
+       "round(first_value(value) OVER w, 6) AS first_v, " +
+       "round(last_value(value) OVER w, 6) AS last_v, " +
+       "round(nth_value(value, 2) OVER w, 6) AS second_v " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
     "win_rank_top3" ->
       ("SELECT user_id, event_id, value, rnk FROM (SELECT user_id, event_id, value, " +
        "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk " +
