@@ -82,13 +82,33 @@ object Bench {
         System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
       name -> times.last
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only a ~3 KB TAIL of stdout and parses the
+    // metric line out of it (r01 recorded parsed:null because the full
+    // 111-query map, printed twice, overflowed that window and the line
+    // got clipped mid-JSON). Keep the line SMALL: full per-query detail
+    // goes to stderr, the stdout JSON carries the total plus a fixed
+    // headline subset, rounded to 3 dp.
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+      "f1_project_filter", "j1_dim_join_distinct", "j2_semi_join",
+      "x1_clean_chain", "s1_tsv_roundtrip", "e2e_finalize",
+      "d1_classify_aggregate", "dedup_exact", "dedup_ngram_jaccard",
+      "dedup_minhash_lsh", "dedup_simhash", "ann_brute_topk", "ann_ivf_topk",
+      "ta_token_count", "ta_quality_score", "win_moving_avg",
+      "win_sessionize", "t1_stream_tumbling")
+    def r3(v: Double): String = f"$v%.3f"
+    val byName = results.toMap
+    System.err.println(results.map { case (k, v) => s""""$k":${r3(v)}""" }
+      .mkString("[bench-detail] {", ",", "}"))
+    val qs = headline.flatMap(k => byName.get(k).map(v => s""""$k":${r3(v)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // emit the metric twice: a prefixed copy for parsers that strip an
-    // sbt-style "[info] " tag, then the bare JSON as the LAST stdout
-    // line for parsers that json.loads the final line directly
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // emit twice: a prefixed copy for parsers that strip an sbt-style
+    // "[info] " tag, then the bare JSON as the LAST stdout line for
+    // parsers that json.loads the final line directly (sbt itself
+    // appends a "[success]" line after; both copies plus that line fit
+    // the tail window at ~800 B each)
     println(s"[info] $json")
     println(json)
     spark.stop()
