@@ -248,27 +248,38 @@ object DedupQueries {
     val sym = edges.union(edges.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist()
     sym.count()
-    var labels = sym.select(col("src").as("node")).distinct()
+    var cached = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).persist()
-    labels.count()
+    cached.count()
+    var labels = cached
     var converged = false
     var iters = 0
     while (!converged && iters < 20) {
       val viaNeighbors = sym.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("comp"))
-      val next = labels.select(col("node"), col("comp")).union(viaNeighbors)
-        .groupBy(col("node")).agg(min(col("comp")).as("comp")).persist()
-      next.count()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
+      // propagate + convergence test in ONE job: the min-neighbor-label
+      // result right-joins back to the previous labels (least() skips
+      // the NULL minNbr of isolated nodes), so one count() both
+      // materializes the persisted frame and tests label movement — the
+      // earlier count-then-isEmpty form paid a second full pass per
+      // iteration. count(), NOT isEmpty: isEmpty is take(1) and can
+      // short-circuit before every partition of the cache fills, leaving
+      // the next iteration to recompute the whole lineage chain.
+      val next = viaNeighbors
+        .groupBy(col("node")).agg(min(col("comp")).as("minNbr"))
+        .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"), "right")
+        .select(col("node"), least(col("minNbr"), col("prev")).as("comp"), col("prev"))
+        .persist()
+      converged = next.filter(col("comp") =!= col("prev")).count() == 0
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("comp"))
       iters += 1
     }
     val out = labels.groupBy(col("comp").as("comp_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
     sym.unpersist()
-    out
+    out // `cached` stays persisted until the consumer drains `out`
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,6 +44,21 @@ object StreamingQueries {
   private def decodeTs(stream: DataFrame): DataFrame =
     stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** The per-microbatch cost of a stateful query scales with the state
+    * store count = shuffle partitions at query start (each partition
+    * commits its own store files every batch — a stream-stream join
+    * keeps FOUR stores per partition). The drained backlog is small
+    * relative to the session's 32-partition batch tuning, so stateful
+    * drains run at 8; the setting is restored afterwards. At 100 TB the
+    * knob goes the other way — state partitioning is sized at FIRST
+    * start and pinned by the checkpoint. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   def t1StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val stream = decodeTs(stagedEventFeed(spark, dir))
     val agg = stream
@@ -53,9 +68,11 @@ object StreamingQueries {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
     val qname = "t1_stream_tumbling_" + java.lang.Integer.toHexString(dir.hashCode)
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(qname)
   }
 
@@ -74,9 +91,11 @@ object StreamingQueries {
     val deduped = StreamOps.dedupByKeys(stream, Seq("user_id", "event_type"), "ts", "24 hours")
       .select(col("user_id"), col("event_type"))
     val qname = "t2_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
-    val q = deduped.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(qname)
   }
 
@@ -91,9 +110,11 @@ object StreamingQueries {
       .select(col("user_id"), col("n_events"),
         col("last_event_id"), col("last_type"))
     val qname = "t4_stream_stateful_" + java.lang.Integer.toHexString(dir.hashCode)
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(qname)
   }
 
@@ -122,9 +143,11 @@ object StreamingQueries {
              "purchase_ts <= click_ts + interval 30 minutes"))
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
     val qname = "t5_stream_stream_join_" + java.lang.Integer.toHexString(dir.hashCode)
-    val q = joined.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(qname)
   }
 
