@@ -148,11 +148,15 @@ object TextQueries {
       concat(substring(col("p_name"), lit(1), pos),
         substring(col("p_name"), pos + lit(2), lit(1000000))).as("typo"))
     val dict = parts.select(col("p_name")).distinct()
+    // thresholded levenshtein (banded O(k·n) DP with early abandon,
+    // -1 past the bound) instead of the full O(n·m) kernel — the
+    // distance is only ever compared against 2, so the band form is
+    // semantically identical and ~6x cheaper on ~30-char names
     typo.join(broadcast(dict),
         abs(length(col("typo")) - length(col("p_name"))) <= 2 &&
-          levenshtein(col("typo"), col("p_name")) <= 2)
+          levenshtein(col("typo"), col("p_name"), 2) >= 0)
       .groupBy(col("p_partkey"), col("typo"))
-      .agg(min(struct(levenshtein(col("typo"), col("p_name")).as("dist"),
+      .agg(min(struct(levenshtein(col("typo"), col("p_name"), 2).as("dist"),
         col("p_name").as("matched"))).as("best"))
       .select(col("p_partkey"), col("typo"),
         col("best.matched").as("matched"), col("best.dist").cast("long").as("dist"))
