@@ -53,6 +53,47 @@ object PipelineQueries {
       .orderBy(col("pubmed_references").desc, col("compound").asc)
   }
 
+  /** End-to-end training-corpus curation funnel (north-star flagship):
+    * the stage sequence a 100 TB LLM-data pipeline runs over raw
+    * documents — language-ID keep, quality keep, exact dedup
+    * (keep-first by content digest), near-dup drop (any doc with a
+    * smaller-id 3-gram-Jaccard≥0.7 neighbor), token budget — with the
+    * per-stage retained counts emitted as one row (the A4 stage-count
+    * telemetry, computed as CUMULATIVE conditional sums in a single
+    * aggregate over one enriched scan + two cheap dimension joins, not
+    * six passes). Scale shape: the feature projection is one codegen'd
+    * scan; the exact-dedup keeper set is a groupBy on the digest (the
+    * dedup_exact shuffle); the near-dup drop set reuses the
+    * prefix-filtered PPJoin pair generator; all flags then combine in
+    * one partial-aggregated count pass. */
+  def e2eCurateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.TextAnalysisQueries.{langPred, stopwordRatio}
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("text"),
+        langPred(col("ws")).as("lang"),
+        stopwordRatio(col("ws")).as("sr"),
+        size(col("ws")).cast("long").as("toks"),
+        sha2(col("text"), 256).as("digest"))
+    val keepers = base.groupBy(col("digest")).agg(min(col("doc_id")).as("keeper_id"))
+    val dupDrop = DedupQueries.dedupNgramJaccard(spark, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("has_smaller_dup", lit(true))
+    val f1 = col("lang") === "en"
+    val f2 = f1 && col("sr") >= 0.05
+    val f3 = f2 && col("doc_id") === col("keeper_id")
+    val f4 = f3 && !coalesce(col("has_smaller_dup"), lit(false))
+    val f5 = f4 && col("toks").between(20, 2000)
+    base.join(keepers, "digest")
+      .join(dupDrop, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_input"),
+        sum(f1.cast("long")).as("n_lang_ok"),
+        sum(f2.cast("long")).as("n_quality_ok"),
+        sum(f3.cast("long")).as("n_unique"),
+        sum(f4.cast("long")).as("n_not_neardup"),
+        sum(f5.cast("long")).as("n_final"))
+  }
+
   /** F2+F3+F5 (process_pubmed.sh:102-103,151): empty-drop, prefix-marker
     * drop, range filter — markers synthesized deterministically. */
   def f2f3f5ScanFilters(spark: SparkSession, dir: String): DataFrame = {
@@ -141,6 +182,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_date_functions"    -> (xDateFunctions _),
     "e2e_finalize"        -> (e2eFinalize _),
+    "e2e_curate_corpus"   -> (e2eCurateCorpus _),
     "f2_f3_f5_scan_filters" -> (f2f3f5ScanFilters _),
     "j4_mapping_join"     -> (j4MappingJoin _),
     "j8_positional_zip"   -> (j8PositionalZip _),
@@ -156,6 +198,34 @@ object PipelineQueries {
     "FROM documents"
 
   val oracle: Map[String, String] = Map(
+    "e2e_curate_corpus" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents), " +
+       "feat AS (SELECT doc_id, text, ws, len(ws)::BIGINT toks, sha256(text) digest, " +
+       "len(list_filter(['the','and','of','a','to'], m -> list_contains(ws, m)))::BIGINT s_en, " +
+       "len(list_filter(['el','la','de','los','que'], m -> list_contains(ws, m)))::BIGINT s_es, " +
+       "len(list_filter(['der','die','das','und','ist'], m -> list_contains(ws, m)))::BIGINT s_de, " +
+       "len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in'], x)))::DOUBLE / len(ws) sr " +
+       "FROM t), " +
+       "lang AS (SELECT *, CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en' " +
+       "WHEN s_es >= s_de AND s_es > 0 THEN 'es' WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lng FROM feat), " +
+       "keep AS (SELECT digest, min(doc_id) keeper FROM feat GROUP BY digest), " +
+       "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
+       "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
+       "ELSE [] END AS sg FROM t), " +
+       "dupb AS (SELECT DISTINCT id_b FROM (SELECT b.doc_id AS id_b FROM sh a, sh b " +
+       "WHERE a.doc_id < b.doc_id AND len(list_intersect(a.sg, b.sg))::DOUBLE / " +
+       "(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.7)), " +
+       "fl AS (SELECT l.doc_id, l.toks, l.sr, l.lng, k.keeper, (d.id_b IS NOT NULL) AS hasdup " +
+       "FROM lang l JOIN keep k USING (digest) LEFT JOIN dupb d ON l.doc_id = d.id_b), " +
+       "flags AS (SELECT (lng = 'en') AS f1, (lng = 'en' AND sr >= 0.05) AS f2, " +
+       "(lng = 'en' AND sr >= 0.05 AND doc_id = keeper) AS f3, " +
+       "(lng = 'en' AND sr >= 0.05 AND doc_id = keeper AND NOT hasdup) AS f4, " +
+       "(lng = 'en' AND sr >= 0.05 AND doc_id = keeper AND NOT hasdup " +
+       "AND toks BETWEEN 20 AND 2000) AS f5 FROM fl) " +
+       "SELECT count(*)::BIGINT AS n_input, " +
+       "sum(f1::BIGINT)::BIGINT AS n_lang_ok, sum(f2::BIGINT)::BIGINT AS n_quality_ok, " +
+       "sum(f3::BIGINT)::BIGINT AS n_unique, sum(f4::BIGINT)::BIGINT AS n_not_neardup, " +
+       "sum(f5::BIGINT)::BIGINT AS n_final FROM flags"),
     "x_date_functions" ->
       ("SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, " +
        "quarter(o_orderdate)::BIGINT AS qtr, isodow(o_orderdate)::BIGINT AS iso_dow, " +

@@ -22,6 +22,33 @@ object TextAnalysisQueries {
     "de" -> Seq("der", "die", "das", "und", "ist"),
   )
 
+  import org.apache.spark.sql.Column
+
+  /** Per-language marker-hit scores over a BOUND token-array attribute
+    * (never an inline split — see the HOF re-evaluation trap on
+    * [[winnowFingerprints]]). */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(array(markers.map(lit): _*), m => array_contains(toks, m))).cast("long")
+    }
+
+  /** Argmax language with fixed preference order (en > es > de), 'und'
+    * when no profile matches — shared by ta_lang_id and the corpus
+    * curation funnel. */
+  def langPred(toks: Column): Column = {
+    val Seq(en, es, de) = langScores(toks).map(_._2)
+    when(en >= es && en >= de && en > 0, "en")
+      .when(es >= de && es > 0, "es")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Stopword ratio over a bound token-array attribute. */
+  def stopwordRatio(toks: Column): Column = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stopArr, t))).cast("double") / size(toks).cast("double")
+  }
+
   /** Token counting: whitespace tokens + regex (BPE-ish) tokens. */
   def taTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -36,11 +63,9 @@ object TextAnalysisQueries {
   def taQualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast("double")
-    val stopArr = array(Stopwords.map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
     val nPunct = (length(col("text")) -
       length(regexp_replace(col("text"), "[\\.,;:!\\?]", ""))).cast("double")
-    val stopRatio = nStop / nTok
+    val stopRatio = stopwordRatio(toks)
     val punctRatio = nPunct / length(col("text")).cast("double")
     val avgTokLen = (length(col("text")) - nTok + 1.0) / nTok
     val band = when(stopRatio >= 0.10, "high")
@@ -60,18 +85,11 @@ object TextAnalysisQueries {
     // tokens materialized once per row; the marker-filter lambdas then
     // probe a bound attribute instead of re-splitting text per marker
     val toks = col("toks")
-    val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(array(markers.map(lit): _*), m => array_contains(toks, m))).cast("long")
-    }
-    val Seq(en, es, de) = scores.map(_._2)
-    val pred = when(en >= es && en >= de && en > 0, "en")
-      .when(es >= de && es > 0, "es")
-      .when(de > 0, "de")
-      .otherwise("und")
+    val Seq(en, es, de) = langScores(toks).map(_._2)
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), en.as("score_en"), es.as("score_es"), de.as("score_de"),
-        pred.as("pred_lang"))
+        langPred(toks).as("pred_lang"))
   }
 
   /** Winnowing fingerprint (Schleimer et al. 2003): 4-gram shingle
