@@ -73,6 +73,53 @@ object ScaleQueries {
         round(max(col("pmax")), 6).as("max_value"))
   }
 
+  /** SALTED skew join (net-new): the join-side counterpart of
+    * [[saltedSkewAgg]] — when one join key dominates the fact side, the
+    * single reducer owning it becomes the stage's straggler. Replicate
+    * the (small) build side `Salts` times, salt the fact side by a
+    * fact-local column, and join on (key, salt): the hot key's rows
+    * spread over `Salts` reducers. Bit-identical to the direct join —
+    * the oracle runs the unsalted form. (AQE's skew-join split handles
+    * MODERATE skew post-hoc; explicit salting is the tool when one key
+    * exceeds a single executor's memory.) */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val Salts = 8
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_linenumber"), lit(Salts)).as("salt"))
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
+    // disable the broadcast fallback so the salted SHUFFLE path is what
+    // actually executes (a broadcast join has no skewed reducer to fix)
+    fact.join(dim.hint("shuffle_hash"),
+        fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Incremental partial-aggregate rollup (net-new): the
+    * materialized-view maintenance pattern every periodic 100 TB
+    * aggregation needs — facts aggregate ONCE into per-day partials
+    * (decomposable: count/sum), land partitioned by day, and coarser
+    * rollups (monthly here) read ONLY the partial table, never
+    * rescanning raw facts. A new day appends one partition and the
+    * monthly refresh cost tracks the partial table's size (~|days ×
+    * types|), not the fact volume. The oracle aggregates the raw facts
+    * directly — pinning that merging partials loses nothing. */
+  def incPartialRollup(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.ScratchDirs.dir("partials",
+      java.lang.Integer.toHexString(dir.hashCode))
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"), col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), round(sum(col("psum")), 6).as("sum_value"))
+  }
+
   /** Bloom-pruned semi-join (net-new): the J2 semi-join scale path when
     * the dimension key set is too large to inline as literals and the
     * planner won't broadcast it. A Bloom filter over the dim keys is
@@ -159,6 +206,8 @@ object ScaleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_colocated_join" -> (bucketedColocatedJoin _),
     "salted_skew_agg"         -> (saltedSkewAgg _),
+    "salted_skew_join"        -> (saltedSkewJoin _),
+    "inc_partial_rollup"      -> (incPartialRollup _),
     "bloom_semi_join"         -> (bloomSemiJoin _),
     "merge_upsert"            -> (mergeUpsert _),
     "k_partitioned_prune"     -> (partitionedPrune _),
@@ -173,6 +222,15 @@ object ScaleQueries {
     "salted_skew_agg" ->
       ("SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value, " +
        "round(max(value), 6) AS max_value FROM events GROUP BY event_type"),
+    "salted_skew_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_items, " +
+       "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY o_orderpriority"),
+    "inc_partial_rollup" ->
+      ("SELECT CAST(date_trunc('month', ts::DATE) AS DATE) AS month, event_type, " +
+       "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events " +
+       "GROUP BY month, event_type"),
     "bloom_semi_join" ->
       ("SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price " +
        "FROM lineitem WHERE l_orderkey IN " +

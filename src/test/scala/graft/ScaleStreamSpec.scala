@@ -37,6 +37,32 @@ class ScaleStreamSpec extends SparkSpecBase {
       "event_date leaked into data filters instead of partition pruning")
   }
 
+  test("salted_skew_join matches the direct join and takes the shuffle path") {
+    val salted = ScaleQueries.saltedSkewJoin(spark, sfDir)
+    // the salt must not silently degrade to a broadcast join — the whole
+    // point is spreading a hot key across shuffle reducers
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"salted join fell back to broadcast:\n$plan")
+    val direct = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty,
+      "salted join diverges from direct join")
+  }
+
+  test("inc_partial_rollup merges partials to the same totals as raw facts") {
+    val rolled = ScaleQueries.incPartialRollup(spark, sfDir)
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("month", to_date(col("ts"))).cast("date").as("month"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+    assert(rolled.exceptAll(direct).isEmpty && direct.exceptAll(rolled).isEmpty,
+      "partial-merge rollup diverges from direct aggregation")
+  }
+
   test("t5 stream-stream join reaches batch interval-join parity") {
     val streamed = StreamingQueries.t5StreamStreamJoin(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
