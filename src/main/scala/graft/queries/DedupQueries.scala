@@ -245,6 +245,22 @@ object DedupQueries {
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val edges = ngramPairsFrom(shingleTable(spark, dir))
       .select(col("id_a"), col("id_b"))
+    // the pair graph is orders of magnitude smaller than the corpus
+    // (near-dup edges only), but the loop below schedules ~3 shuffle
+    // stages per iteration — at the session's fact-tuned partition
+    // count that is pure task-scheduling overhead. Run the loop's
+    // shuffles narrow; restore afterwards. (At 100 TB the edge set is
+    // still small relative to the corpus — sizing the loop's shuffle
+    // width to the EDGE volume, not the fact volume, is the same
+    // decision there.)
+    val pKey = "spark.sql.shuffle.partitions"
+    val pOld = spark.conf.get(pKey)
+    spark.conf.set(pKey, "8")
+    try dedupComponentsLoop(edges)
+    finally spark.conf.set(pKey, pOld)
+  }
+
+  private def dedupComponentsLoop(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist()
     sym.count()
