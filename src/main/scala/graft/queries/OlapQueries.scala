@@ -125,7 +125,49 @@ object OlapQueries {
       .agg(count(lit(1)).as("n_rows"), round(sum(col("val")), 2).as("sum_val"),
         round(min(col("val")), 2).as("min_val"), round(max(col("val")), 2).as("max_val"))
 
+  /** Conversion funnel (net-new): per-user first-touch times for the
+    * view→click→purchase stage sequence, then ordered-stage reach
+    * counts — the standard event-analytics funnel, as ONE groupBy(user)
+    * with conditional min aggregates plus one global conditional sum
+    * (no joins, no window sort; first-touch ordering is the usual
+    * funnel approximation). Scale: the only real shuffle keys on
+    * user_id with map-side partial aggregation; the second aggregate is
+    * a single-row reduction. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stage = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+      min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    val reachedView = col("t_view").isNotNull
+    val reachedClick = reachedView && col("t_click").isNotNull && col("t_click") >= col("t_view")
+    val reachedPurchase = reachedClick && col("t_purchase").isNotNull && col("t_purchase") >= col("t_click")
+    stage.agg(count(lit(1)).as("n_users"),
+      sum(reachedView.cast("long")).as("n_view"),
+      sum(reachedClick.cast("long")).as("n_view_click"),
+      sum(reachedPurchase.cast("long")).as("n_full_funnel"))
+  }
+
+  /** Cohort retention (net-new): users cohorted by FIRST purchase day,
+    * then distinct purchasing users per (cohort_day, days-since-first)
+    * cell — the retention matrix every engagement pipeline computes.
+    * Two shuffles, both keyed on user_id (the cohort aggregate and the
+    * join back are co-partitioned, so the second exchange is reused);
+    * the final cell aggregate is a tiny (days × offsets) keyspace. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = p.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    p.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_conversion"     -> (funnelConversion _),
+    "cohort_retention"      -> (cohortRetention _),
     "olap_unpivot_melt"     -> (olapUnpivotMelt _),
     "agg_exact_percentiles" -> (aggExactPercentiles _),
     "agg_stats_moments"   -> (aggStatsMoments _),
@@ -137,6 +179,24 @@ object OlapQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "funnel_conversion" ->
+      ("WITH stage AS (SELECT user_id, " +
+       "min(CASE WHEN event_type = 'view' THEN ts END) AS t_view, " +
+       "min(CASE WHEN event_type = 'click' THEN ts END) AS t_click, " +
+       "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase " +
+       "FROM events GROUP BY user_id) " +
+       "SELECT count(*) AS n_users, " +
+       "sum((t_view IS NOT NULL)::BIGINT)::BIGINT AS n_view, " +
+       "sum((t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view)::BIGINT)::BIGINT AS n_view_click, " +
+       "sum((t_view IS NOT NULL AND t_click IS NOT NULL AND t_click >= t_view " +
+       "AND t_purchase IS NOT NULL AND t_purchase >= t_click)::BIGINT)::BIGINT AS n_full_funnel " +
+       "FROM stage"),
+    "cohort_retention" ->
+      ("WITH p AS (SELECT user_id, ts::DATE AS day FROM events WHERE event_type = 'purchase'), " +
+       "cohort AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY user_id) " +
+       "SELECT c.cohort_day, date_diff('day', c.cohort_day, p.day)::BIGINT AS day_offset, " +
+       "count(DISTINCT p.user_id) AS n_users " +
+       "FROM p JOIN cohort c USING (user_id) GROUP BY c.cohort_day, day_offset"),
     "olap_unpivot_melt" ->
       ("WITH m AS (SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem " +
        "UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem " +
