@@ -42,6 +42,43 @@ object SourceQueries {
     spark.read.option("sep", "\t").option("header", "true").schema(schema).csv(out)
   }
 
+  /** JSONL roundtrip (net-new): the training-data interchange format —
+    * documents written as gzipped JSON-lines, read back with an
+    * EXPLICIT schema (never inferSchema at scale: inference is a full
+    * extra pass and can drift run-to-run), then aggregated per lang.
+    * Same unsplittable-gzip caveat as S1 → partitioned output keeps
+    * both directions parallel. Writer and parser both sit in the
+    * oracle-compared path. */
+  def s8JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp(dir, "documents_jsonl")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .write.mode("overwrite").option("compression", "gzip").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("text", StringType)))
+    spark.read.schema(schema).json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_len"))
+  }
+
+  /** ORC roundtrip (net-new): the second columnar format a complete
+    * engine speaks; predicate pushdown and column pruning apply on the
+    * read-back exactly as with parquet. */
+  def s9OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp(dir, "lineitem_orc")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter(col("l_quantity") >= 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+  }
+
   /** S2: XML article records → parsed extraction with the reference's
     * 3-way date coalesce (process_pubmed.sh:50-54: first non-null of
     * three XPath alternatives). XML is BUILT from `orders` rows, parsed
@@ -129,6 +166,8 @@ object SourceQueries {
     "s3_xml_nested_mapping"  -> (s3XmlNestedMapping _),
     "s4_line_list_roundtrip" -> (s4LineListRoundtrip _),
     "s7_resume_anti"         -> (s7ResumeAnti _),
+    "s8_jsonl_roundtrip"     -> (s8JsonlRoundtrip _),
+    "s9_orc_roundtrip"       -> (s9OrcRoundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -149,5 +188,11 @@ object SourceQueries {
     "s7_resume_anti" ->
       ("SELECT o_orderstatus, count(*) AS n_remaining FROM orders " +
        "WHERE o_orderkey % 7 != 0 GROUP BY o_orderstatus"),
+    "s8_jsonl_roundtrip" ->
+      ("SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars, " +
+       "sum(length(text))::BIGINT AS sum_len FROM documents GROUP BY lang"),
+    "s9_orc_roundtrip" ->
+      ("SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price " +
+       "FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag"),
   )
 }
