@@ -92,6 +92,31 @@ object TextAnalysisQueries {
         langPred(toks).as("pred_lang"))
   }
 
+  val ChunkWidth = 20
+  val ChunkStride = 10
+
+  /** Document chunking (net-new): overlapping token windows — the
+    * standard LLM-data prep step between curation and embedding (each
+    * chunk becomes one embedding/training row). 20-token windows at
+    * 10-token stride, UDTF-shaped 1→N fan-out via explode of the
+    * start-index sequence; the slice itself is aliased in its own
+    * projection so the window text and its length evaluate the slice
+    * once (see [[winnowFingerprints]] on lambda/alias re-evaluation).
+    * Pure scan→project→generate — no shuffle at any scale; downstream
+    * embedding pipelines consume the chunks partition-parallel. */
+  def taChunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val starts = sequence(lit(0L), floor((size(col("ws")) - 1) / ChunkStride).cast("long"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), explode(starts).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("ws"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkWidth)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al. 2003): 4-gram shingle
     * hashes → min per 5-window → distinct sorted signature. xxhash64
     * has no DuckDB twin → rows-only; properties in the spec.
@@ -185,6 +210,7 @@ object TextAnalysisQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_tfidf_top_terms"    -> (taTfidfTopTerms _),
+    "ta_chunk_windows"      -> (taChunkWindows _),
     "ta_token_count"        -> (taTokenCount _),
     "ta_quality_score"      -> (taQualityScore _),
     "ta_lang_id"            -> (taLangId _),
@@ -202,6 +228,13 @@ object TextAnalysisQueries {
        "ranked AS (SELECT doc_id, term, tf, df, " +
        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) " +
        "SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3"),
+    "ta_chunk_windows" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+       "c AS (SELECT doc_id, unnest(generate_series(0, ((len(ws)-1)//10)::BIGINT)) AS chunk_idx, ws FROM t) " +
+       "SELECT doc_id, chunk_idx, " +
+       "len(ws[(chunk_idx*10+1)::INT : (chunk_idx*10+20)::INT])::BIGINT AS chunk_len, " +
+       "array_to_string(ws[(chunk_idx*10+1)::INT : (chunk_idx*10+20)::INT], ' ') AS chunk_text " +
+       "FROM c"),
     "ta_token_count" ->
       ("SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens, " +
        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS re_tokens " +
