@@ -79,6 +79,34 @@ object SourceQueries {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
 
+  /** Malformed-record quarantine (net-new): PERMISSIVE parse with a
+    * corrupt-record column — the ingest-edge operator every large feed
+    * needs (drop nothing silently, quarantine unparseable rows for
+    * inspection). A TSV feed is written with a deterministic corruption
+    * (every 13th key gets a non-numeric price), read back with an
+    * explicit schema + `_corrupt_record`, and summarized into good/bad
+    * counts and the good-side total — so the parser's error channel
+    * itself is the oracle-compared behavior. DROPMALFORMED would
+    * silently shrink the row count; PERMISSIVE + quarantine keeps the
+    * feed auditable. */
+  def s10PermissiveBadRecords(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp(dir, "orders_bad_tsv")
+    Tables.orders(spark, dir)
+      .select(concat(col("o_orderkey"), lit("\t"),
+        when(col("o_orderkey") % 13 === 0, lit("notanumber"))
+          .otherwise(round(col("o_totalprice"), 2).cast("string"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("price", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.option("sep", "\t").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(out)
+      .agg(sum(col("_corrupt_record").isNull.cast("long")).as("n_good"),
+        sum(col("_corrupt_record").isNotNull.cast("long")).as("n_quarantined"),
+        round(sum(when(col("_corrupt_record").isNull, col("price"))), 2).as("sum_good_price"))
+  }
+
   /** S2: XML article records → parsed extraction with the reference's
     * 3-way date coalesce (process_pubmed.sh:50-54: first non-null of
     * three XPath alternatives). XML is BUILT from `orders` rows, parsed
@@ -168,6 +196,7 @@ object SourceQueries {
     "s7_resume_anti"         -> (s7ResumeAnti _),
     "s8_jsonl_roundtrip"     -> (s8JsonlRoundtrip _),
     "s9_orc_roundtrip"       -> (s9OrcRoundtrip _),
+    "s10_permissive_badrecords" -> (s10PermissiveBadRecords _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,5 +223,10 @@ object SourceQueries {
     "s9_orc_roundtrip" ->
       ("SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price " +
        "FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag"),
+    "s10_permissive_badrecords" ->
+      ("SELECT sum((o_orderkey % 13 != 0)::BIGINT)::BIGINT AS n_good, " +
+       "sum((o_orderkey % 13 = 0)::BIGINT)::BIGINT AS n_quarantined, " +
+       "round(sum(CASE WHEN o_orderkey % 13 != 0 THEN round(o_totalprice, 2) END), 2) AS sum_good_price " +
+       "FROM orders"),
   )
 }
