@@ -243,8 +243,12 @@ object DedupQueries {
     * zero-count convergence predicate, not data. Oracle: DuckDB
     * recursive-CTE transitive closure over the identical pair query. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    // pair generation (the PPJoin pipeline) runs under the session's
+    // normal AQE/partition tuning — only the label loop below gets the
+    // narrow no-AQE treatment, so materialize the edges first
     val edges = ngramPairsFrom(shingleTable(spark, dir))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")).persist()
+    edges.count()
     // the pair graph is orders of magnitude smaller than the corpus
     // (near-dup edges only), but the loop below schedules ~3 shuffle
     // stages per iteration — at the session's fact-tuned partition
@@ -253,6 +257,9 @@ object DedupQueries {
     // still small relative to the corpus — sizing the loop's shuffle
     // width to the EDGE volume, not the fact volume, is the same
     // decision there.)
+    // (measured: disabling AQE for the loop doubles its time — the
+    // coalesced-partition replanning outweighs its per-stage barriers
+    // even on tiny frames, so only the partition count is tuned)
     val pKey = "spark.sql.shuffle.partitions"
     val pOld = spark.conf.get(pKey)
     spark.conf.set(pKey, "8")
