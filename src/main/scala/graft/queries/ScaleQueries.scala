@@ -203,7 +203,44 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
   }
 
+  /** Dynamic partition pruning (net-new): the RUNTIME counterpart of
+    * [[partitionedPrune]]'s static pruning — when the partition-column
+    * restriction only exists on the OTHER side of a join (a filtered
+    * dimension), Spark broadcasts the dim, evaluates the join keys, and
+    * injects them as a partition filter into the fact scan before its
+    * file IO. At 100 TB this is the difference between scanning two
+    * date partitions and scanning the table: the classic star-schema
+    * date-dim restriction. Both sides land as parquet (DPP applies to
+    * file-source scans); the spec asserts `dynamicpruning` in the
+    * fact scan's partition filters. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ScratchDirs.dir("dpp",
+      java.lang.Integer.toHexString(dir.hashCode))
+    val ev = Tables.events(spark, dir).withColumn("event_date", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(s"$base/facts")
+    // date dimension with a deterministic "recent" flag — the filter
+    // that DPP pushes across the join lives HERE, not on the fact
+    ev.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_day"))
+      .withColumn("is_recent", col("event_date") >= date_sub(max(col("event_date"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()), 1))
+      .write.mode("overwrite").parquet(s"$base/dates")
+    val facts = spark.read.parquet(s"$base/facts")
+    // the comparison predicate matters: Spark's PartitionPruning rule
+    // only injects the runtime filter when the dim side carries a
+    // "likely selective" predicate (BinaryComparison/In/Like — a bare
+    // boolean attribute does NOT qualify, observed: no dynamicpruning
+    // in the scan with `filter(col("is_recent"))` alone)
+    val dates = spark.read.parquet(s"$base/dates")
+      .filter(col("is_recent") && col("n_day") >= 1)
+      .select(col("event_date"))
+    facts.join(broadcast(dates), "event_date")
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_dpp_join"              -> (dppJoin _),
     "bucketed_colocated_join" -> (bucketedColocatedJoin _),
     "salted_skew_agg"         -> (saltedSkewAgg _),
     "salted_skew_join"        -> (saltedSkewJoin _),
@@ -253,6 +290,11 @@ object ScaleQueries {
       ("SELECT ts::DATE AS event_date, event_type, count(*) AS n_events, " +
        "round(sum(value), 6) AS sum_value FROM events " +
        "WHERE ts::DATE >= (SELECT max(ts::DATE) - INTERVAL 2 DAY FROM events) " +
+       "GROUP BY event_date, event_type"),
+    "k_dpp_join" ->
+      ("SELECT ts::DATE AS event_date, event_type, count(*) AS n_events, " +
+       "round(sum(value), 6) AS sum_value FROM events " +
+       "WHERE ts::DATE >= (SELECT max(ts::DATE) - INTERVAL 1 DAY FROM events) " +
        "GROUP BY event_date, event_type"),
   )
 }

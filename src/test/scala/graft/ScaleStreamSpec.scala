@@ -37,6 +37,23 @@ class ScaleStreamSpec extends SparkSpecBase {
       "event_date leaked into data filters instead of partition pruning")
   }
 
+  test("k_dpp_join prunes fact partitions dynamically from the dim filter") {
+    val df = ScaleQueries.dppJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact scan must carry a runtime partition filter fed by the
+    // broadcast dim — that's the whole point of the operator
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning in the fact scan:\n$plan")
+    val direct = Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .filter(col("event_date") >= date_sub(
+        lit(Tables.events(spark, sfDir).agg(max(to_date(col("ts")))).collect()(0).getDate(0)), 1))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+    assert(df.exceptAll(direct).isEmpty && direct.exceptAll(df).isEmpty,
+      "DPP join diverges from the direct date-filtered aggregate")
+  }
+
   test("salted_skew_join matches the direct join and takes the shuffle path") {
     val salted = ScaleQueries.saltedSkewJoin(spark, sfDir)
     // the salt must not silently degrade to a broadcast join — the whole
