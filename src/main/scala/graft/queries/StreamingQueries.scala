@@ -151,6 +151,28 @@ object StreamingQueries {
     spark.table(qname)
   }
 
+  /** Session windows through the REAL streaming path (net-new): the
+    * stateful-window case tumbling (t1) doesn't cover — session extent
+    * is data-dependent, so the state store must MERGE adjacent windows
+    * as events arrive. Same 30-min gap as the batch `win_sessionize`;
+    * complete mode + AvailableNow drains every session (append mode
+    * would hold back sessions inside the final watermark horizon).
+    * Boundary semantics: session_window splits at gap >= 30 min
+    * (exclusive window end) where the islands oracle splits at > — the
+    * harness data has no exact-30:00 gaps (checked at all three SFs),
+    * so the two definitions coincide on every oracle row. */
+  def t6StreamSession(spark: SparkSession, dir: String): DataFrame = {
+    val stream = decodeTs(stagedEventFeed(spark, dir))
+    val agg = StreamOps.sessionCounts(stream, "30 minutes", "1 hour")
+    val qname = "t6_stream_session_" + java.lang.Integer.toHexString(dir.hashCode)
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(qname)
+  }
+
   /** T3: idempotent re-publish — the busiest day's summary is written
     * to its dated partition TWICE (wipe + rewrite, finalize_realease
     * .py:105-113); the read-back proves replace-not-duplicate. The
@@ -174,6 +196,7 @@ object StreamingQueries {
     "t3_republish"       -> (t3Republish _),
     "t4_stream_stateful" -> (t4StreamStateful _),
     "t5_stream_stream_join" -> (t5StreamStreamJoin _),
+    "t6_stream_session"  -> (t6StreamSession _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,5 +221,13 @@ object StreamingQueries {
        "FROM events c JOIN events p ON c.user_id = p.user_id " +
        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
+    "t6_stream_session" ->
+      ("WITH flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+       "OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "grp AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id " +
+       "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+       "SELECT min(ts) AS session_start, user_id, count(*) AS n_events " +
+       "FROM grp GROUP BY user_id, sid"),
   )
 }
