@@ -80,6 +80,17 @@ class ScaleStreamSpec extends SparkSpecBase {
       "partial-merge rollup diverges from direct aggregation")
   }
 
+  test("t6 streaming sessions match the batch session-window relation") {
+    val streamed = StreamingQueries.t6StreamSession(spark, sfDir)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))
+    assert(streamed.count() > 0, "no sessions drained")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed sessions diverge from the batch session_window")
+  }
+
   test("t5 stream-stream join reaches batch interval-join parity") {
     val streamed = StreamingQueries.t5StreamStreamJoin(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
