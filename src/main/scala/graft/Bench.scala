@@ -63,6 +63,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
+    // a query that throws is LOGGED and COUNTED — the stdout JSON carries
+    // "errors":N so a broken round can't masquerade as a fast one (a
+    // swallowed crash times at near-zero and the total still parses)
+    var errors = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -70,7 +74,10 @@ object Bench {
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case t: Throwable =>
+          errors += 1
+          System.err.println(s"[bench-error] $name: ${t.getClass.getName}: ${t.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted frames (Verify does the same): cached
         // blocks accumulating across 77 queries age the session and skew
@@ -96,19 +103,22 @@ object Bench {
       "dedup_minhash_lsh", "dedup_simhash", "ann_brute_topk", "ann_ivf_topk",
       "ta_token_count", "ta_quality_score", "win_moving_avg",
       "win_sessionize", "t1_stream_tumbling")
-    def r3(v: Double): String = f"$v%.3f"
+    // explicit root locale: the default f"" interpolator is
+    // locale-sensitive, and a comma-decimal locale would make the
+    // machine-parsed metric line invalid JSON
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val byName = results.toMap
     System.err.println(results.map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("[bench-detail] {", ",", "}"))
     val qs = headline.flatMap(k => byName.get(k).map(v => s""""$k":${r3(v)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
     // emit twice: a prefixed copy for parsers that strip an sbt-style
     // "[info] " tag, then the bare JSON as the LAST stdout line for
-    // parsers that json.loads the final line directly (sbt itself
-    // appends a "[success]" line after; both copies plus that line fit
-    // the tail window at ~800 B each)
+    // parsers that json.loads the final line directly (build.sbt sets
+    // showSuccess := false so no "[success]" line follows; both copies
+    // fit the ~3 KB tail window at ~800 B each)
     println(s"[info] $json")
     println(json)
     spark.stop()

@@ -14,15 +14,18 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
   * of every abstract and one.
   */
 final class AhoCorasick(patterns: Seq[String]) extends Serializable {
-  // dense goto/fail tables over a 128-wide ASCII alphabet; non-ASCII
-  // chars map to slot 0 (never part of a lowercase ASCII pattern).
+  // dense goto/fail tables over a 128-wide ASCII alphabet. PATTERNS must
+  // be pure ASCII (enforced below; the optimizer rewrite only fires for
+  // ASCII literals): a non-ASCII pattern char would alias with the
+  // slot-0 reset and match haystack characters it shouldn't. HAYSTACKS
+  // may contain anything — see matchesAny.
+  require(patterns.forall(_.forall(_ < 128)),
+    "AhoCorasick patterns must be pure ASCII")
   private val pats = patterns.map(_.toLowerCase).filter(_.nonEmpty)
   private var goto_ : Array[Array[Int]] = _
   private var fail: Array[Int] = _
   private var out: Array[Boolean] = _
   build()
-
-  private def idx(c: Char): Int = if (c < 128) c else 0
 
   private def build(): Unit = {
     val maxNodes = pats.map(_.length).sum + 1
@@ -32,7 +35,7 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
     pats.foreach { p =>
       var s = 0
       p.foreach { c =>
-        val ci = idx(c)
+        val ci: Int = c // pure ASCII by the constructor require
         if (goto_(s)(ci) == -1) { goto_(s)(ci) = nodes; nodes += 1 }
         s = goto_(s)(ci)
       }
@@ -57,13 +60,42 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
     }
   }
 
-  /** True iff any pattern occurs in `text` (case-insensitive). */
+  /** True iff any pattern occurs in `text` (case-insensitive), with
+    * EXACTLY the semantics of `contains(lower(text), pat)`: pure-ASCII
+    * input takes the allocation-free fast path; any non-ASCII character
+    * falls back to the full-Unicode path so the optimizer rewrite stays
+    * semantics-preserving. */
   def matchesAny(text: String): Boolean = {
     if (pats.isEmpty) return false
     var s = 0
     var i = 0
-    while (i < text.length) {
-      s = goto_(s)(idx(Character.toLowerCase(text.charAt(i))))
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= 128) return matchesAnySlow(text)
+      s = goto_(s)(if (c >= 'A' && c <= 'Z') c + 32 else c)
+      if (out(s)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Non-ASCII path: lowercase the WHOLE string first — mirroring
+    * Spark's `Lower` (UTF8String.toLowerCase delegates to
+    * String.toLowerCase for non-ASCII input), whose mapping can EXPAND
+    * (e.g. 'İ' → "i̇"); per-char Character.toLowerCase would match
+    * patterns the contains() form does not. A non-ASCII char can never
+    * be part of an (ASCII-only) pattern, so it resets the automaton to
+    * the root — the exact longest-matching-prefix behavior, without
+    * aliasing into slot 0. */
+  private def matchesAnySlow(text: String): Boolean = {
+    val lower = text.toLowerCase
+    var s = 0
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      val c = lower.charAt(i)
+      s = if (c < 128) goto_(s)(c) else 0
       if (out(s)) return true
       i += 1
     }

@@ -16,8 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MultiContainsRewrite extends Rule[LogicalPlan] {
 
+  // ASCII literals only: the automaton's dense tables are 128-wide, and
+  // a non-ASCII pattern cannot be represented without aliasing — the
+  // rewrite must stay semantics-preserving, so such chains keep their
+  // original contains() form.
   private def literalPattern(e: Expression): Option[(Expression, String)] = e match {
-    case Contains(Lower(x), Literal(s: UTF8String, _)) => Some((x, s.toString))
+    case Contains(Lower(x), Literal(s: UTF8String, _)) if s.toString.forall(_ < 128) =>
+      Some((x, s.toString))
     case _ => None
   }
 

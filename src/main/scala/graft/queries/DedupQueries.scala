@@ -271,6 +271,9 @@ object DedupQueries {
     val sym = edges.union(edges.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist()
     sym.count()
+    // sym carries everything the loop needs — drop the edge cache now so
+    // repeated invocations (the bench) don't accumulate dead blocks
+    edges.unpersist()
     var cached = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).persist()
     cached.count()

@@ -111,13 +111,23 @@ object ScaleQueries {
   def incPartialRollup(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.ScratchDirs.dir("partials",
       java.lang.Integer.toHexString(dir.hashCode))
+    // partials carry value as DECIMAL, not DOUBLE: decimal addition is
+    // exact and associative, so the partial-merge total is bit-equal to
+    // a direct aggregate no matter how rows split across partitions —
+    // double partials would re-order FP summation and could flake the
+    // 6-dp rounding against the oracle. The per-row double→decimal
+    // quantization (10 dp) is identical in both engines (a double can
+    // never sit exactly on a decimal half, so conversion ties can't
+    // occur).
     Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(28,10)")).as("psum"))
       .write.mode("overwrite").partitionBy("day").parquet(out)
     spark.read.parquet(out)
       .groupBy(date_trunc("month", col("day")).cast("date").as("month"), col("event_type"))
-      .agg(sum(col("pn")).as("n_events"), round(sum(col("psum")), 6).as("sum_value"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("psum")), 6).cast("double").as("sum_value"))
   }
 
   /** Bloom-pruned semi-join (net-new): the J2 semi-join scale path when
@@ -266,7 +276,7 @@ object ScaleQueries {
        "GROUP BY o_orderpriority"),
     "inc_partial_rollup" ->
       ("SELECT CAST(date_trunc('month', ts::DATE) AS DATE) AS month, event_type, " +
-       "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events " +
+       "count(*) AS n_events, round(sum(value::DECIMAL(28,10)), 6)::DOUBLE AS sum_value FROM events " +
        "GROUP BY month, event_type"),
     "bloom_semi_join" ->
       ("SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price " +

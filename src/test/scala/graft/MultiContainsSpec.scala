@@ -30,6 +30,45 @@ class MultiContainsSpec extends SparkSpecBase {
     assert(viaExists == viaAc)
   }
 
+  test("non-ASCII haystacks keep parity with Spark's lower+contains semantics") {
+    // reference = Spark's OWN lower()+contains over a DataFrame — the
+    // exact form the optimizer rewrite replaces — so expansion cases
+    // like dotted-I are pinned against the real (ICU-backed) kernel
+    import spark.implicits._
+    val pats = Seq("it", "rot", "k9", "a b")
+    val alphabet = "ItRoK9ab \u00c9\u00df\u03bb\u0418\u4e2d\ud83c\udf0d\u0130\u212a" // incl. dotted-\u0130 and Kelvin-K
+    val rnd = new scala.util.Random(7)
+    val cases = (Seq.tabulate(2000) { _ =>
+      Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", "\u0130t", "it", "\u212a9", "na\u00efve rot", "a\ud83c\udf0db", "a b")).distinct
+    val df = cases.toDF("text").persist()
+    val viaExists = df.filter(
+      exists(array(pats.map(lit): _*), p => lower(col("text")).contains(p)))
+      .collect().map(_.getString(0)).toSet
+    val viaAc = df.filter(mcfunctions.multi_contains_any(col("text"), pats))
+      .collect().map(_.getString(0)).toSet
+    df.unpersist()
+    assert(viaExists == viaAc,
+      s"only-exists=${(viaExists -- viaAc).take(3)} only-ac=${(viaAc -- viaExists).take(3)}")
+    // non-ASCII patterns are rejected outright, never silently aliased
+    intercept[IllegalArgumentException](new AhoCorasick(Seq("café")))
+  }
+
+  test("rewrite rule leaves OR-chains with non-ASCII literals untouched") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MultiContainsRewrite
+    try {
+      val df = Tables.documents(spark, sfDir).filter(
+        lower(col("text")).contains("vector") ||
+        lower(col("text")).contains("café") ||
+        lower(col("text")).contains("window"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("multi_contains_any"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MultiContainsRewrite)
+    }
+  }
+
   test("optimizer rule collapses a 3+ branch contains OR-chain") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ MultiContainsRewrite

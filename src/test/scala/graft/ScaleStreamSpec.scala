@@ -75,7 +75,8 @@ class ScaleStreamSpec extends SparkSpecBase {
     val direct = Tables.events(spark, sfDir)
       .groupBy(date_trunc("month", to_date(col("ts"))).cast("date").as("month"),
         col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(28,10)")), 6).cast("double").as("sum_value"))
     assert(rolled.exceptAll(direct).isEmpty && direct.exceptAll(rolled).isEmpty,
       "partial-merge rollup diverges from direct aggregation")
   }
