@@ -29,17 +29,48 @@ object TextHash {
     h
   }
 
-  /** SimHash64 over a token array (nulls skipped); term frequency
-    * weights votes naturally via repetition. */
+  private final val PolyMod1 = 1000000007L // both primes < 2^30, so the
+  private final val PolyMod2 = 998244353L  // combined hash stays < 2^60
+
+  /** ORACLE-EXPRESSIBLE string hash: two 30-bit polynomial hashes over
+    * Unicode CODE POINTS, combined as h1·M2 + h2 (< 2^60, no Long
+    * overflow at any intermediate step). Exactly replicable in DuckDB
+    * SQL — `list_reduce` over `unicode(s[i])` with the same (base, mod)
+    * pairs — which is what lets MinHash/SimHash/winnowing pipelines be
+    * checked end-to-end against the oracle, where xxhash64 could not
+    * be. Collision odds across a 100 TB distinct-shingle universe
+    * (~2^40 keys) are ~2^-(60-80)·N² — and a collision can only perturb
+    * a CANDIDATE set; exact verification rejects false pairs. */
+  def poly61(s: UTF8String): Long = {
+    val str = s.toString
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 131 + cp) % PolyMod1
+      h2 = (h2 * 137 + cp) % PolyMod2
+      i += Character.charCount(cp)
+    }
+    h1 * PolyMod2 + h2
+  }
+
+  /** SimHash over a token array (nulls skipped); term frequency weights
+    * votes naturally via repetition. Token hashes come from [[poly61]]
+    * (60 usable bits — fingerprint bits 60-63 are constant 0, which
+    * drops out of every hamming distance) so the WHOLE fingerprint
+    * pipeline has a DuckDB twin and the driver can hash-check it,
+    * where the former FNV-1a token hash could not be expressed. */
   def simhash64(tokens: ArrayData): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = fnv64(tokens.getUTF8String(i))
+        val h = poly61(tokens.getUTF8String(i))
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -48,7 +79,7 @@ object TextHash {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }

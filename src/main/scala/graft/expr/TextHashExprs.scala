@@ -30,6 +30,38 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** `poly61(s)` — the oracle-expressible polynomial string hash (kernel
+  * and rationale in [[TextHash.poly61]]): the hash under every
+  * driver-checkable dedup/fingerprint pipeline. */
+case class PolyHash61(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"poly61 requires string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.poly61(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.poly61($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash61 = copy(newChild)
+  override def prettyName: String = "poly61"
+}
+
 object hashfunctions {
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+  def poly61(c: Column): Column = Bridge.column(PolyHash61(Bridge.expression(c)))
+
+  /** DuckDB twin of [[TextHash.poly61]] over a SQL string expression
+    * `g` (must be a simple reference — it is substituted twice).
+    * Lambda vars are `pa`/`pc` to avoid capturing outer lambda names. */
+  def duckPoly61(g: String): String =
+    (s"(list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length($g)), pi -> unicode($g[pi]))), " +
+     "(pa, pc) -> (pa * 131 + pc) % 1000000007) * 998244353 + " +
+     s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length($g)), pi -> unicode($g[pi]))), " +
+     "(pa, pc) -> (pa * 137 + pc) % 998244353))")
 }

@@ -42,10 +42,13 @@ object Dedup {
     when(size(tokens) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
-  /** Sorted distinct 64-bit shingle-hash array — the canonical hashed
-    * shingle-set representation both dedup queries join and verify on. */
+  /** Sorted distinct 60-bit shingle-hash array — the canonical hashed
+    * shingle-set representation both dedup queries join and verify on.
+    * Hashed with the ORACLE-EXPRESSIBLE [[graft.expr.TextHash.poly61]]
+    * (not xxhash64) so the MinHash/LSH pipeline built on these hashes
+    * has an exact DuckDB twin the driver can hash-check. */
   def shingleHashes(grams: Column): Column =
-    array_sort(array_distinct(transform(grams, g => xxhash64(g))))
+    array_sort(array_distinct(transform(grams, g => graft.expr.hashfunctions.poly61(g))))
 
   /** Exact set Jaccard from two shingle arrays — integer set sizes, so
     * the double division is bit-identical across engines. */

@@ -47,6 +47,18 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** k sign-bits of CONSECUTIVE embedding coordinates starting at
+    * 0-based `startDim` — axis-aligned random-hyperplane LSH (the
+    * planes are the coordinate axes; for zero-centered embeddings the
+    * collision probability matches the random-plane form). Unlike
+    * [[randomHyperplaneBits]] (driver-seeded Gaussian planes), the
+    * bucket is a pure function of the data, so a SQL oracle can replay
+    * it exactly — sign tests are bit-exact in any engine. */
+  def signBucketBits(v: Column, startDim: Int, k: Int): Column =
+    (0 until k).map { j =>
+      when(element_at(v, startDim + j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** IVF index: k coarse centroids learned with `iters` Lloyd steps
     * from a deterministic seed assignment (vec_id % k), then each
     * vector labeled with its nearest centroid. Returns (df + `cluster`
@@ -66,7 +78,7 @@ object Similarity {
                iters: Int): (DataFrame, DataFrame) = {
     var assigned = df.withColumn("cluster", col(idCol) % k)
     (0 until iters).foreach { _ =>
-      val cents = centroids(assigned, "cluster", vecCol).collect()
+      val cents = roundedCentroids(assigned, vecCol).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)
       val scored = cents.map { case (c, v) =>
@@ -76,8 +88,21 @@ object Similarity {
                 else greatest(scored.toIndexedSeq: _*)
       assigned = df.withColumn("cluster", (-top.getField("nc")).cast("long"))
     }
-    (assigned, centroids(assigned, "cluster", vecCol))
+    (assigned, roundedCentroids(assigned, vecCol))
   }
+
+  /** Centroids with components ROUNDED to 9 dp: the per-dimension mean
+    * is the one value in the IVF pipeline whose floating-point SUMMATION
+    * ORDER varies (partial aggregation merges in arrival order — across
+    * engines AND across Spark runs), drifting ~1 ulp. Quantizing to 9 dp
+    * makes the model parameters bit-identical everywhere, so every
+    * downstream cosine/argmax/rank computed FROM them is bit-identical
+    * too — a determinism pin (IVF is approximate; 9 dp is far beyond
+    * any recall-relevant precision), and what lets a SQL oracle replay
+    * the index build exactly. */
+  private def roundedCentroids(df: DataFrame, vecCol: String): DataFrame =
+    centroids(df, "cluster", vecCol)
+      .select(col("cluster"), transform(col("centroid"), x => round(x, 9)).as("centroid"))
 
   /** Per-dimension mean vectors (centroids) by key: posexplode → one
     * partial-aggregated groupBy on (key, pos) → re-assembled array in

@@ -19,6 +19,18 @@ object DedupQueries {
   val Bands = 8 // 8 bands x 4 rows: P[candidate] = 1-(1-j^4)^8 ≈ 1 at j≥0.7
   val SimhashMaxHamming = 6
   val MinhashSeed = 42L
+  /** The modulus both engines fold band keys under (see [[duckBand]]). */
+  private val BandMod = 1000000007L
+
+  /** The 32 affine "permutations" a·h+b (odd a): generated ONCE at
+    * object init from the pinned seed, shared by the Spark query and
+    * the DuckDB oracle string — the coefficients are literals in both
+    * plans, so the two engines run the byte-identical minhash. */
+  private[graft] val MinhashCoefs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(MinhashSeed)
+    Array.fill(MinhashPerms)(
+      (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
 
   /** Persisted 1-row-per-doc hashed-shingle table shared by the dedup
     * pipelines (and BOTH sides of the recall query — one cache, not
@@ -111,35 +123,39 @@ object DedupQueries {
   }
 
   /** MinHash+LSH: signature → bands → bucket equi-join → exact verify.
-    * Rows-only for the driver (xxhash64 has no DuckDB twin); recall vs
-    * the exact baseline asserted in DedupQueriesSpec. */
+    * Every step (poly61 shingle hash, affine perms, folded band keys)
+    * has an exact DuckDB twin, so the driver hash-checks the full
+    * pipeline; recall vs the exact baseline is ALSO asserted in
+    * DedupQueriesSpec and oracle-enforced via dedup_minhash_recall. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(shingleTable(spark, dir))
 
   private def minhashPairsFrom(sh: DataFrame): DataFrame = {
     val rows = MinhashPerms / Bands
     // one base hash per (doc, shingle) row; the 32 "permutations" are
-    // affine maps a*h+b (odd a, Long wrap) min-aggregated in a SINGLE
-    // shuffle on doc_id — avoids re-evaluating the shingle transform
-    // per permutation (a 32x expression-inlining blow-up in the naive
+    // affine maps a*h+b (odd a) min-aggregated in a SINGLE shuffle on
+    // doc_id — avoids re-evaluating the shingle transform per
+    // permutation (a 32x expression-inlining blow-up in the naive
     // array-expression form).
-    // 31-bit hash x 31-bit odd multiplier stays within Long (ANSI mode
-    // forbids overflow); 31 bits of min-hash resolution is ample.
-    val rnd = new scala.util.Random(MinhashSeed)
-    val coefs = Array.fill(MinhashPerms)(
-      (rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
+    // poly61 gives 60 bits; >> 29 keeps 31 — a 31-bit hash x 31-bit odd
+    // multiplier stays within Long (ANSI mode forbids overflow), and 31
+    // bits of min-hash resolution is ample.
     val ex = sh.select(col("doc_id"), explode(col("hs")).as("shash"))
-      .withColumn("h", shiftrightunsigned(col("shash"), 33))
-    val sigCols = coefs.zipWithIndex.map { case ((a, b), i) =>
+      .withColumn("h", shiftrightunsigned(col("shash"), 29))
+    val sigCols = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
       min(col("h") * lit(a) + lit(b)).as(s"s_$i")
     }
     val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    // one 64-bit hash per band (band index folded in) instead of a
-    // concat_ws string: the candidate join shuffles and compares a
-    // single long. A cross-band hash collision can only ADD a candidate
-    // pair, which the exact verify below rejects — recall is unaffected.
+    // one folded long per band (band index is the fold seed) instead of
+    // a concat_ws string: the candidate join shuffles and compares a
+    // single long, and the modular fold — unlike xxhash64 — is
+    // expressible in the DuckDB oracle. A cross-band fold collision can
+    // only ADD a candidate pair, which the exact verify below rejects —
+    // and the oracle replays the identical fold, so parity is exact.
     val bandCols = (0 until Bands).map { bi =>
-      xxhash64(lit(bi) +: (0 until rows).map(r => col(s"s_${bi * rows + r}")): _*)
+      (0 until rows).foldLeft(lit(bi.toLong): org.apache.spark.sql.Column) { (acc, r) =>
+        (acc * 131L + (col(s"s_${bi * rows + r}") % BandMod)) % BandMod
+      }
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_val"))
     val a = banded.select(col("band_val"), col("doc_id").as("id_a"))
@@ -318,7 +334,61 @@ object DedupQueries {
     "dedup_components"     -> (dedupComponents _),
   )
 
+  import graft.expr.hashfunctions.duckPoly61
+
+  /** DuckDB twin of [[shingleTable]]: 3-gram strings → sorted distinct
+    * poly61 hashes per doc (docs under 3 words dropped, as in Spark). */
+  private val hashedShingleCte =
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents " +
+     "WHERE len(string_split(text, ' ')) >= 3), " +
+     "sg AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-2), gi -> " +
+     "ws[gi] || ' ' || ws[gi+1] || ' ' || ws[gi+2]) AS sg FROM t), " +
+     s"sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(sg, g -> ${duckPoly61("g")}))) AS hs FROM sg)")
+
+  /** DuckDB twin of the Spark band fold (seed = band index). */
+  private def duckBand(bi: Int): String = {
+    val rows = MinhashPerms / Bands
+    (0 until rows).foldLeft(bi.toString) { (acc, r) =>
+      s"(($acc * 131 + (s_${bi * rows + r} % $BandMod)) % $BandMod)"
+    }
+  }
+
+  /** Full DuckDB replay of [[dedupMinhashLsh]]: same shingle hashes,
+    * same 32 affine perms (coefficients inlined from [[MinhashCoefs]]),
+    * same folded band keys, same bucket join + exact verify — so even
+    * LSH's recall misses reproduce exactly and the result hash-matches. */
+  private val minhashLshSql: String = {
+    val sigCols = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h >> 29) * $a + $b)) AS s_$i"
+    }.mkString(", ")
+    val bandArr = (0 until Bands).map(duckBand).mkString("[", ", ", "]")
+    (hashedShingleCte +
+     s", sig AS (SELECT doc_id, $sigCols FROM sh)" +
+     s", bands AS (SELECT doc_id, unnest($bandArr) AS band_val FROM sig)" +
+     ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
+     "JOIN bands b USING (band_val) WHERE a.doc_id < b.doc_id) " +
+     "SELECT id_a, id_b, round(j, 6) AS jaccard FROM (" +
+     "SELECT c.id_a, c.id_b, len(list_intersect(x.hs, y.hs))::DOUBLE / " +
+     "(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS j " +
+     "FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id) " +
+     s"WHERE j >= $JaccardThreshold")
+  }
+
+  /** DuckDB twin of [[graft.expr.TextHash.simhash64]] (60 voting bits
+    * over poly61 token hashes) + all-pairs hamming — equal to the
+    * Spark pigeonhole form, whose candidate set is guaranteed complete. */
+  private val simhashSql: String =
+    ("WITH th AS (SELECT doc_id, list_transform(string_split(text, ' '), tk -> " +
+     duckPoly61("tk") + ") AS hs FROM documents), " +
+     "fp AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b -> " +
+     "CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 " +
+     "THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sh FROM th) " +
+     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh))::BIGINT AS hamming " +
+     s"FROM fp a, fp b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= $SimhashMaxHamming")
+
   val oracle: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql,
     "dedup_exact" ->
       ("SELECT sha256(text) AS digest, min(doc_id) AS keeper_id, count(*) AS n_copies " +
        "FROM documents GROUP BY digest"),
@@ -331,9 +401,6 @@ object DedupQueries {
        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
        "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
        "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
-    // dedup_minhash_lsh / dedup_simhash: driver rows-only (hash funcs
-    // have no DuckDB equivalent); recall asserted in DedupQueriesSpec
-    // AND oracle-enforced via dedup_minhash_recall.
     "dedup_minhash_recall" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +

@@ -105,12 +105,17 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** LSH scale path: bucket on hyperplane sign-bits, equi-join on
-    * bucket, exact-cosine verify. Not SQL-oracle-expressible (seeded
-    * hyperplanes live driver-side) → rows-only check + recall spec. */
+  /** LSH scale path: bucket on sign-bits (table t = the 4 coordinate
+    * axes 4t..4t+3 — 16 tables exactly tile the 64 dims), equi-join on
+    * bucket, exact-cosine verify. Axis-aligned planes make the bucket a
+    * pure function of the data, so the DuckDB oracle replays the WHOLE
+    * pipeline — including LSH's recall misses — and the driver
+    * hash-checks it (driver-seeded Gaussian planes were rows-only).
+    * Recall vs the exact baseline additionally oracle-enforced in
+    * [[annLshRecall]]. */
   def annLshNearDup(spark: SparkSession, dir: String): DataFrame = {
     val buckets = array((0 until LshTables).map { t =>
-      randomHyperplaneBits(col("embedding"), 64, LshBits, LshSeed + t)
+      signBucketBits(col("embedding"), t * LshBits, LshBits)
     }: _*)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(buckets).as(Seq("tbl", "bucket")))
@@ -132,10 +137,13 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cos_sim"))
   }
 
-  /** IVF ANN: coarse-quantize into 8 clusters (2 Lloyd steps,
-    * deterministic seeding), probe the 3 nearest clusters per query,
-    * exact top-5 within the probed subset. Rows-only (k-means has no
-    * SQL twin); recall vs brute force asserted in the spec. */
+  /** IVF ANN: coarse-quantize into 8 clusters (deterministic vec_id%8
+    * seeding + Lloyd steps over 9-dp-pinned centroids), probe the 3
+    * nearest clusters per query, exact top-5 within the probed subset.
+    * The deterministic seeding and centroid pinning give the k-means an
+    * exact DuckDB twin, so the driver hash-checks the full IVF
+    * build+search; recall vs brute force is ALSO oracle-enforced in
+    * [[annIvfRecall]] and asserted in the spec. */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // ONE Lloyd step: near-random embeddings cluster poorly whether
@@ -278,6 +286,15 @@ object SimilarityQueries {
 
   private def cos(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
 
+  /** Per-cluster per-dimension means, rounded to 9 dp — the DuckDB twin
+    * of Similarity.roundedCentroids (see its scaladoc for why rounding
+    * makes the whole IVF replay bit-deterministic across engines). */
+  private def duckCentroids(src: String, out: String): String =
+    (s"$out AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM (" +
+     "SELECT cluster, pos, round(avg(x), 9) AS m FROM (" +
+     s"SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $src) " +
+     "GROUP BY cluster, pos) GROUP BY cluster)")
+
   private val bruteTopkSql =
     (s"SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (" +
      s"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +
@@ -288,6 +305,31 @@ object SimilarityQueries {
      "WHERE rnk <= 5")
 
   val oracle: Map[String, String] = Map(
+    // full DuckDB replay of the IVF build + search: vec_id % 8 seed
+    // assignment, ONE Lloyd step over 9-dp-pinned centroids, nprobe=3
+    // probes, exact top-5 within the probed clusters — identical
+    // tie-breaks (cluster asc / vec_id asc) to the Spark argmax/window
+    "ann_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+       "a0 AS (SELECT vec_id, v, vec_id % 8 AS cluster FROM e), " +
+       duckCentroids("a0", "c0") + ", " +
+       "s1 AS (SELECT a0.vec_id, a0.v, c.cluster, " +
+       s"row_number() OVER (PARTITION BY a0.vec_id ORDER BY ${cos("a0.v", "c.centroid")} DESC, c.cluster ASC) AS rn " +
+       "FROM a0, c0 c), " +
+       "a1 AS (SELECT vec_id, v, cluster FROM s1 WHERE rn = 1), " +
+       duckCentroids("a1", "c1") + ", " +
+       "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+       "pr AS (SELECT query_id, qv, cluster FROM (" +
+       "SELECT q.query_id, q.qv, c.cluster, " +
+       s"row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "c.centroid")} DESC, c.cluster ASC) AS rn " +
+       "FROM q, c1 c) WHERE rn <= 3) " +
+       "SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (" +
+       "SELECT pr.query_id, a1.vec_id AS neighbor_id, " +
+       s"${cos("a1.v", "pr.qv")} AS sim, " +
+       "row_number() OVER (PARTITION BY pr.query_id ORDER BY " +
+       s"${cos("a1.v", "pr.qv")} DESC, a1.vec_id ASC) AS rnk " +
+       "FROM a1 JOIN pr ON a1.cluster = pr.cluster WHERE a1.vec_id != pr.query_id) " +
+       "WHERE rnk <= 5"),
     "ann_topk_agg" -> bruteTopkSql,
     "ann_brute_topk" ->
       (s"SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (" +
@@ -314,8 +356,22 @@ object SimilarityQueries {
        "FROM embeddings e, cent c) " +
        "SELECT label, pred_label, count(*) AS n FROM scored WHERE rn = 1 " +
        "GROUP BY label, pred_label"),
-    // ann_lsh_neardup intentionally omitted → driver rows-only check
-    // (quality oracle-enforced via ann_lsh_recall / ann_ivf_recall).
+    // full DuckDB replay of the sign-bucket LSH: 16 tables x 4 sign
+    // bits, bucket equi-join, exact cosine verify — parity is exact
+    // because sign tests and the double cosine are engine-independent
+    "ann_lsh_neardup" ->
+      ("WITH b AS (SELECT vec_id, g.t AS tbl, " +
+       "CAST(list_sum(list_transform(generate_series(0, 3), j -> " +
+       "CASE WHEN embedding[g.t*4 + j + 1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket " +
+       "FROM embeddings, generate_series(0, 15) g(t)), " +
+       "cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b FROM b a " +
+       "JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket WHERE a.vec_id < c.vec_id) " +
+       "SELECT id_a, id_b, round(sim, 6) AS cos_sim FROM (" +
+       "SELECT cand.id_a, cand.id_b, " +
+       s"${cos("x.embedding", "y.embedding")} AS sim " +
+       "FROM cand JOIN embeddings x ON cand.id_a = x.vec_id " +
+       "JOIN embeddings y ON cand.id_b = y.vec_id) " +
+       s"WHERE sim >= $NearDupThreshold"),
     "ann_lsh_recall" ->
       (s"SELECT count(*)::BIGINT AS n_true_pairs, TRUE AS recall_ok, TRUE AS precision_ok " +
        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +

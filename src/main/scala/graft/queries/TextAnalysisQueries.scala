@@ -118,8 +118,11 @@ object TextAnalysisQueries {
   }
 
   /** Winnowing fingerprint (Schleimer et al. 2003): 4-gram shingle
-    * hashes → min per 5-window → distinct sorted signature. xxhash64
-    * has no DuckDB twin → rows-only; properties in the spec.
+    * hashes → min per 5-window → distinct sorted signature. Gram hashes
+    * are the oracle-expressible poly61, so the driver checks the full
+    * fingerprint pipeline against a DuckDB replay (it was rows-only
+    * under xxhash64); the pair-overlap contract stays in
+    * [[taWinnowOverlap]] and the spec.
     *
     * Each intermediate array is materialized as its OWN projection so
     * the lambdas below reference a bound attribute, not an inlined
@@ -141,7 +144,7 @@ object TextAnalysisQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(ws) >= 8)
-      .select(col("doc_id"), transform(grams, g => xxhash64(g)).as("hashes"))
+      .select(col("doc_id"), transform(grams, g => graft.expr.hashfunctions.poly61(g)).as("hashes"))
       .select(col("doc_id"), mins.as("mins"))
       .select(col("doc_id"), fp.as("fingerprint"))
   }
@@ -149,10 +152,11 @@ object TextAnalysisQueries {
   def taFingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprints(spark, dir)
       // scalar signature at the sink (array result columns are not
-      // hashable by the driver's row-compare harness): order-sensitive
-      // digest of the sorted-distinct fingerprint + its cardinality
+      // hashable by the driver's row-compare harness): the joined
+      // fingerprint string is order-sensitive, lossless, and — unlike
+      // the former xxhash64 digest — byte-replicable by the oracle
       .select(col("doc_id"),
-        xxhash64(concat_ws(",", transform(col("fingerprint"), _.cast("string")))).as("fp_sig"),
+        concat_ws(",", transform(col("fingerprint"), _.cast("string"))).as("fp_sig"),
         size(col("fingerprint")).cast("long").as("n_fp"))
 
   /** Winnowing quality as oracle-checked data: for every exact
@@ -258,8 +262,19 @@ object TextAnalysisQueries {
        "len(list_filter(['el','la','de','los','que'], m -> list_contains(ws, m)))::BIGINT AS s_es, " +
        "len(list_filter(['der','die','das','und','ist'], m -> list_contains(ws, m)))::BIGINT AS s_de " +
        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))"),
-    // ta_fingerprint_winnow: rows-only (xxhash64 not in DuckDB);
-    // fingerprint quality oracle-enforced via ta_winnow_overlap.
+    // full DuckDB replay of the winnowing pipeline: poly61 4-gram
+    // hashes → min per 5-window → sorted-distinct signature, joined to
+    // the same lossless comma string the Spark side emits
+    "ta_fingerprint_winnow" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents " +
+       "WHERE len(string_split(text, ' ')) >= 8), " +
+       "g AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-3), gi -> " +
+       "ws[gi] || ' ' || ws[gi+1] || ' ' || ws[gi+2] || ' ' || ws[gi+3]) AS grams FROM t), " +
+       s"h AS (SELECT doc_id, list_transform(grams, g -> ${graft.expr.hashfunctions.duckPoly61("g")}) AS hashes FROM g), " +
+       "m AS (SELECT doc_id, list_transform(generate_series(1, len(hashes)-4), wi -> " +
+       "list_min(hashes[wi:wi+4])) AS mins FROM h), " +
+       "f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fp FROM m) " +
+       "SELECT doc_id, array_to_string(fp, ',') AS fp_sig, len(fp)::BIGINT AS n_fp FROM f"),
     "ta_winnow_overlap" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
        "sh AS (SELECT doc_id, len(ws) AS nw, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
