@@ -231,10 +231,10 @@ object DedupQueries {
         (col("extras") === 0).as("precision_ok"))
   }
 
-  /** SimHash quality as oracle-checked data: recall of the hamming≤6
-    * candidate pairs against the exact Jaccard≥0.7 pairs (the spec's
-    * ≥0.9 assertion with margin; SimHash admits false positives by
-    * design, so precision is not asserted). */
+  /** SimHash quality as oracle-checked data: recall ≥ 0.9 of the exact
+    * Jaccard≥0.7 pairs among the hamming≤6 pairs (measured 0.95–1.0 at
+    * sf0.001/0.01/0.1 on the poly61-voted fingerprint; SimHash admits
+    * false positives by design, so precision is not asserted). */
   def dedupSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = ngramPairsFrom(shingleTable(spark, dir))
       .select(col("id_a"), col("id_b"), lit(1).as("t"))
@@ -244,7 +244,7 @@ object DedupQueries {
       .agg(coalesce(sum(col("t")), lit(0)).as("n_true"),
         coalesce(sum(col("t") * col("f")), lit(0)).as("hits"))
       .select(col("n_true").cast("long").as("n_true_pairs"),
-        (col("hits") >= col("n_true") * 0.8).as("recall_ok"))
+        (col("hits") >= col("n_true") * 0.9).as("recall_ok"))
   }
 
   /** Connected components over the near-dup pair graph (net-new): the

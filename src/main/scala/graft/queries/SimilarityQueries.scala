@@ -147,9 +147,9 @@ object SimilarityQueries {
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // ONE Lloyd step: near-random embeddings cluster poorly whether
-    // refined once or twice (measured recall 0.56-0.64 at one step vs
-    // 0.60-0.72 at two, both far above the >=0.3/0.4 contracts), and
-    // each extra step costs a full assign+reduce round over the corpus
+    // refined once or twice (measured recall 0.56-0.68 at one step vs
+    // 0.60-0.72 at two, both above the >=0.5 contract), and each extra
+    // step costs a full assign+reduce round over the corpus
     val (assigned, cents) = ivfIndex(e, "vec_id", "embedding", k = 8, iters = 1)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -227,8 +227,10 @@ object SimilarityQueries {
   }
 
   /** LSH near-dup quality as oracle-checked data (see
-    * DedupQueries.dedupMinhashRecall): true-pair count + recall ≥ 0.5
-    * and exact precision (cosine-verified candidates only). */
+    * DedupQueries.dedupMinhashRecall): true-pair count + recall ≥ 0.8
+    * and exact precision (cosine-verified candidates only). Measured
+    * 0.94–0.96 at sf0.001/0.01/0.1 with the sign-bucket tables, so the
+    * contract has margin without admitting silent erosion. */
   def annLshRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = annNearDupPairs(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("t"))
@@ -240,13 +242,14 @@ object SimilarityQueries {
         coalesce(sum(col("t") * col("f")), lit(0)).as("hits"),
         coalesce(sum(when(col("t").isNull, 1).otherwise(0)), lit(0)).as("extras"))
       .select(col("n_true").cast("long").as("n_true_pairs"),
-        (col("hits") >= col("n_true") * 0.5).as("recall_ok"),
+        (col("hits") >= col("n_true") * 0.8).as("recall_ok"),
         (col("extras") === 0).as("precision_ok"))
   }
 
-  /** IVF quality as oracle-checked data: neighbor-set recall ≥ 0.3 vs
-    * brute force at 3/8 probes, and the structural guarantee that IVF
-    * still returns exactly k per query. */
+  /** IVF quality as oracle-checked data: neighbor-set recall ≥ 0.5 vs
+    * brute force at 3/8 probes (measured 0.56–0.68 at all three SFs),
+    * and the structural guarantee that IVF still returns exactly k per
+    * query. */
   def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = annBruteTopk(spark, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("t"))
@@ -257,7 +260,7 @@ object SimilarityQueries {
         coalesce(sum(col("t") * col("f")), lit(0)).as("hits"),
         coalesce(sum(col("f")), lit(0)).as("n_ivf"))
       .select(col("n_true").cast("long").as("n_true_neighbors"),
-        (col("hits") >= col("n_true") * 0.3).as("recall_ok"),
+        (col("hits") >= col("n_true") * 0.5).as("recall_ok"),
         (col("n_ivf") === col("n_true")).as("k_ok"))
   }
 

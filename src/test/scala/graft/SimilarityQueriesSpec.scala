@@ -51,17 +51,17 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(plan.contains("topk_pairs"), plan)
   }
 
-  test("LSH near-dup achieves >=60% recall vs exact all-pairs") {
+  test("LSH near-dup achieves >=80% recall vs exact all-pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(SimilarityQueries.annNearDupPairs(spark, sfDir))
     val lsh = pairs(SimilarityQueries.annLshNearDup(spark, sfDir))
     assert(lsh.subsetOf(exact), "LSH reported a pair below threshold")
     val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.6, f"LSH recall $recall%.2f < 0.6 (${lsh.size}/${exact.size})")
+    assert(recall >= 0.8, f"LSH recall $recall%.2f < 0.8 (${lsh.size}/${exact.size})")
   }
 
-  test("IVF top-k achieves >=40% recall of brute-force neighbors at 3/8 probes") {
+  test("IVF top-k achieves >=50% recall of brute-force neighbors at 3/8 probes") {
     def nbrs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -70,7 +70,7 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     // near-random embeddings cluster poorly, so the bound is modest;
     // the structural guarantee tested here is probe-subset search
-    assert(recall >= 0.4, f"IVF recall $recall%.2f")
+    assert(recall >= 0.5, f"IVF recall $recall%.2f")
     assert(ivf.size == exact.size, "IVF must still return k per query")
   }
 
