@@ -178,6 +178,60 @@ object SourceQueries {
       .select(col("scr_ui"), col("rep_name"))
   }
 
+  /** S5: source-side ingestion manifest (download_raw.sh:19-39,
+    * finalize_realease.py:741-798 capture a per-input-file release
+    * manifest — listing, counts, checksums — before processing). The
+    * feed is staged as a sharded directory; the manifest query then
+    * reads it back and derives, PER INPUT FILE, the row count, key
+    * range, file count, and an order-independent content signature
+    * (bit_xor of per-row poly61 digests — xor is commutative, never
+    * overflows, and scales to any row count where a modular SUM would
+    * wrap). File identity comes from the scan's own `_metadata`
+    * column, so the manifest is computed at the source, not trusted
+    * from the producer — the other half of the P1 provenance story. */
+  def s5IngestManifest(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp(dir, "ingest_feed")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), (col("o_orderkey") % 4).as("shard"))
+      // explicit repartition on the shard key: each shard lives in
+      // exactly one task, so each partition dir gets exactly one file —
+      // the manifest's n_files is then itself an oracle-checked value
+      .repartition(4, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    spark.read.parquet(out)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("shard"),
+        col("_metadata.file_path").as("path"))
+      .withColumn("digest",
+        graft.expr.hashfunctions.poly61(concat_ws("|", col("o_orderkey"), col("o_orderstatus"))))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(countDistinct(col("path")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(digest)").as("content_sig"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** U1: ordered multi-file concatenation (process_pubmed.sh:147-151 —
+    * baseline + updatefiles concatenated into one stream). Two slices
+    * are staged as SEPARATE directories and read back as ONE scan over
+    * the path LIST — Spark's native form of the reference's `cat f1
+    * f2`: a single FileScan whose partitions preserve per-file
+    * provenance via `_metadata`, with no shuffle added by the union.
+    * The aggregate pins both that all rows arrive and that each row's
+    * source file is attributed correctly. */
+  def u1UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp(dir, "union_feed")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+    li.filter(col("l_linenumber") <= 4).write.mode("overwrite").parquet(s"$out/baseline")
+    li.filter(col("l_linenumber") > 4).write.mode("overwrite").parquet(s"$out/update1")
+    spark.read.parquet(s"$out/baseline", s"$out/update1")
+      .withColumn("src",
+        regexp_extract(col("_metadata.file_path"), "union_feed/([a-z0-9]+)/", 1))
+      .groupBy(col("src"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
   /** S7/T2: key-level resume — anti-join the input against the
     * already-done key set, then summarize remaining work. */
   def s7ResumeAnti(spark: SparkSession, dir: String): DataFrame = {
@@ -193,7 +247,9 @@ object SourceQueries {
     "s2_xml_extract"         -> (s2XmlExtract _),
     "s3_xml_nested_mapping"  -> (s3XmlNestedMapping _),
     "s4_line_list_roundtrip" -> (s4LineListRoundtrip _),
+    "s5_ingest_manifest"     -> (s5IngestManifest _),
     "s7_resume_anti"         -> (s7ResumeAnti _),
+    "u1_union_all"           -> (u1UnionAll _),
     "s8_jsonl_roundtrip"     -> (s8JsonlRoundtrip _),
     "s9_orc_roundtrip"       -> (s9OrcRoundtrip _),
     "s10_permissive_badrecords" -> (s10PermissiveBadRecords _),
@@ -214,6 +270,16 @@ object SourceQueries {
        "FROM c JOIN d USING (code) GROUP BY scr_ui HAVING max(CASE WHEN kept THEN 1 ELSE 0 END) = 1"),
     "s4_line_list_roundtrip" ->
       "SELECT DISTINCT p_type FROM part",
+    "s5_ingest_manifest" ->
+      ("SELECT o_orderkey % 4 AS shard, 1::BIGINT AS n_files, count(*) AS n_rows, " +
+       s"bit_xor(${graft.expr.hashfunctions.duckPoly61("(o_orderkey::VARCHAR || '|' || o_orderstatus)")}) AS content_sig, " +
+       "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+       "FROM orders GROUP BY shard"),
+    "u1_union_all" ->
+      ("SELECT src, l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+       "FROM (SELECT 'baseline' AS src, l_returnflag, l_quantity FROM lineitem WHERE l_linenumber <= 4 " +
+       "UNION ALL SELECT 'update1', l_returnflag, l_quantity FROM lineitem WHERE l_linenumber > 4) " +
+       "GROUP BY src, l_returnflag"),
     "s7_resume_anti" ->
       ("SELECT o_orderstatus, count(*) AS n_remaining FROM orders " +
        "WHERE o_orderkey % 7 != 0 GROUP BY o_orderstatus"),

@@ -13,6 +13,27 @@ class SourcesSpec extends SparkSpecBase {
       }
   }
 
+  test("s5 manifest sees exactly one file per shard with full key coverage") {
+    val m = SourceQueries.s5IngestManifest(spark, sfDir).collect()
+    assert(m.length == 4, s"expected 4 shards, got ${m.length}")
+    assert(m.forall(_.getAs[Long]("n_files") == 1L),
+      "sharded stage must land one file per shard (repartition on the shard key)")
+    val total = m.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables.orders(spark, sfDir).count())
+  }
+
+  test("u1 multi-dir read is ONE scan with correct per-file attribution") {
+    val df = SourceQueries.u1UnionAll(spark, sfDir)
+    assert(df.select("src").distinct().collect().map(_.getString(0)).toSet ==
+      Set("baseline", "update1"))
+    // the path-list read must plan a single relation scan — the Spark
+    // form of ordered file concat — not a Union of two scans
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collectLeaves().size == 1,
+      s"expected 1 scan leaf, got:\n$plan")
+    assert(!plan.toString.contains("Union"), s"unexpected Union:\n$plan")
+  }
+
   test("TSV scan tolerates a malformed short row (the smiles.txt edge case)") {
     // SURVEY §5: data/reference/smiles.txt carries one malformed
     // single-field row — the scan must not abort the job on it.
