@@ -173,6 +173,49 @@ object StreamingQueries {
     spark.table(qname)
   }
 
+  /** t1's APPEND-MODE twin — the continuous 100 TB form: only
+    * watermark-CLOSED windows reach the sink, each exactly once, so
+    * sink volume tracks closed windows (complete mode re-emits the
+    * whole aggregate state every trigger — fine for a bounded drain,
+    * unviable continuously). The trailing no-data microbatch flushes
+    * windows closed by the final watermark; windows still inside the
+    * horizon are held back BY DESIGN, and the oracle applies the same
+    * cutoff: window_end <= max(ts) − 1h, with the watermark's
+    * millisecond floor replicated exactly. */
+  def t1StreamTumblingAppend(spark: SparkSession, dir: String): DataFrame = {
+    val stream = decodeTs(stagedEventFeed(spark, dir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val qname = "t1_stream_tumbling_append_" + java.lang.Integer.toHexString(dir.hashCode)
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(qname)
+  }
+
+  /** t6's APPEND-MODE twin (see [[t1StreamTumblingAppend]]): emits a
+    * session exactly once, when the watermark passes its end (last
+    * event + gap) and no further merge is possible — the bounded-state
+    * bounded-sink continuous form. Oracle = the islands relation
+    * restricted to sessions whose end clears the final watermark. */
+  def t6StreamSessionAppend(spark: SparkSession, dir: String): DataFrame = {
+    val stream = decodeTs(stagedEventFeed(spark, dir))
+    val agg = StreamOps.sessionCounts(stream, "30 minutes", "1 hour")
+    val qname = "t6_stream_session_append_" + java.lang.Integer.toHexString(dir.hashCode)
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(qname)
+  }
+
   /** T3: idempotent re-publish — the busiest day's summary is written
     * to its dated partition TWICE (wipe + rewrite, finalize_realease
     * .py:105-113); the read-back proves replace-not-duplicate. The
@@ -192,6 +235,8 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_stream_tumbling" -> (t1StreamTumbling _),
+    "t1_stream_tumbling_append" -> (t1StreamTumblingAppend _),
+    "t6_stream_session_append"  -> (t6StreamSessionAppend _),
     "t2_stream_dedup"    -> (t2StreamDedup _),
     "t3_republish"       -> (t3Republish _),
     "t4_stream_stateful" -> (t4StreamStateful _),
@@ -204,6 +249,27 @@ object StreamingQueries {
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
        "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events " +
        "GROUP BY window_start, event_type"),
+    // append-mode twins: the batch relation restricted to windows /
+    // sessions CLOSED by the final watermark. Spark tracks event-time
+    // stats in MILLISECONDS, so the watermark is (max ts floored to ms)
+    // − 1 h — the floor is replicated exactly via epoch_us // 1000.
+    "t1_stream_tumbling_append" ->
+      ("WITH w AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wm_us FROM events) " +
+       "SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+       "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events, w " +
+       "GROUP BY window_start, event_type, wm_us " +
+       "HAVING epoch_us(window_start + INTERVAL 1 HOUR) <= wm_us"),
+    "t6_stream_session_append" ->
+      ("WITH flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+       "OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "grp AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id " +
+       "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), " +
+       "wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wm_us FROM events) " +
+       "SELECT session_start, user_id, n_events FROM (" +
+       "SELECT min(ts) AS session_start, user_id, count(*) AS n_events, " +
+       "epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us " +
+       "FROM grp GROUP BY user_id, sid), wm WHERE end_us <= wm_us"),
     "t2_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "t3_republish" ->

@@ -81,6 +81,22 @@ class ScaleStreamSpec extends SparkSpecBase {
       "partial-merge rollup diverges from direct aggregation")
   }
 
+  test("t1 append mode emits exactly the complete-mode windows the watermark closed") {
+    val complete = StreamingQueries.t1StreamTumbling(spark, sfDir)
+    val append = StreamingQueries.t1StreamTumblingAppend(spark, sfDir)
+    assert(append.count() > 0, "append mode drained nothing")
+    // append ⊂ complete, and what's missing is only the open horizon:
+    // every held-back window must end after max(ts) − 1 h
+    assert(append.exceptAll(complete).isEmpty, "append emitted a row complete mode lacks")
+    val horizon = Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - 3600L * 1000
+    val held = complete.exceptAll(append)
+      .select(min(col("window_start").cast("timestamp"))).collect()(0)
+    assert(held.isNullAt(0) ||
+      held.getTimestamp(0).getTime + 3600L * 1000 > horizon,
+      "a watermark-closed window was held back from the append sink")
+  }
+
   test("t6 streaming sessions match the batch session-window relation") {
     val streamed = StreamingQueries.t6StreamSession(spark, sfDir)
     val batch = Tables.events(spark, sfDir)
