@@ -40,6 +40,7 @@ object Functions {
     "normalize_compound"  -> (e => NormalizeCompound(e.head)),
     "simhash64"           -> (e => SimHash64(e.head)),
     "poly61"              -> (e => PolyHash61(e.head)),
+    "word_gram_poly61"    -> (e => WordGramPoly61(e(0), int(e(1)))),
     "dot_product"         -> (e => DotProduct(e(0), e(1))),
     "bit_tanimoto"        -> (e => BitTanimoto(e(0), e(1))),
     "bit_tversky"         -> (e => BitTversky(e(0), e(1), dbl(e(2)), dbl(e(3)))),

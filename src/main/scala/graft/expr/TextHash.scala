@@ -1,6 +1,6 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static hash kernels for dedup fingerprinting (SimHash, FNV-1a) —
@@ -42,18 +42,85 @@ object TextHash {
     * (~2^40 keys) are ~2^-(60-80)·N² — and a collision can only perturb
     * a CANDIDATE set; exact verification rejects false pairs. */
   def poly61(s: UTF8String): Long = {
-    val str = s.toString
+    // decode code points straight off the UTF-8 bytes — no toString
+    // allocation on the hot path (this runs once per shingle)
     var h1 = 0L
     var h2 = 0L
     var i = 0
-    val n = str.length
+    val n = s.numBytes
     while (i < n) {
-      val cp = str.codePointAt(i)
+      val b0 = s.getByte(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var k = 1
+        while (k < len && i + k < n) {
+          cp = (cp << 6) | (s.getByte(i + k) & 0x3F)
+          k += 1
+        }
+      }
       h1 = (h1 * 131 + cp) % PolyMod1
       h2 = (h2 * 137 + cp) % PolyMod2
-      i += Character.charCount(cp)
+      i += len
     }
     h1 * PolyMod2 + h2
+  }
+
+  /** Fused word-n-gram poly61 hashing: ONE allocation-free pass that
+    * yields, per gram position, poly61 of the string the gram WOULD be
+    * ("w1 w2 w3", single-space-joined) — without materializing the gram
+    * strings, the intermediate array, or a per-element lambda. The
+    * separate build-grams → hash-each form evaluates interpreted HOF
+    * lambdas per element and allocates a String per gram; this kernel
+    * is the same O(n · totalChars) arithmetic with zero garbage —
+    * the scan-stage shape you want when shingling 100 TB of text.
+    * Returns identical values to poly61(concat_ws(" ", gram)). */
+  def wordGramPoly61(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var h1 = 0L
+      var h2 = 0L
+      var k = 0
+      while (k < n) {
+        if (k > 0) { // the ' ' joiner between words (code point 32)
+          h1 = (h1 * 131 + 32) % PolyMod1
+          h2 = (h2 * 137 + 32) % PolyMod2
+        }
+        if (!tokens.isNullAt(i + k)) {
+          val s = tokens.getUTF8String(i + k)
+          var j = 0
+          val nb = s.numBytes
+          while (j < nb) {
+            val b0 = s.getByte(j) & 0xff
+            var cp = b0
+            var len = 1
+            if (b0 >= 0x80) {
+              if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+              else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+              else { cp = b0 & 0x07; len = 4 }
+              var t = 1
+              while (t < len && j + t < nb) {
+                cp = (cp << 6) | (s.getByte(j + t) & 0x3F)
+                t += 1
+              }
+            }
+            h1 = (h1 * 131 + cp) % PolyMod1
+            h2 = (h2 * 137 + cp) % PolyMod2
+            j += len
+          }
+        }
+        k += 1
+      }
+      out(i) = h1 * PolyMod2 + h2
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** SimHash over a token array (nulls skipped); term frequency weights

@@ -52,9 +52,34 @@ case class PolyHash61(child: Expression) extends UnaryExpression {
   override def prettyName: String = "poly61"
 }
 
+/** `word_gram_poly61(tokens, n)` — fused n-gram hashing (kernel and
+  * rationale in [[TextHash.wordGramPoly61]]): one codegen'd pass per
+  * row, no gram-string materialization, no per-element lambda. */
+case class WordGramPoly61(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_gram_poly61 requires array<string> and n >= 1, got ${other.catalogString}, n=$n")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.wordGramPoly61(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.wordGramPoly61($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramPoly61 =
+    copy(child = newChild)
+  override def prettyName: String = "word_gram_poly61"
+}
+
 object hashfunctions {
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def poly61(c: Column): Column = Bridge.column(PolyHash61(Bridge.expression(c)))
+  def word_gram_poly61(c: Column, n: Int): Column =
+    Bridge.column(WordGramPoly61(Bridge.expression(c), n))
 
   /** DuckDB twin of [[TextHash.poly61]] over a SQL string expression
     * `g` (must be a simple reference — it is substituted twice).

@@ -36,24 +36,24 @@ object DedupQueries {
     * pipelines (and BOTH sides of the recall query — one cache, not
     * two identical ones).
     *
-    * The short-doc filter MUST be the cheap token-count form, placed
-    * BEFORE the gram/hash projections: `filter(size(hs) > 0)` after
-    * them is equivalent, but predicate pushdown substitutes the alias
-    * chain into the predicate — the HOF lambdas then re-reference
-    * split(text) per ELEMENT (O(words²) per doc) in the single-task
-    * scan stage (jstack'd: one RUNNABLE thread in UTF8String.split for
-    * 60+ s). size(ws) >= n pushes down to a single cheap split call.
+    * Shingling + hashing is ONE fused codegen'd expression
+    * ([[graft.expr.TextHash.wordGramPoly61]]): no gram strings, no
+    * intermediate array, no interpreted per-element lambdas — the
+    * scan-stage shape that matters when this runs over 100 TB of text.
+    * The short-doc filter stays in the cheap token-count form BEFORE
+    * the hash projection so it pushes down to a single split call.
     *
     * The cache is materialized (count) BEFORE consumers fan out: the
     * index table feeds several join branches, and under AQE those
     * stages otherwise race to compute the same cached partitions
     * concurrently (duplicated shingling work + block-lock contention). */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.hashfunctions.word_gram_poly61
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= ShingleN)
-      .select(col("doc_id"), wordGrams(col("ws"), ShingleN).as("sg"))
-      .select(col("doc_id"), shingleHashes(col("sg")).as("hs"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(word_gram_poly61(col("ws"), ShingleN))).as("hs"))
       .persist()
     sh.count()
     sh

@@ -134,9 +134,6 @@ object TextAnalysisQueries {
     * no shuffle, no UDFs. */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val ws = col("ws")
-    val grams = transform(sequence(lit(1), size(ws) - 3),
-      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-        element_at(ws, i + 2), element_at(ws, i + 3)))
     val h = col("hashes")
     val mins = transform(sequence(lit(1), size(h) - 4),
       w => array_min(slice(h, w, lit(5))))
@@ -144,7 +141,9 @@ object TextAnalysisQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(ws) >= 8)
-      .select(col("doc_id"), transform(grams, g => graft.expr.hashfunctions.poly61(g)).as("hashes"))
+      // gram building + hashing fused into one codegen'd pass (see
+      // TextHash.wordGramPoly61) — no gram strings, no lambda
+      .select(col("doc_id"), graft.expr.hashfunctions.word_gram_poly61(ws, 4).as("hashes"))
       .select(col("doc_id"), mins.as("mins"))
       .select(col("doc_id"), fp.as("fingerprint"))
   }

@@ -144,4 +144,30 @@ object KernelProps extends Properties("kernels") {
       (a == b) == (TextHash.fnv64(UTF8String.fromString(a)) ==
         TextHash.fnv64(UTF8String.fromString(b)))
     }
+
+  // the mixed-script inputs below include multi-byte and astral code
+  // points — they pin the byte-level UTF-8 decode in poly61/wordGramPoly61
+  property("poly61 byte decode == reference fold over String code points") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar.map(_.toString), Gen.oneOf("é", "ß", "λ", "中", "🌍", " "))).map(_.mkString)) { s =>
+      var h1 = 0L; var h2 = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h1 = (h1 * 131 + cp) % 1000000007L
+        h2 = (h2 * 137 + cp) % 998244353L
+        i += Character.charCount(cp)
+      }
+      TextHash.poly61(UTF8String.fromString(s)) == h1 * 998244353L + h2
+    }
+
+  property("wordGramPoly61 == poly61 of the space-joined gram strings") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaStr, Gen.oneOf("é中", "ß", "🌍x", ""))), Gen.choose(1, 4)) { (words, n) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val arr = new GenericArrayData(words.map(w => UTF8String.fromString(w)).toArray[Any])
+      val fused = TextHash.wordGramPoly61(arr, n)
+      val expected =
+        if (words.length < n) Seq.empty[Long]
+        else words.sliding(n).map(g =>
+          TextHash.poly61(UTF8String.fromString(g.mkString(" ")))).toSeq
+      fused.toLongArray().toSeq == expected
+    }
 }
