@@ -170,6 +170,42 @@ object SimilarityQueries {
         round(col("sim"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** Int8 scalar-quantized ANN with exact rescore (net-new): the
+    * SQ8 compression path real vector stores use at scale — each vector
+    * is quantized to integers in [-127,127] with a per-vector scale
+    * (max|x|/127), candidates come from the QUANTIZED cosine (the scale
+    * cancels in cosine, so no dequantization), and only the top-20
+    * candidates pay the full-precision rescore for the final top-5. At
+    * 100 TB the quantized table is 4× smaller than float32 — the scan
+    * and broadcast both shrink by that factor, and the exact vectors
+    * are fetched for ~20 rows per query instead of all N. Quantization
+    * (round half-away) and integral-double arithmetic are bit-exact in
+    * both engines, so the full build+search has a DuckDB replay. */
+  def annQuantizedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // scale materialized as its OWN attribute: the quantize lambda
+      // references it per element (see Dedup.wordGrams on inlining)
+      .withColumn("sc", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("q", when(col("sc") === 0, transform(col("v"), _ => lit(0.0)))
+        .otherwise(transform(col("v"), x => round(x / col("sc"), 0))))
+    val qq = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("q").as("q_q"))
+    val wApprox = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("vec_id").asc)
+    val cand = e.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qsim", cosine(col("q"), col("q_q")))
+      .withColumn("rn", row_number().over(wApprox))
+      .filter(col("rn") <= 20)
+    val wExact = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    cand
+      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(wExact).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
   /** Deterministic bit fingerprint from embedding sign bits: 4 words ×
     * 16 bits, word w bit i set iff embedding[16w+i] > 0 — the stand-in
     * for ECFP fingerprints (chemistry perception is input data per
@@ -266,6 +302,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk"           -> (annIvfTopk _),
+    "ann_quantized_topk"     -> (annQuantizedTopk _),
     "ann_lsh_recall"         -> (annLshRecall _),
     "ann_ivf_recall"         -> (annIvfRecall _),
     "ann_brute_topk"         -> (annBruteTopk _),
@@ -334,6 +371,22 @@ object SimilarityQueries {
        "FROM a1 JOIN pr ON a1.cluster = pr.cluster WHERE a1.vec_id != pr.query_id) " +
        "WHERE rnk <= 5"),
     "ann_topk_agg" -> bruteTopkSql,
+    // SQ8 replay: same per-vector scale, same round-half-away
+    // quantization, quantized-cosine candidates, exact top-5 rescore
+    "ann_quantized_topk" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+       "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e), " +
+       "qt AS (SELECT vec_id, v, CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0) " +
+       "ELSE list_transform(v, x -> round(x / sc)) END AS q FROM s), " +
+       "qq AS (SELECT vec_id AS query_id, v AS qv, q AS q_q FROM qt WHERE vec_id < 5), " +
+       "cand AS (SELECT qq.query_id, qt.vec_id, qt.v, qq.qv, " +
+       s"row_number() OVER (PARTITION BY qq.query_id ORDER BY ${cos("qt.q", "qq.q_q")} DESC, qt.vec_id ASC) AS rn " +
+       "FROM qt, qq WHERE qt.vec_id != qq.query_id) " +
+       "SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (" +
+       s"SELECT query_id, vec_id AS neighbor_id, ${cos("v", "qv")} AS sim, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY " +
+       s"${cos("v", "qv")} DESC, vec_id ASC) AS rnk FROM cand WHERE rn <= 20) " +
+       "WHERE rnk <= 5"),
     "ann_brute_topk" ->
       (s"SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (" +
        s"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, " +

@@ -211,7 +211,77 @@ object TextAnalysisQueries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Train/eval CONTAMINATION check (net-new): the decontamination pass
+    * every LLM training pipeline runs before a corpus ships — which
+    * held-out documents leak into the training set, measured as 8-gram
+    * overlap (the n-gram size used by the GPT-3/PaLM decontamination
+    * procedures). Here the held-out set is the doc_id % 97 slice.
+    *
+    * Scale shape (the part that matters at 100 TB): the CORPUS — the
+    * big side — is scanned ONCE and never shuffled: its grams stream
+    * through a broadcast-hash join against the (small) eval gram set;
+    * only the matched grams (≤ |eval grams|) reach a shuffle. The eval
+    * side is per-doc scored with one tiny aggregation. */
+  def taContamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.hashfunctions.word_gram_poly61
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), array_distinct(word_gram_poly61(col("ws"), 8)).as("gs"))
+    val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val corpusGrams = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(explode(col("gs")).as("g"))
+    // grams of the eval set that occur ANYWHERE in the corpus
+    val hits = corpusGrams
+      .join(broadcast(evalGrams.select(col("g")).distinct()), "g")
+      .select(col("g")).distinct()
+    evalGrams.join(broadcast(hits.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6).as("contamination"),
+        // >= 20% 8-gram overlap flags the doc; integer form avoids any
+        // floating-point threshold comparison
+        (col("n_contaminated") * 5 >= col("n_grams")).as("is_contaminated"))
+  }
+
+  /** Sequence PACKING (net-new): assign documents, in stable doc_id
+    * order, to fixed-token-budget training sequences — the step between
+    * curation and batching. Each doc gets its running-stream offset and
+    * the sequence (bin) its first token lands in.
+    *
+    * The global running sum is computed in TWO PHASES, never a global
+    * single-partition window sort: (1) per-bucket token totals → the
+    * tiny bucket-offset table (|docs|/bucket rows — driver-small at any
+    * corpus size) gets the only ordered window; (2) the full table
+    * cumsums WITHIN its bucket (parallel windows) and adds the
+    * broadcast bucket offset. This is the standard distributed
+    * prefix-sum shape — the naive `Window.orderBy(doc_id)` over
+    * everything funnels 100 TB through one task. */
+  def taPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("doc_id div 100").as("bkt"))
+    val offsets = toks.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("bkt_offset",
+        coalesce(sum(col("bkt_tokens")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("bkt_offset"))
+    val intra = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), "bkt")
+      .withColumn("stream_offset",
+        col("bkt_offset") + coalesce(sum(col("n_tokens")).over(intra), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("stream_offset"),
+        expr("stream_offset div 256").as("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_contamination"      -> (taContamination _),
+    "ta_pack_sequences"     -> (taPackSequences _),
     "ta_tfidf_top_terms"    -> (taTfidfTopTerms _),
     "ta_chunk_windows"      -> (taChunkWindows _),
     "ta_token_count"        -> (taTokenCount _),
@@ -261,6 +331,26 @@ object TextAnalysisQueries {
        "len(list_filter(['el','la','de','los','que'], m -> list_contains(ws, m)))::BIGINT AS s_es, " +
        "len(list_filter(['der','die','das','und','ist'], m -> list_contains(ws, m)))::BIGINT AS s_de " +
        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))"),
+    "ta_contamination" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents " +
+       "WHERE len(string_split(text, ' ')) >= 8), " +
+       "g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-7), gi -> " +
+       graft.expr.hashfunctions.duckPoly61(
+         "(ws[gi]||' '||ws[gi+1]||' '||ws[gi+2]||' '||ws[gi+3]||' '||ws[gi+4]||' '||ws[gi+5]||' '||ws[gi+6]||' '||ws[gi+7])") +
+       ")) AS gs FROM t), " +
+       "eg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 97 = 0), " +
+       "cg AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 97 != 0) " +
+       "SELECT eg.doc_id, count(*)::BIGINT AS n_grams, count(cg.g)::BIGINT AS n_contaminated, " +
+       "round(count(cg.g)::DOUBLE / count(*), 6) AS contamination, " +
+       "(count(cg.g) * 5 >= count(*)) AS is_contaminated " +
+       "FROM eg LEFT JOIN cg ON eg.g = cg.g GROUP BY eg.doc_id"),
+    "ta_pack_sequences" ->
+      ("SELECT doc_id, n_tokens, off AS stream_offset, (off // 256)::BIGINT AS seq_id FROM (" +
+       "SELECT doc_id, n_tokens, " +
+       // ::BIGINT: DuckDB window sum yields HUGEINT, which the compare
+       // harness reads as an object column and silently mismatches
+       "(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS off " +
+       "FROM (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents))"),
     // full DuckDB replay of the winnowing pipeline: poly61 4-gram
     // hashes → min per 5-window → sorted-distinct signature, joined to
     // the same lossless comma string the Spark side emits

@@ -61,6 +61,17 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(recall >= 0.8, f"LSH recall $recall%.2f < 0.8 (${lsh.size}/${exact.size})")
   }
 
+  test("SQ8 quantized top-k recovers >=80% of brute-force neighbors after rescore") {
+    def nbrs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = nbrs(SimilarityQueries.annBruteTopk(spark, sfDir))
+    val sq = nbrs(SimilarityQueries.annQuantizedTopk(spark, sfDir))
+    val recall = exact.intersect(sq).size.toDouble / exact.size
+    assert(recall >= 0.8, f"SQ8 recall $recall%.2f")
+    assert(sq.size == exact.size, "SQ8 must still return k per query")
+  }
+
   test("IVF top-k achieves >=50% recall of brute-force neighbors at 3/8 probes") {
     def nbrs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()

@@ -12,6 +12,50 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("contamination: a verbatim leak is flagged at 1.0; ratios stay in [0,1]") {
+    val real = TextAnalysisQueries.taContamination(spark, sfDir).cache()
+    assert(real.filter(col("contamination") < 0 || col("contamination") > 1).count() == 0)
+    assert(real.filter(col("is_contaminated") =!=
+      (col("n_contaminated") * 5 >= col("n_grams"))).count() == 0)
+    real.unpersist()
+    // synthetic pin: eval doc 0 is a verbatim copy of corpus doc 1 →
+    // contamination 1.0; eval doc 97 shares nothing → 0.0
+    import spark.implicits._
+    val leak = "a b c d e f g h i j"
+    val clean = "q r s t u v w x y z"
+    Seq((0L, leak), (1L, leak), (97L, clean), (2L, "k l m n o p a1 b2 c3 d4"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tmp_contam")
+    val dir = graft.ScratchDirs.dir("spec", "contam")
+    spark.table("tmp_contam").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysisQueries.taContamination(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(0L) == 1.0, s"verbatim leak not flagged: $out")
+    assert(out(97L) == 0.0, s"clean doc flagged: $out")
+  }
+
+  test("pack_sequences: offsets are gapless and the big-table window is partitioned") {
+    val df = TextAnalysisQueries.taPackSequences(spark, sfDir).cache()
+    // gapless stream: sorting by offset, each doc starts where the
+    // previous ended — the two-phase cumsum lost nothing
+    val rows = df.orderBy(col("stream_offset")).collect()
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("stream_offset") == expect,
+        s"gap at doc ${r.getLong(0)}: ${r.getAs[Long]("stream_offset")} != $expect")
+      expect += r.getAs[Long]("n_tokens")
+    }
+    // every seq_id holds at most budget tokens of STARTS (bin index is
+    // start-offset div 256 by construction)
+    df.unpersist()
+    // plan shape: the full-table window must be partitioned (parallel);
+    // only the tiny bucket-offset window may be global
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected the per-bucket (partitioned) cumsum window")
+  }
+
   test("token counts: regex tokens >= whitespace tokens on punctuated text") {
     import spark.implicits._
     val df = Seq(("x", "hello, world! 42 times")).toDF("id", "text")
