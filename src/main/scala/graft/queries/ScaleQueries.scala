@@ -249,7 +249,68 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
   }
 
+  /** 16-bit Morton (Z-order) interleave of two 8-bit bucket ordinals —
+    * pure Column arithmetic, codegen'd. Bucket ordinals must be RANGE
+    * monotone in their source columns so range predicates map to
+    * z-value ranges. */
+  private[graft] def morton8(bx: org.apache.spark.sql.Column,
+                             by: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { j =>
+      shiftright(bx, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j)) +
+        shiftright(by, j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))
+    }.reduce(_ + _)
+
+  /** Z-ORDER clustered layout (net-new): multi-dimensional data
+    * clustering — the lakehouse OPTIMIZE ZORDER technique. A linear
+    * sort gives min/max file-skipping power on ONE column; writing in
+    * Morton-curve order clusters BOTH dimensions, so parquet footer
+    * stats prune files for predicates on either column (or both). The
+    * staged table is range-partitioned + sorted by the z-value (the
+    * write-side clustering); the graded read filters on both key
+    * ranges and aggregates — results are layout-independent (the
+    * oracle ignores layout), while the SPEC measures the thing the
+    * layout is for: under a partkey-only predicate the z-ordered
+    * layout's overlapping-file count must be a fraction of the
+    * linear layout's (which overlaps every file). At 100 TB this is
+    * the difference between scanning a band of the curve and scanning
+    * the whole table. Bucket scaling uses the key MAXIMA — two tiny
+    * scalar aggregates, the same model-parameter transfer as k-means
+    * centroids. */
+  def kZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val out = writeZorder(spark, dir)
+    val (maxOk, maxPk) = keyMaxima(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("l_orderkey").between(maxOk / 4, maxOk / 2) &&
+        col("l_partkey").between(maxPk / 4, maxPk / 2))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  private def keyMaxima(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.lineitem(spark, dir)
+      .agg(max(col("l_orderkey")), max(col("l_partkey"))).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Stage lineitem z-ordered by (orderkey, partkey); returns the path. */
+  private[graft] def writeZorder(spark: SparkSession, dir: String): String = {
+    val out = graft.ScratchDirs.dir("zorder", java.lang.Integer.toHexString(dir.hashCode))
+    val (maxOk, maxPk) = keyMaxima(spark, dir)
+    val bx = least(lit(255L), col("l_orderkey") * 256L / lit(maxOk + 1)).cast("long")
+    val by = least(lit(255L), col("l_partkey") * 256L / lit(maxPk + 1)).cast("long")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"), col("l_quantity"))
+      .withColumn("z", morton8(bx, by))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_zorder_layout"         -> (kZorderLayout _),
     "k_dpp_join"              -> (dppJoin _),
     "bucketed_colocated_join" -> (bucketedColocatedJoin _),
     "salted_skew_agg"         -> (saltedSkewAgg _),
@@ -261,6 +322,13 @@ object ScaleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // layout-independent relation; // = DuckDB integer division, same
+    // truncation as the Scala Long division on the Spark side
+    "k_zorder_layout" ->
+      ("SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty " +
+       "FROM lineitem, (SELECT max(l_orderkey) AS mo, max(l_partkey) AS mp FROM lineitem) m " +
+       "WHERE l_orderkey BETWEEN mo // 4 AND mo // 2 AND l_partkey BETWEEN mp // 4 AND mp // 2 " +
+       "GROUP BY l_returnflag"),
     "bucketed_colocated_join" ->
       ("SELECT o_orderpriority, count(*) AS n_items, " +
        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue " +

@@ -70,6 +70,41 @@ class ScaleStreamSpec extends SparkSpecBase {
       "salted join diverges from direct join")
   }
 
+  test("z-order layout prunes files on the SECOND dimension where linear cannot") {
+    val zdir = ScaleQueries.writeZorder(spark, sfDir)
+    // linear comparison layout: same file count, clustered by orderkey only
+    val ldir = graft.ScratchDirs.dir("zorder_linear",
+      java.lang.Integer.toHexString(sfDir.hashCode))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"), col("l_quantity"))
+      .repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(ldir)
+    val maxPk = Tables.lineitem(spark, sfDir)
+      .agg(max(col("l_partkey"))).collect()(0).getLong(0)
+    val (lo, hi) = (maxPk / 8, maxPk / 4) // a partkey-ONLY predicate
+    // per-file min/max of l_partkey — the stats a parquet footer carries;
+    // a file can be skipped iff its range misses the predicate
+    def overlapping(dir: String): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+        r.getLong(0) <= hi && r.getLong(1) >= lo
+      }
+      (hit, files.length)
+    }
+    val (linHit, linTotal) = overlapping(ldir)
+    val (zHit, zTotal) = overlapping(zdir)
+    // linear-by-orderkey files each span ~the full partkey domain: zero
+    // skipping power on the second dimension
+    assert(linHit == linTotal, s"linear layout unexpectedly pruned: $linHit/$linTotal")
+    // z-order confines the predicate to the curve band that crosses it
+    assert(zHit * 2 <= zTotal,
+      s"z-order should prune >=half the files on a partkey predicate: $zHit/$zTotal")
+  }
+
   test("inc_partial_rollup merges partials to the same totals as raw facts") {
     val rolled = ScaleQueries.incPartialRollup(spark, sfDir)
     val direct = Tables.events(spark, sfDir)
