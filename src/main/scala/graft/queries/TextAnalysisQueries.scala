@@ -279,7 +279,38 @@ object TextAnalysisQueries {
         expr("stream_offset div 256").as("seq_id"))
   }
 
+  /** REPETITION quality signals (net-new): the Gopher/FineWeb-style
+    * boilerplate rules a curation pipeline applies after language and
+    * length filters — fraction of 2-grams taken by the single most
+    * frequent 2-gram, and fraction of duplicated 3-grams. Flags use
+    * integer comparisons (×10, ×2) so no floating-point threshold can
+    * drift between engines. Per-doc cost is quadratic in DOCUMENT
+    * length (mode count over distinct grams), not corpus size — a
+    * bounded per-row cost inside one codegen'd scan, embarrassingly
+    * parallel at 100 TB. */
+  def taRepetitionQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.hashfunctions.word_gram_poly61
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        word_gram_poly61(col("ws"), 2).as("g2"),
+        word_gram_poly61(col("ws"), 3).as("g3"))
+      .select(col("doc_id"), col("n_tokens"),
+        array_max(transform(array_distinct(col("g2")),
+          d => size(filter(col("g2"), x => x === d)))).cast("long").as("top_bigram_n"),
+        size(col("g2")).cast("long").as("n_bigrams"),
+        (size(col("g3")) - size(array_distinct(col("g3")))).cast("long").as("dup_trigrams"),
+        size(col("g3")).cast("long").as("n_trigrams"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        round(col("dup_trigrams").cast("double") / col("n_trigrams"), 6).as("dup_trigram_frac"),
+        (col("top_bigram_n") * 10 >= col("n_bigrams") ||
+          col("dup_trigrams") * 2 >= col("n_trigrams")).as("is_repetitive"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition_quality" -> (taRepetitionQuality _),
     "ta_contamination"      -> (taContamination _),
     "ta_pack_sequences"     -> (taPackSequences _),
     "ta_tfidf_top_terms"    -> (taTfidfTopTerms _),
@@ -331,6 +362,22 @@ object TextAnalysisQueries {
        "len(list_filter(['el','la','de','los','que'], m -> list_contains(ws, m)))::BIGINT AS s_es, " +
        "len(list_filter(['der','die','das','und','ist'], m -> list_contains(ws, m)))::BIGINT AS s_de " +
        "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))"),
+    "ta_repetition_quality" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents " +
+       "WHERE len(string_split(text, ' ')) >= 3), " +
+       "g AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens, " +
+       "list_transform(generate_series(1, len(ws)-1), gi -> " +
+       graft.expr.hashfunctions.duckPoly61("(ws[gi]||' '||ws[gi+1])") + ") AS g2, " +
+       "list_transform(generate_series(1, len(ws)-2), gi -> " +
+       graft.expr.hashfunctions.duckPoly61("(ws[gi]||' '||ws[gi+1]||' '||ws[gi+2])") + ") AS g3 FROM t), " +
+       "m AS (SELECT doc_id, n_tokens, " +
+       "list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d))))::BIGINT AS top_bigram_n, " +
+       "len(g2)::BIGINT AS n_bigrams, " +
+       "(len(g3) - len(list_distinct(g3)))::BIGINT AS dup_trigrams, " +
+       "len(g3)::BIGINT AS n_trigrams FROM g) " +
+       "SELECT doc_id, n_tokens, round(top_bigram_n::DOUBLE / n_bigrams, 6) AS top_bigram_frac, " +
+       "round(dup_trigrams::DOUBLE / n_trigrams, 6) AS dup_trigram_frac, " +
+       "(top_bigram_n * 10 >= n_bigrams OR dup_trigrams * 2 >= n_trigrams) AS is_repetitive FROM m"),
     "ta_contamination" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents " +
        "WHERE len(string_split(text, ' ')) >= 8), " +
