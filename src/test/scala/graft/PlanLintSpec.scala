@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+
+/** Plan lint over the WHOLE registered query surface: sweeps every
+  * `SparkEntry.queries` entry and rejects plan shapes that break the
+  * engine's scale promises. A future query that quietly reaches for a
+  * UDF fails here, not in a 100 TB profile.
+  *
+  * Building each query executes its staging side effects (feed copies,
+  * bucketed writes, streaming drains) at the smoke SF — that is the
+  * point: the lint sees the exact plan the driver runs.
+  */
+class PlanLintSpec extends SparkSpecBase {
+
+  test("no ScalaUDF in any registered query's optimized plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      val hasUdf = plan.exists(_.expressions.exists(_.exists {
+        case _: ScalaUDF => true
+        case _ => false
+      }))
+      // per-query persisted frames (shingle caches etc.) would otherwise
+      // accumulate across the 131-query sweep — same hygiene as Verify
+      spark.catalog.clearCache()
+      if (hasUdf) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"UDF found in: $offenders — use a codegen'd Expression (graft.expr) instead")
+  }
+}
