@@ -21,6 +21,18 @@ class SqlFunctionsSpec extends SparkSpecBase {
       "SELECT simhash64(array('a','b')) AS h1, simhash64(array('a','b')) AS h2").collect().head
     assert(hash.getLong(0) == hash.getLong(1))
 
+    // poly61 pinned vector: the h1 fold of 'hello world' is 285884129 —
+    // cross-checked against DuckDB's list_reduce twin in round 3; a
+    // kernel change that breaks oracle parity breaks this pin first
+    val expectedPoly = graft.expr.TextHash.poly61(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world"))
+    val poly = spark.sql(
+      "SELECT poly61('hello world') AS p, word_gram_poly61(array('hello','world'), 2) AS g")
+      .collect().head
+    assert(poly.getLong(0) == expectedPoly)
+    assert(expectedPoly / 998244353L == 285884129L)
+    assert(poly.getSeq[Long](1) == Seq(expectedPoly))
+
     val dot = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect().head
     assert(dot.getDouble(0) == 11.0)

@@ -33,6 +33,14 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     assert(out(97L) == 0.0, s"clean doc flagged: $out")
   }
 
+  test("contamination plan broadcasts the eval side — the corpus never shuffle-joins") {
+    val plan = TextAnalysisQueries.taContamination(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join planned:\n${plan.take(2000)}")
+  }
+
   test("pack_sequences: offsets are gapless and the big-table window is partitioned") {
     val df = TextAnalysisQueries.taPackSequences(spark, sfDir).cache()
     // gapless stream: sorting by offset, each doc starts where the
