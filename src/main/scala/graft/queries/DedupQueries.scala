@@ -163,16 +163,52 @@ object DedupQueries {
     val cand = a.join(b, Seq("band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // exact verify on the candidate pairs only — shuffle joins keyed on
-    // doc_id (the 100 TB shape: linear in candidates, no driver-side
-    // collect of the shingle table; broadcasting the persisted frame
-    // also proved stall-prone in long benchmark sessions).
+    verifyAgainst(cand, sh)
+  }
+
+  /** Exact verify on candidate pairs only — shuffle joins keyed on
+    * doc_id (the 100 TB shape: linear in candidates, no driver-side
+    * collect of the shingle table; broadcasting the persisted frame
+    * also proved stall-prone in long benchmark sessions). Shared by the
+    * batch LSH pipeline and the streaming bucket-state form. */
+  private def verifyAgainst(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("j", jaccard(col("hs_a"), col("hs_b")))
       .filter(col("j") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+
+  /** Exact-verify a STREAMED candidate set against this dir's shingle
+    * table (the batch side of the streaming LSH dedup). */
+  private[graft] def verifyPairs(spark: SparkSession, dir: String, cand: DataFrame): DataFrame =
+    verifyAgainst(cand.select(col("id_a"), col("id_b")).distinct(), shingleTable(spark, dir))
+
+  /** PROJECTION-ONLY banded docs for STREAMING input: per-row minhash
+    * signature via array HOFs over the bound `hs` attribute — no
+    * groupBy, so it runs stateless inside a streaming microbatch (the
+    * batch form explodes + min-aggregates instead, trading a shuffle
+    * for partial aggregation on the big corpus). Identical band values
+    * to the batch pipeline — same hashes, same affine coefficients,
+    * same fold. Emits (band_val, doc_id). */
+  private[graft] def streamBandedDocs(docs: DataFrame): DataFrame = {
+    import graft.expr.hashfunctions.word_gram_poly61
+    val rows = MinhashPerms / Bands
+    val hs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= ShingleN)
+      .select(col("doc_id"),
+        array_sort(array_distinct(word_gram_poly61(col("ws"), ShingleN))).as("hs"))
+    val sigCols = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => shiftrightunsigned(h, 29) * a + b)).as(s"s_$i")
+    }
+    val sig = hs.select(col("doc_id") +: sigCols.toIndexedSeq: _*)
+    val bandCols = (0 until Bands).map { bi =>
+      (0 until rows).foldLeft(lit(bi.toLong): org.apache.spark.sql.Column) { (acc, r) =>
+        (acc * 131L + (col(s"s_${bi * rows + r}") % BandMod)) % BandMod
+      }
+    }
+    sig.select(explode(array(bandCols: _*)).as("band_val"), col("doc_id"))
   }
 
   /** SimHash near-dup pairs within hamming <= 6, via PIGEONHOLE
@@ -357,7 +393,7 @@ object DedupQueries {
     * same 32 affine perms (coefficients inlined from [[MinhashCoefs]]),
     * same folded band keys, same bucket join + exact verify — so even
     * LSH's recall misses reproduce exactly and the result hash-matches. */
-  private val minhashLshSql: String = {
+  private[graft] val minhashLshSql: String = {
     val sigCols = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h >> 29) * $a + $b)) AS s_$i"
     }.mkString(", ")

@@ -216,6 +216,40 @@ object StreamingQueries {
     spark.table(qname)
   }
 
+  /** STREAMING MinHash-LSH dedup (net-new): continuous near-dup
+    * detection for an arriving corpus — the incremental form of
+    * `dedup_minhash_lsh`. Documents stream through the projection-only
+    * banding (shingle→signature→band keys, all stateless per row);
+    * `flatMapGroupsWithState` keeps per-bucket id lists and emits each
+    * candidate pair exactly once as the later document arrives; the
+    * exact Jaccard verify runs batch-side over the candidates. Because
+    * banding is bit-identical to the batch pipeline and the bucket
+    * state reproduces the band self-join incrementally, the drained
+    * result EQUALS the batch LSH relation — so the SAME DuckDB oracle
+    * checks the whole streaming path. At 100 TB/day this is the shape
+    * that avoids re-joining the full corpus per increment: each new doc
+    * touches only its 8 buckets. */
+  def t7StreamLshDedup(spark: SparkSession, dir: String): DataFrame = {
+    val feed = java.nio.file.Paths.get(
+      graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "docs_feed"))
+    java.nio.file.Files.createDirectories(feed)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      feed.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
+    val banded = DedupQueries.streamBandedDocs(stream)
+    val qname = "t7_stream_lsh_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
+    withStatePartitions(spark, 8) {
+      val q = StreamOps.lshCandidatePairs(spark, banded).toDF("id_a", "id_b")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    DedupQueries.verifyPairs(spark, dir, spark.table(qname))
+  }
+
   /** T3: idempotent re-publish — the busiest day's summary is written
     * to its dated partition TWICE (wipe + rewrite, finalize_realease
     * .py:105-113); the read-back proves replace-not-duplicate. The
@@ -242,6 +276,7 @@ object StreamingQueries {
     "t4_stream_stateful" -> (t4StreamStateful _),
     "t5_stream_stream_join" -> (t5StreamStreamJoin _),
     "t6_stream_session"  -> (t6StreamSession _),
+    "t7_stream_lsh_dedup" -> (t7StreamLshDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -270,6 +305,10 @@ object StreamingQueries {
        "SELECT min(ts) AS session_start, user_id, count(*) AS n_events, " +
        "epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us " +
        "FROM grp GROUP BY user_id, sid), wm WHERE end_us <= wm_us"),
+    // the streaming LSH path drains to the SAME relation as the batch
+    // pipeline (identical banding + exact verify), so it shares the
+    // full minhash replay oracle
+    "t7_stream_lsh_dedup" -> graft.queries.DedupQueries.minhashLshSql,
     "t2_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "t3_republish" ->

@@ -90,6 +90,35 @@ object StreamOps {
           Iterator.single(acc)
         })
   }
+  /** Streaming LSH bucket state: per band-bucket, remember the doc ids
+    * seen so far and emit each (earlier, later) CANDIDATE pair exactly
+    * once, as later docs arrive — the incremental form of the batch
+    * band self-join, for continuous corpus curation (new documents
+    * stream in; only NEW candidate pairs surface each microbatch,
+    * instead of re-joining the whole corpus). State per bucket is the
+    * id list — bounded by bucket occupancy (uniform hash keys); in
+    * production pair with `EventTimeTimeout` to age out cold buckets.
+    * Expects (band_val, doc_id) rows; emits (id_a, id_b) with
+    * id_a < id_b. Exact verification stays downstream, batch-side. */
+  def lshCandidatePairs(spark: SparkSession, banded: DataFrame): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    banded.as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[Array[Long]]) => {
+          val prior = state.getOption.getOrElse(Array.empty[Long])
+          val priorSet = prior.toSet
+          val newIds = rows.map(_._2).toArray.distinct.filterNot(priorSet)
+          val out = Array.newBuilder[(Long, Long)]
+          var seen = prior
+          newIds.foreach { id =>
+            seen.foreach { p => out += (if (p < id) (p, id) else (id, p)) }
+            seen = seen :+ id
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
 }
 
 case class UserEvent(user_id: Long, event_id: Long, ts: Long, event_type: String)

@@ -88,6 +88,36 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(sessions.contains(("2024-01-01 10:30:00", 1L)), sessions.toString)
   }
 
+  test("streaming LSH dedup over TWO file drops equals the batch relation") {
+    import java.nio.file.{Files => JFiles, Paths}
+    // stage the corpus as two separate arrivals: cross-half pairs can
+    // only surface in batch 2, from bucket STATE carried across batches
+    val feed = JFiles.createTempDirectory("lsh_feed")
+    val docs = Tables.documents(spark, sfDir)
+    Seq(0, 1).foreach { half =>
+      val tmp = JFiles.createTempDirectory(s"lsh_half$half")
+      docs.filter(col("doc_id") % 2 === half)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      JFiles.move(part.toPath, Paths.get(feed.toString, s"drop_$half.parquet"))
+    }
+    val stream = StreamOps.fileFeed(spark, feed.toString, docs, maxFilesPerTrigger = 1)
+    val q = StreamOps.lshCandidatePairs(spark,
+        graft.queries.DedupQueries.streamBandedDocs(stream))
+      .toDF("id_a", "id_b")
+      .writeStream.format("memory").queryName("lsh_two_drops")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = graft.queries.DedupQueries
+      .verifyPairs(spark, sfDir, spark.table("lsh_two_drops"))
+    val batch = graft.queries.DedupQueries.dedupMinhashLsh(spark, sfDir)
+    assert(streamed.count() > 0, "no pairs drained")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "two-drop streaming LSH diverges from the batch relation")
+  }
+
   test("T3 republish is idempotent per date partition") {
     val out = Files.createTempDirectory("repub").toString
     val df = Tables.events(spark, sfDir).limit(10)
