@@ -170,6 +170,47 @@ object SimilarityQueries {
         round(col("sim"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** IVF index as a PARTITIONED TABLE (net-new): the serving-side form
+    * of [[annIvfTopk]] — the cluster assignment is PERSISTED once,
+    * partitioned by cluster id, and each query's nprobe=3 probe set
+    * becomes a partition-column IN filter, so the scan's file IO
+    * touches only the probed partitions (PartitionFilters asserted in
+    * the spec). At 100 TB this is how an ANN index actually deploys:
+    * build once, then every search reads 3/8ths (nprobe/k) of the
+    * index, not the table. The probe ids are collected to the driver —
+    * a ≤15-value model decision, the same parameter transfer as the
+    * centroids themselves. Results (and the oracle) are identical to
+    * the in-flight IVF query. */
+  def annIvfPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (assigned, cents) = ivfIndex(e, "vec_id", "embedding", k = 8, iters = 1)
+    val out = graft.ScratchDirs.dir("ivf_index", java.lang.Integer.toHexString(dir.hashCode))
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(out)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("q_emb"), col("cluster"))
+    // INT literals: the read-back partition column is inferred as int,
+    // and an untyped-cast filter can defeat partition pruning
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0).toInt).sorted
+    val idx = spark.read.parquet(out)
+      .filter(col("cluster").isin(probedClusters: _*)) // static partition pruning
+      .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    idx.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
   /** Int8 scalar-quantized ANN with exact rescore (net-new): the
     * SQ8 compression path real vector stores use at scale — each vector
     * is quantized to integers in [-127,127] with a per-vector scale
@@ -303,6 +344,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk"           -> (annIvfTopk _),
     "ann_quantized_topk"     -> (annQuantizedTopk _),
+    "ann_ivf_partitioned"    -> (annIvfPartitioned _),
     "ann_lsh_recall"         -> (annLshRecall _),
     "ann_ivf_recall"         -> (annIvfRecall _),
     "ann_brute_topk"         -> (annBruteTopk _),
@@ -344,12 +386,13 @@ object SimilarityQueries {
      "FROM embeddings q, embeddings e WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) " +
      "WHERE rnk <= 5")
 
-  val oracle: Map[String, String] = Map(
-    // full DuckDB replay of the IVF build + search: vec_id % 8 seed
-    // assignment, ONE Lloyd step over 9-dp-pinned centroids, nprobe=3
-    // probes, exact top-5 within the probed clusters — identical
-    // tie-breaks (cluster asc / vec_id asc) to the Spark argmax/window
-    "ann_ivf_topk" ->
+  // full DuckDB replay of the IVF build + search: vec_id % 8 seed
+  // assignment, ONE Lloyd step over 9-dp-pinned centroids, nprobe=3
+  // probes, exact top-5 within the probed clusters — identical
+  // tie-breaks (cluster asc / vec_id asc) to the Spark argmax/window.
+  // Shared by the in-flight form and the partitioned-index form (same
+  // relation; only the physical access path differs).
+  private val ivfTopkSql: String =
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
        "a0 AS (SELECT vec_id, v, vec_id % 8 AS cluster FROM e), " +
        duckCentroids("a0", "c0") + ", " +
@@ -369,7 +412,11 @@ object SimilarityQueries {
        "row_number() OVER (PARTITION BY pr.query_id ORDER BY " +
        s"${cos("a1.v", "pr.qv")} DESC, a1.vec_id ASC) AS rnk " +
        "FROM a1 JOIN pr ON a1.cluster = pr.cluster WHERE a1.vec_id != pr.query_id) " +
-       "WHERE rnk <= 5"),
+       "WHERE rnk <= 5")
+
+  val oracle: Map[String, String] = Map(
+    "ann_ivf_topk" -> ivfTopkSql,
+    "ann_ivf_partitioned" -> ivfTopkSql,
     "ann_topk_agg" -> bruteTopkSql,
     // SQ8 replay: same per-vector scale, same round-half-away
     // quantization, quantized-cosine candidates, exact top-5 rescore

@@ -61,6 +61,19 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(recall >= 0.8, f"LSH recall $recall%.2f < 0.8 (${lsh.size}/${exact.size})")
   }
 
+  test("partitioned IVF index scan prunes to the probed clusters; equals in-flight IVF") {
+    val df = SimilarityQueries.annIvfPartitioned(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // several scans appear (queries, centroids, index) — the INDEX scan
+    // must carry a cluster partition filter
+    val pruned = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).exists(_.group(1).contains("cluster"))
+    assert(pruned, s"index scan not partition-pruned:\n${plan.take(1500)}")
+    val a = df.collect().map(_.toString).sorted.toSeq
+    val b = SimilarityQueries.annIvfTopk(spark, sfDir).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "partitioned-index IVF diverges from the in-flight form")
+  }
+
   test("SQ8 quantized top-k recovers >=80% of brute-force neighbors after rescore") {
     def nbrs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
