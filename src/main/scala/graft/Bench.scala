@@ -102,7 +102,10 @@ object Bench {
       "d1_classify_aggregate", "dedup_exact", "dedup_ngram_jaccard",
       "dedup_minhash_lsh", "dedup_simhash", "ann_brute_topk", "ann_ivf_topk",
       "ta_token_count", "ta_quality_score", "win_moving_avg",
-      "win_sessionize", "t1_stream_tumbling")
+      "win_sessionize", "t1_stream_tumbling",
+      // round-3 flagships (stdout line stays well under the ~3 KB tail
+      // window: ~120 B added, ~860 B per copy total)
+      "t7_stream_lsh_dedup", "ta_contamination", "ann_quantized_topk")
     // explicit root locale: the default f"" interpolator is
     // locale-sensitive, and a comma-decimal locale would make the
     // machine-parsed metric line invalid JSON
