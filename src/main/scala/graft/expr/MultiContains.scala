@@ -21,7 +21,12 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
   // may contain anything — see matchesAny.
   require(patterns.forall(_.forall(_ < 128)),
     "AhoCorasick patterns must be pure ASCII")
-  private val pats = patterns.map(_.toLowerCase).filter(_.nonEmpty)
+  // ASCII-manual lowercase, NOT String.toLowerCase: the default-locale
+  // mapping can leave the ASCII range (Turkish 'I' → U+0131) and then
+  // index past the 128-wide tables below
+  private val pats = patterns
+    .map(_.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c))
+    .filter(_.nonEmpty)
   private var goto_ : Array[Array[Int]] = _
   private var fail: Array[Int] = _
   private var out: Array[Boolean] = _

@@ -77,7 +77,11 @@ object TextHash {
     * lambdas per element and allocates a String per gram; this kernel
     * is the same O(n · totalChars) arithmetic with zero garbage —
     * the scan-stage shape you want when shingling 100 TB of text.
-    * Returns identical values to poly61(concat_ws(" ", gram)). */
+    * Returns identical values to poly61 of the single-space-joined gram
+    * string for non-null tokens (KernelProps pins this). A null token
+    * hashes as an EMPTY token (its joiners still contribute) — unlike
+    * concat_ws, which drops the null and its separator; `split` never
+    * produces nulls, so no engine caller hits the difference. */
   def wordGramPoly61(tokens: ArrayData, n: Int): ArrayData = {
     val m = tokens.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])

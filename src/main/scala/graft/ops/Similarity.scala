@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * Scale path (100 TB): the broadcast side is the small query/ref/
   * centroid set, so the big side streams through one codegen stage with
   * NO shuffle; top-k per query is a bounded `TakeOrdered`-shaped window
-  * over query_id. For ANN over a *large* query set, use
-  * [[randomHyperplaneBits]] to bucket both sides (LSH) and join on
-  * bucket — turns the O(N·Q) crossJoin into a co-partitioned equi-join.
+  * over query_id. For ANN over a *large* query set, bucket both sides
+  * (LSH) and join on bucket — turns the O(N·Q) crossJoin into a
+  * co-partitioned equi-join. The engine's LSH queries use
+  * [[signBucketBits]] (oracle-replayable, a pure function of the data);
+  * [[randomHyperplaneBits]] remains as the seeded-Gaussian-plane
+  * alternative for data whose coordinates aren't zero-centered.
   */
 object Similarity {
 

@@ -16,12 +16,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MultiContainsRewrite extends Rule[LogicalPlan] {
 
-  // ASCII literals only: the automaton's dense tables are 128-wide, and
-  // a non-ASCII pattern cannot be represented without aliasing — the
-  // rewrite must stay semantics-preserving, so such chains keep their
-  // original contains() form.
+  // The rewrite must stay semantics-preserving, so a literal qualifies
+  // only when the automaton treats it EXACTLY like contains(lower(x), lit):
+  // - lowercase ASCII only: the dense tables are 128-wide (non-ASCII
+  //   aliases), and an UPPERCASE literal can never match lowered text —
+  //   contains() is constant-false there, while the automaton would
+  //   lowercase the pattern and start matching;
+  // - non-empty: contains(x, '') is constant-true, but the automaton
+  //   drops empty patterns.
+  // Chains with such literals keep their original contains() form.
   private def literalPattern(e: Expression): Option[(Expression, String)] = e match {
-    case Contains(Lower(x), Literal(s: UTF8String, _)) if s.toString.forall(_ < 128) =>
+    case Contains(Lower(x), Literal(s: UTF8String, _))
+        if s.toString.nonEmpty &&
+          s.toString.forall(c => c < 128 && !(c >= 'A' && c <= 'Z')) =>
       Some((x, s.toString))
     case _ => None
   }

@@ -277,8 +277,8 @@ object ScaleQueries {
     * scalar aggregates, the same model-parameter transfer as k-means
     * centroids. */
   def kZorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val out = writeZorder(spark, dir)
     val (maxOk, maxPk) = keyMaxima(spark, dir)
+    val out = writeZorder(spark, dir, maxOk, maxPk)
     spark.read.parquet(out)
       .filter(col("l_orderkey").between(maxOk / 4, maxOk / 2) &&
         col("l_partkey").between(maxPk / 4, maxPk / 2))
@@ -295,8 +295,15 @@ object ScaleQueries {
 
   /** Stage lineitem z-ordered by (orderkey, partkey); returns the path. */
   private[graft] def writeZorder(spark: SparkSession, dir: String): String = {
-    val out = graft.ScratchDirs.dir("zorder", java.lang.Integer.toHexString(dir.hashCode))
     val (maxOk, maxPk) = keyMaxima(spark, dir)
+    writeZorder(spark, dir, maxOk, maxPk)
+  }
+
+  /** Maxima-supplied form — the query path computes them once and
+    * shares them with the read-side filter (one corpus scan, not two). */
+  private def writeZorder(spark: SparkSession, dir: String,
+                          maxOk: Long, maxPk: Long): String = {
+    val out = graft.ScratchDirs.dir("zorder", java.lang.Integer.toHexString(dir.hashCode))
     val bx = least(lit(255L), col("l_orderkey") * 256L / lit(maxOk + 1)).cast("long")
     val by = least(lit(255L), col("l_partkey") * 256L / lit(maxPk + 1)).cast("long")
     Tables.lineitem(spark, dir)

@@ -295,11 +295,11 @@ object StreamingQueries {
        "GROUP BY window_start, event_type, wm_us " +
        "HAVING epoch_us(window_start + INTERVAL 1 HOUR) <= wm_us"),
     "t6_stream_session_append" ->
-      ("WITH flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+      ("WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL " +
        "OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
        "grp AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id " +
-       "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), " +
+       "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), " +
        "wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wm_us FROM events) " +
        "SELECT session_start, user_id, n_events FROM (" +
        "SELECT min(ts) AS session_start, user_id, count(*) AS n_events, " +
@@ -327,11 +327,11 @@ object StreamingQueries {
        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
     "t6_stream_session" ->
-      ("WITH flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+      ("WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL " +
        "OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
        "grp AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id " +
-       "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+       "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
        "SELECT min(ts) AS session_start, user_id, count(*) AS n_events " +
        "FROM grp GROUP BY user_id, sid"),
   )

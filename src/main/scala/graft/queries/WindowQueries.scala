@@ -289,11 +289,11 @@ object WindowQueries {
        "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start " +
        "FROM events) GROUP BY window_start"),
     "win_sessionize" ->
-      ("WITH flagged AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+      ("WITH flagged AS (SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER w IS NULL " +
        "OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s " +
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
        "grp AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id " +
-       "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+       "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
        "count(*) AS n_events FROM grp GROUP BY user_id, sid"),
     "a5_topk_mean" ->

@@ -54,6 +54,27 @@ class MultiContainsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](new AhoCorasick(Seq("café")))
   }
 
+  test("rewrite rule leaves uppercase and empty literals untouched") {
+    // contains(lower(x), 'IT') is constant-false and contains(x, '')
+    // constant-true — the automaton lowercases / drops them, so firing
+    // would change results; the rule must skip such chains
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MultiContainsRewrite
+    try {
+      Seq("IT", "").foreach { bad =>
+        val df = Tables.documents(spark, sfDir).filter(
+          lower(col("text")).contains("vector") ||
+          lower(col("text")).contains(bad) ||
+          lower(col("text")).contains("window"))
+        assert(!df.queryExecution.optimizedPlan.toString.contains("multi_contains_any"),
+          s"rule fired on literal '$bad'")
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MultiContainsRewrite)
+    }
+  }
+
   test("rewrite rule leaves OR-chains with non-ASCII literals untouched") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ MultiContainsRewrite
