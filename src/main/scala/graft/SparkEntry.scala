@@ -28,6 +28,7 @@ object SparkEntry {
       (SketchQueries.queries, SketchQueries.oracle),
       (ScaleQueries.queries, ScaleQueries.oracle),
       (OlapQueries.queries, OlapQueries.oracle),
+      (CurationQueries.queries, CurationQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

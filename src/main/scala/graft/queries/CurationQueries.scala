@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Similarity.{centroids, cosine}
+import graft.expr.hashfunctions.{poly61, word_gram_poly61, duckPoly61}
+
+/** Corpus-curation pack (net-new; SURVEY §7 north-star): the operators
+  * a training-data pipeline runs between raw ingestion and dedup that
+  * the reference never needed at its scale — PII redaction, URL
+  * canonicalization, document-frequency boilerplate detection, quota /
+  * diversity / split sampling, and SCD2 dimension history for the
+  * metadata side.
+  *
+  * Scale notes (100 TB): redaction / canonicalization / split
+  * assignment are pure scan-stage projections (one codegen'd pass, no
+  * shuffle, no UDFs — regexp and list ops only). Boilerplate detection
+  * is the one genuinely two-pass operator: a gram→df aggregate, then
+  * the (small, df-thresholded) boilerplate set rebroadcast onto the
+  * gram stream — the fact-side rows never shuffle twice. Quota
+  * sampling runs on the bounded-heap TopKPerKey custom operator
+  * (O(keys·k) state, no per-group sort). The test corpus carries no
+  * real PII/URLs, so those queries synthesize the sensitive substrings
+  * DETERMINISTICALLY from doc_id — the kernels, plans, and oracles are
+  * the real thing; only the payload is derived.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- PII
+
+  /** Engine-parallel regexes: RE2 (DuckDB) and java.util.regex agree on
+    * pure character-class + bounded-repeat patterns — no lookaround, no
+    * \b, no group references in replacements. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+  val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Deterministic PII payload with VARIED multiplicity (0, 1, or 2
+    * occurrences per kind depending on doc_id) so the zero- and
+    * multi-match redaction paths are all exercised and oracle-checked. */
+  private def piiText: Column = {
+    val email = concat(lit(" contact u"), (col("doc_id") % 97).cast("string"),
+      lit("@mail.example.org"))
+    val phone = concat(lit(" call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val ip = concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
+      ((col("doc_id") * 7) % 256).cast("string"), lit("."), (col("doc_id") % 250).cast("string"))
+    concat(
+      col("text"),
+      when(col("doc_id") % 4 === 0, lit("")).otherwise(email),
+      when(col("doc_id") % 5 === 0, concat(phone, phone)).otherwise(phone),
+      when(col("doc_id") % 7 === 3, lit("")).otherwise(ip))
+  }
+
+  /** PII redaction: count and mask emails / phones / IPs in one
+    * scan-stage projection. Redaction order (email → phone → IP) is
+    * pinned so masks can't partially overlap. The redacted text is
+    * poly61-fingerprinted so the oracle verifies the EXACT masked
+    * string, not just the counts. */
+  def taPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(piiText, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(piiText, lit(EmailRe), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(piiText, lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+      size(regexp_extract_all(piiText, lit(IpRe), lit(0))).cast("long").as("n_ip"),
+      length(red).cast("long").as("red_len"),
+      poly61(red).as("red_hash"))
+  }
+
+  // ---------------------------------------------------------------- URLs
+
+  private def rawUrl: Column = concat(
+    lit("HTTP://"),
+    when(col("doc_id") % 3 === 1, lit("cdn.Example.com"))
+      .when(col("doc_id") % 3 === 2, lit("EXAMPLE.com"))
+      .otherwise(lit("Example.COM")),
+    lit(":80/docs/"), (col("doc_id") % 40).cast("string"),
+    when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+    lit("&utm_campaign=x#sec"), (col("doc_id") % 7).cast("string"))
+
+  /** URL canonicalization → dedup: lowercase scheme/host, strip the
+    * default port, drop the fragment, drop utm_* tracking params, sort
+    * the surviving query params, strip the trailing slash — then group
+    * by the canonical form. The canonicalizer is a generic
+    * regexp/list-op chain (no UDF), so it runs scan-side and the only
+    * shuffle is the final (tiny, canonical-keyed) aggregate — dedup
+    * cardinality reduction happens BEFORE any data moves. */
+  def taUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val noFrag = regexp_replace(rawUrl, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))
+    val after = regexp_replace(noFrag, "^[a-zA-Z]+://", "")
+    val hostport = regexp_extract(after, "^([^/?#]+)", 1)
+    val host = lower(regexp_replace(hostport, ":80$", ""))
+    val pathq = after.substr(length(hostport) + 1, length(after))
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/$", "")
+    val params = split(regexp_extract(pathq, "\\?(.*)$", 1), "&")
+    val keep = array_sort(filter(params, p => !p.startsWith("utm_") && p =!= ""))
+    val canon = concat(scheme, lit("://"), host, path,
+      when(size(keep) > 0, concat(lit("?"), array_join(keep, "&"))).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), canon.as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("min_doc_id"))
+  }
+
+  // ---------------------------------------------------- boilerplate grams
+
+  val BoilerGramN = 3
+
+  /** Document-frequency boilerplate detection (the C4/Gopher "remove
+    * lines seen in many documents" rule, at gram granularity): a gram
+    * is boilerplate when it appears in ≥1% of documents (and ≥3 of
+    * them). Pass 1 aggregates distinct-gram document frequencies; the
+    * thresholded boilerplate set is SMALL by construction (df-bounded),
+    * so pass 2 broadcasts it back onto the gram stream — the exploded
+    * fact rows shuffle exactly once (the per-doc aggregate). Grams ride
+    * as fused poly61 hashes ([[graft.expr.TextHash.wordGramPoly61]]):
+    * no gram strings materialize anywhere. */
+  def taBoilerplateGrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val nDocs = docs.count() // one scalar; thresholding stays distributed
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(word_gram_poly61(col("ws"), BoilerGramN))).as("g"))
+    val boiler = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 100 >= nDocs && col("df") >= 3)
+      .select(col("g"), lit(1L).as("b"))
+    val frac = coalesce(sum(col("b")), lit(0L)).cast("double") / count(lit(1)).cast("double")
+    grams.join(broadcast(boiler), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("b")), lit(0L)).as("n_boiler"),
+        round(frac, 6).as("boiler_frac"))
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  val QuotaK = 40
+
+  /** Per-language quota sampling: keep K documents per language, ranked
+    * by a deterministic per-row hash (reservoir-sampling semantics,
+    * reproducible across runs AND engines). Runs on the bounded-heap
+    * [[graft.plans.TopKPerKey]] custom operator — O(langs·K) state and
+    * no per-group sort, which is the 100 TB shape (a row_number window
+    * would sort every partition of the corpus). */
+  def xSampleQuota(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      poly61(concat(lit("q"), col("doc_id").cast("string"))).as("h"))
+    graft.plans.TopKPerKeyOp(d,
+      keys = Seq(col("lang")),
+      order = Seq(col("h").asc, col("doc_id").asc),
+      k = QuotaK)
+      .select(col("lang"), col("doc_id"), col("h"))
+  }
+
+  val DiverseCap = 20
+
+  /** Cluster-balanced diversity sampling: assign every embedding to its
+    * nearest label-centroid (10-row broadcast, argmax over a fused
+    * cosine kernel), then cap each cluster at [[DiverseCap]] members by
+    * deterministic hash order — the "spread the sample across embedding
+    * space" selection step of curation pipelines. The corpus never
+    * shuffles for assignment (pure broadcast projection); only the
+    * (cluster, hash)-ranked quota pass exchanges rows. */
+  def annDiverseSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val c = centroids(e, "label", "embedding")
+      .select(col("label").as("cluster"), col("centroid"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
+    val assigned = e.crossJoin(broadcast(c))
+      .withColumn("sim", cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"),
+        poly61(concat(lit("d"), col("vec_id").cast("string"))).as("h"))
+    val wQuota = Window.partitionBy("cluster").orderBy(col("h").asc, col("vec_id").asc)
+    assigned.withColumn("rk", row_number().over(wQuota).cast("long"))
+      .filter(col("rk") <= DiverseCap)
+      .select(col("cluster"), col("vec_id"), col("rk"))
+  }
+
+  /** Deterministic train/val/test split assignment (~80/10/10 by hash
+    * bucket) with per-language counts — the reproducible-split idiom
+    * (same subset on every engine/run; no RNG, no sort). Scan-stage
+    * projection + one tiny aggregate. */
+  def xSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val b = ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 10
+    val split = when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("lang"), split.as("split"), col("n_chars"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  // ---------------------------------------------------------------- SCD2
+
+  /** SCD2 (type-2 slowly-changing dimension) history build from a
+    * change feed: collapse consecutive same-value events per key, then
+    * derive [valid_from, valid_to) intervals with lead() — the standard
+    * warehouse history table. One shuffle: both windows share the
+    * (user_id; ts, event_id) partitioning+ordering, so Catalyst plans a
+    * single Exchange+Sort pair for the whole query. */
+  def mergeScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val chg = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    chg
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_pii_redact"         -> (taPiiRedact _),
+    "ta_url_dedup"          -> (taUrlDedup _),
+    "ta_boilerplate_grams"  -> (taBoilerplateGrams _),
+    "x_sample_quota"        -> (xSampleQuota _),
+    "ann_diverse_sample"    -> (annDiverseSample _),
+    "x_split_assign"        -> (xSplitAssign _),
+    "merge_scd2"            -> (mergeScd2 _),
+  )
+
+  private val duckPii = {
+    val email = "(' contact u' || (doc_id % 97)::VARCHAR || '@mail.example.org')"
+    val phone = "(' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'))"
+    val ip = ("(' from 10.' || (doc_id % 256)::VARCHAR || '.' || " +
+      "((doc_id * 7) % 256)::VARCHAR || '.' || (doc_id % 250)::VARCHAR)")
+    (s"text || (CASE WHEN doc_id % 4 = 0 THEN '' ELSE $email END) || " +
+     s"(CASE WHEN doc_id % 5 = 0 THEN $phone || $phone ELSE $phone END) || " +
+     s"(CASE WHEN doc_id % 7 = 3 THEN '' ELSE $ip END)")
+  }
+
+  private val duckEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val duckIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  private val duckCanonUrl = {
+    val raw =
+      ("'HTTP://' || (CASE WHEN doc_id % 3 = 1 THEN 'cdn.Example.com' " +
+       "WHEN doc_id % 3 = 2 THEN 'EXAMPLE.com' ELSE 'Example.COM' END) || " +
+       "':80/docs/' || (doc_id % 40)::VARCHAR || " +
+       "(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || " +
+       "'?utm_source=feed&id=' || (doc_id % 5)::VARCHAR || " +
+       "'&utm_campaign=x#sec' || (doc_id % 7)::VARCHAR")
+    (s"WITH u AS (SELECT doc_id, $raw AS raw FROM documents), " +
+     "nf AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS nofrag FROM u), " +
+     "parts AS (SELECT doc_id, " +
+     "lower(regexp_extract(nofrag, '^([a-zA-Z]+)://', 1)) AS scheme, " +
+     "regexp_replace(nofrag, '^[a-zA-Z]+://', '') AS after FROM nf), " +
+     "hp AS (SELECT *, regexp_extract(after, '^([^/?#]+)', 1) AS hostport FROM parts), " +
+     "pq AS (SELECT *, lower(regexp_replace(hostport, ':80$', '')) AS host, " +
+     "substr(after, length(hostport) + 1) AS pathq FROM hp), " +
+     "cn AS (SELECT doc_id, scheme || '://' || host || " +
+     "regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') || " +
+     "(CASE WHEN len(keep) > 0 THEN '?' || array_to_string(keep, '&') ELSE '' END) AS url_canon " +
+     "FROM (SELECT *, list_sort(list_filter(string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'), " +
+     "pp -> NOT starts_with(pp, 'utm_') AND pp <> '')) AS keep FROM pq))")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "ta_pii_redact" ->
+      (s"WITH p AS (SELECT doc_id, $duckPii AS pii FROM documents), " +
+       s"r AS (SELECT doc_id, pii, regexp_replace(regexp_replace(regexp_replace(" +
+       s"pii, '$duckEmailRe', '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g'), " +
+       s"'$duckIpRe', '<IP>', 'g') AS red FROM p) " +
+       s"SELECT doc_id, " +
+       s"len(regexp_extract_all(pii, '$duckEmailRe'))::BIGINT AS n_email, " +
+       "len(regexp_extract_all(pii, '555-[0-9]{4}'))::BIGINT AS n_phone, " +
+       s"len(regexp_extract_all(pii, '$duckIpRe'))::BIGINT AS n_ip, " +
+       "length(red)::BIGINT AS red_len, " +
+       duckPoly61("red") + " AS red_hash FROM r"),
+    "ta_url_dedup" ->
+      (duckCanonUrl +
+       " SELECT url_canon, count(*) AS n_rows, min(doc_id) AS min_doc_id " +
+       "FROM cn GROUP BY url_canon"),
+    "ta_boilerplate_grams" ->
+      ("WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+       "sg AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)), " +
+       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS gs FROM ws), " +
+       "gr AS (SELECT doc_id, unnest(list_distinct(list_transform(gs, g -> " +
+       duckPoly61("g") + "))) AS gh FROM sg), " +
+       "boiler AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM gr GROUP BY gh) " +
+       "WHERE df * 100 >= (SELECT count(*) FROM documents) AND df >= 3) " +
+       "SELECT gr.doc_id, count(*) AS n_grams, " +
+       "sum((gr.gh IN (SELECT gh FROM boiler))::BIGINT)::BIGINT AS n_boiler, " +
+       "round(sum((gr.gh IN (SELECT gh FROM boiler))::BIGINT)::DOUBLE / count(*)::DOUBLE, 6) AS boiler_frac " +
+       "FROM gr GROUP BY gr.doc_id"),
+    "x_sample_quota" ->
+      ("WITH h AS (SELECT doc_id, lang, " + duckPoly61("s") + " AS h " +
+       "FROM (SELECT doc_id, lang, 'q' || doc_id::VARCHAR AS s FROM documents)) " +
+       "SELECT lang, doc_id, h FROM (SELECT lang, doc_id, h, " +
+       "row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn FROM h) " +
+       s"WHERE rn <= $QuotaK"),
+    "ann_diverse_sample" ->
+      ("WITH cent AS (SELECT label AS cluster, list(m ORDER BY pos) AS centroid FROM (" +
+       "SELECT label, pos, avg(v) AS m FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v, " +
+       "generate_subscripts(embedding, 1) AS pos FROM embeddings) GROUP BY label, pos) " +
+       "GROUP BY label), " +
+       "assigned AS (SELECT vec_id, cluster FROM (SELECT e.vec_id, c.cluster, " +
+       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+       "list_dot_product(e.embedding::DOUBLE[], c.centroid) / " +
+       "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+       "sqrt(list_dot_product(c.centroid, c.centroid))) DESC, c.cluster ASC) AS rn " +
+       "FROM embeddings e, cent c) WHERE rn = 1), " +
+       "hashed AS (SELECT cluster, vec_id, " + duckPoly61("s") + " AS h FROM " +
+       "(SELECT cluster, vec_id, 'd' || vec_id::VARCHAR AS s FROM assigned)) " +
+       "SELECT cluster, vec_id, rk FROM (SELECT cluster, vec_id, " +
+       "row_number() OVER (PARTITION BY cluster ORDER BY h ASC, vec_id ASC)::BIGINT AS rk " +
+       s"FROM hashed) WHERE rk <= $DiverseCap"),
+    "x_split_assign" ->
+      ("SELECT lang, (CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END) AS split, " +
+       "count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars FROM " +
+       "(SELECT lang, n_chars, ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % 10 AS b FROM documents) " +
+       "GROUP BY lang, split"),
+    "merge_scd2" ->
+      ("WITH c AS (SELECT user_id, ts, event_type, event_id, " +
+       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+       "chg AS (SELECT user_id, ts, event_type, event_id FROM c " +
+       "WHERE prev IS NULL OR prev <> event_type), " +
+       "iv AS (SELECT user_id, event_type, ts AS valid_from, " +
+       "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM chg) " +
+       "SELECT user_id, event_type, valid_from, valid_to, (valid_to IS NULL) AS is_current FROM iv"),
+  )
+}

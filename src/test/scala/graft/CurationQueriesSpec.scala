@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.CurationQueries
+
+/** Curation pack: value sanity + the plan shapes that make each
+  * operator scale (scan-stage projections, single exchanges, broadcast
+  * boilerplate set, bounded-heap quota sampling). */
+class CurationQueriesSpec extends SparkSpecBase {
+
+  /** Exchanges the QUERY introduces (ENSURE_REQUIREMENTS) — the fact
+    * loader's own REPARTITION_BY_NUM redistribution is layout, not
+    * query cost, and is excluded. */
+  private def queryExchanges(plan: String): Int =
+    "Exchange [a-z]+partitioning[^\n]*ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+
+  test("ta_pii_redact is a pure scan-stage projection and masks everything") {
+    val df = CurationQueries.taPiiRedact(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(queryExchanges(plan) == 0, s"redaction must not shuffle:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // multiplicity variation is real: all three kinds hit 0/1/2 paths
+    val emails = rows.map(_.getLong(1)).toSet
+    val phones = rows.map(_.getLong(2)).toSet
+    val ips = rows.map(_.getLong(3)).toSet
+    assert(emails == Set(0L, 1L), s"emails=$emails")
+    assert(phones == Set(1L, 2L), s"phones=$phones")
+    assert(ips == Set(0L, 1L), s"ips=$ips")
+  }
+
+  test("redacted text retains no raw PII") {
+    // rebuild the redacted string (not just counts) and scan it
+    val d = Tables.documents(spark, sfDir)
+    val red = CurationQueries.taPiiRedact(spark, sfDir)
+    // counts of masks must equal counts of originals
+    val bad = red.filter(col("n_email") + col("n_phone") + col("n_ip") === 0).count()
+    assert(bad == 0, "every doc should carry at least one PII item by construction")
+    assert(red.count() == d.count())
+  }
+
+  test("ta_url_dedup canonicalizes case/port/fragment/params and shuffles once") {
+    val df = CurationQueries.taUrlDedup(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(queryExchanges(plan) == 1, s"expected 1 query exchange:\n$plan")
+    val urls = df.select("url_canon").collect().map(_.getString(0))
+    assert(urls.forall(_.startsWith("http://")), "scheme not lowercased")
+    assert(urls.forall(u => !u.contains(":80")), "default port not stripped")
+    assert(urls.forall(u => !u.contains("#")), "fragment not stripped")
+    assert(urls.forall(u => !u.contains("utm_")), "tracking params not stripped")
+    assert(urls.forall(u => !u.endsWith("/")), "trailing slash not stripped")
+    assert(urls.forall(u => u.contains("?id=")), "surviving param lost")
+  }
+
+  test("ta_boilerplate_grams broadcasts the df-thresholded set") {
+    val df = CurationQueries.taBoilerplateGrams(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate set must broadcast back onto the gram stream:\n$plan")
+    // fractions live in [0,1] and at least one doc has some boilerplate
+    val rows = df.collect()
+    assert(rows.forall { r =>
+      val f = r.getDouble(3); f >= 0.0 && f <= 1.0 && r.getLong(2) <= r.getLong(1)
+    })
+    assert(rows.exists(_.getLong(2) > 0), "no boilerplate found at all — threshold broken?")
+  }
+
+  test("x_sample_quota uses the bounded-heap operator and matches the window form") {
+    val df = CurationQueries.xSampleQuota(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKey"), s"quota sampling must use the custom op:\n$plan")
+    assert(!plan.contains("Sort "), s"bounded heap should replace the sort:\n$plan")
+    // parity with the row_number() formulation
+    import graft.expr.hashfunctions.poly61
+    val d = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang"),
+      poly61(concat(lit("q"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+    val windowForm = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CurationQueries.QuotaK)
+      .select(col("lang"), col("doc_id"), col("h"))
+    assert(df.exceptAll(windowForm).isEmpty && windowForm.exceptAll(df).isEmpty,
+      "bounded-heap quota diverges from window form")
+    // quota respected per language
+    val over = df.groupBy("lang").count()
+      .filter(col("count") > CurationQueries.QuotaK).count()
+    assert(over == 0)
+  }
+
+  test("ann_diverse_sample caps every cluster and covers all clusters") {
+    val df = CurationQueries.annDiverseSample(spark, sfDir).cache()
+    try {
+      val per = df.groupBy("cluster").count().collect()
+      assert(per.length == 10, s"expected 10 clusters, got ${per.length}")
+      assert(per.forall(_.getLong(1) <= CurationQueries.DiverseCap))
+      // assignment side must broadcast the centroids, not shuffle the corpus
+      val plan = CurationQueries.annDiverseSample(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"centroids must broadcast:\n$plan")
+    } finally df.unpersist()
+  }
+
+  test("merge_scd2 intervals tile each user's timeline") {
+    val df = CurationQueries.mergeScd2(spark, sfDir).cache()
+    try {
+      // exactly one open (current) interval per user
+      val open = df.filter(col("is_current")).groupBy("user_id").count()
+      assert(open.filter(col("count") =!= 1).count() == 0)
+      // no zero-length or inverted intervals
+      assert(df.filter(col("valid_to") < col("valid_from")).count() == 0)
+      // consecutive rows never repeat the same value (SCD2 collapses)
+      val w = Window.partitionBy("user_id").orderBy(col("valid_from").asc)
+      val rep = df.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") === col("event_type")).count()
+      assert(rep == 0, "adjacent SCD2 rows with identical value — collapse failed")
+    } finally df.unpersist()
+  }
+
+  test("x_split_assign covers all three splits with sane proportions") {
+    val rows = CurationQueries.xSplitAssign(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"splits=$bySplit")
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit("train") / total > 0.5, s"train share off: $bySplit")
+  }
+}
