@@ -221,6 +221,78 @@ object CurationQueries {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
+  // ----------------------------------------------------- corpus statistics
+
+  /** Target language mix for corpus re-weighting (literal policy, the
+    * shape a data-mixing config takes). */
+  val TargetMix: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
+
+  /** Corpus mixing weights: per-language sampling weight = target
+    * share / actual share, plus the expected per-epoch document count
+    * at a fixed budget — the "how hard do I up/down-sample each slice
+    * to hit the target mixture" computation every pretraining data
+    * recipe runs. One tiny aggregate + a scalar total joined back as a
+    * broadcast literal; nothing heavy moves. */
+  def xCorpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 1000
+    // build CASE target_share from the literal policy
+    val targetShare = TargetMix.tail.foldLeft(
+      when(col("lang") === TargetMix.head._1, TargetMix.head._2)) {
+      case (acc, (l, s)) => acc.when(col("lang") === l, s)
+    }.otherwise(0.0)
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6).as("actual_share"),
+        targetShare.as("target_share"),
+        round(targetShare * col("n_total").cast("double") / col("n_docs").cast("double"), 6).as("weight"),
+        round(targetShare * Budget).cast("long").as("epoch_docs"))
+  }
+
+  /** Winsorized aggregation: clip `value` to the exact per-group
+    * [p01, p99] envelope, then compare raw vs clipped means — the
+    * outlier-robust statistics pass. Two-phase: the percentile frame is
+    * |groups| rows (exact percentile per group, mergeable-sketch at
+    * 100 TB), broadcast back onto the fact scan; the clip itself is a
+    * scan-stage projection. */
+  def aggWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // lo/hi pinned to 6 dp on BOTH sides (same convention as the 9-dp
+    // k-means centroids): the clip model is then bit-identical across
+    // engines, so every downstream comparison/aggregate is exact
+    val pct = ev.groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.01)"), 6).as("lo"),
+      round(expr("percentile(value, 0.99)"), 6).as("hi"))
+    val clipped = greatest(col("lo"), least(col("hi"), col("value")))
+    ev.join(broadcast(pct), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") < col("lo") || col("value") > col("hi")).cast("long")).as("n_clipped"),
+        round(avg(col("value")), 6).as("mean_raw"),
+        round(avg(clipped), 6).as("mean_winsor"),
+        round(min(clipped), 6).as("min_winsor"),
+        round(max(clipped), 6).as("max_winsor"))
+  }
+
+  val HashBuckets = 32
+
+  /** Feature hashing (the hashing trick): every token maps to
+    * poly61 % 32 and the corpus-level bucket histogram comes out of one
+    * explode + aggregate — the fixed-width featurization that replaces
+    * an unbounded vocabulary at scale. The token→bucket map is pure
+    * scan-side expression work; only (bucket, partial counts) shuffle. */
+  def taFeatureHashing(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), pmod(poly61(col("tok")), lit(HashBuckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -231,6 +303,9 @@ object CurationQueries {
     "ann_diverse_sample"    -> (annDiverseSample _),
     "x_split_assign"        -> (xSplitAssign _),
     "merge_scd2"            -> (mergeScd2 _),
+    "x_corpus_mix_weights"  -> (xCorpusMixWeights _),
+    "agg_winsorize"         -> (aggWinsorize _),
+    "ta_feature_hashing"    -> (taFeatureHashing _),
   )
 
   private val duckPii = {
@@ -324,6 +399,33 @@ object CurationQueries {
        "count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars FROM " +
        "(SELECT lang, n_chars, ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % 10 AS b FROM documents) " +
        "GROUP BY lang, split"),
+    "x_corpus_mix_weights" ->
+      ("WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+       "t AS (SELECT sum(n_docs) AS n_total FROM counts), " +
+       "m AS (SELECT lang, n_docs, n_total, " +
+       "(CASE WHEN lang = 'en' THEN 0.4 WHEN lang = 'es' THEN 0.2 WHEN lang = 'de' THEN 0.2 " +
+       "WHEN lang = 'fr' THEN 0.1 WHEN lang = 'zh' THEN 0.1 ELSE 0.0 END)::DOUBLE AS target_share " +
+       "FROM counts, t) " +
+       "SELECT lang, n_docs::BIGINT AS n_docs, " +
+       "round(n_docs::DOUBLE / n_total::DOUBLE, 6) AS actual_share, target_share, " +
+       "round(target_share * n_total::DOUBLE / n_docs::DOUBLE, 6) AS weight, " +
+       "round(target_share * 1000)::BIGINT AS epoch_docs FROM m"),
+    "agg_winsorize" ->
+      ("WITH pct AS (SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo, " +
+       "round(quantile_cont(value, 0.99), 6) AS hi FROM events GROUP BY event_type) " +
+       "SELECT e.event_type, count(*) AS n_events, " +
+       "sum((e.value < p.lo OR e.value > p.hi)::BIGINT)::BIGINT AS n_clipped, " +
+       "round(avg(e.value), 6) AS mean_raw, " +
+       "round(avg(greatest(p.lo, least(p.hi, e.value))), 6) AS mean_winsor, " +
+       "round(min(greatest(p.lo, least(p.hi, e.value))), 6) AS min_winsor, " +
+       "round(max(greatest(p.lo, least(p.hi, e.value))), 6) AS max_winsor " +
+       "FROM events e JOIN pct p USING (event_type) GROUP BY e.event_type"),
+    "ta_feature_hashing" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "b AS (SELECT doc_id, " + duckPoly61("tok") + s" % $HashBuckets AS bucket " +
+       "FROM tok WHERE tok <> '') " +
+       "SELECT bucket, count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs " +
+       "FROM b GROUP BY bucket"),
     "merge_scd2" ->
       ("WITH c AS (SELECT user_id, ts, event_type, event_id, " +
        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +

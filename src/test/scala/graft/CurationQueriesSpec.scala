@@ -121,6 +121,44 @@ class CurationQueriesSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("x_corpus_mix_weights weights invert the actual shares") {
+    val rows = CurationQueries.xCorpusMixWeights(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nDocs, actual, target, weight) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(actual > 0 && target > 0 && nDocs > 0)
+      // weight ≈ target/actual (both sides independently rounded)
+      assert(math.abs(weight - target / actual) < 1e-4, s"$r")
+    }
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9, "target mix must sum to 1")
+  }
+
+  test("agg_winsorize clips roughly 2% and narrows the range") {
+    val rows = CurationQueries.aggWinsorize(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, nClip) = (r.getLong(1), r.getLong(2))
+      val frac = nClip.toDouble / n
+      assert(frac > 0.0 && frac < 0.06, s"clip fraction $frac out of band: $r")
+      assert(r.getDouble(5) < r.getDouble(6) || n == 1, s"min>=max after clip: $r")
+    }
+    // winsorized mean is finite and close to raw (1% tails on bounded data)
+    assert(rows.forall(r => math.abs(r.getDouble(3) - r.getDouble(4)) < 1.0))
+  }
+
+  test("ta_feature_hashing buckets partition the token stream") {
+    val df = CurationQueries.taFeatureHashing(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.forall { r =>
+      r.getLong(0) >= 0 && r.getLong(0) < CurationQueries.HashBuckets
+    })
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val direct = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(totalTokens == direct, s"bucketed tokens $totalTokens != stream $direct")
+  }
+
   test("x_split_assign covers all three splits with sane proportions") {
     val rows = CurationQueries.xSplitAssign(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
