@@ -23,6 +23,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "sketch" -> graft.queries.SketchQueries.queries.keySet,
       "scale" -> graft.queries.ScaleQueries.queries.keySet,
       "olap" -> graft.queries.OlapQueries.queries.keySet,
+      "curation" -> graft.queries.CurationQueries.queries.keySet,
     )
     val all = packs.flatMap { case (p, ks) => ks.map(_ -> p) }
     val dups = all.groupBy(_._1).filter(_._2.size > 1)
