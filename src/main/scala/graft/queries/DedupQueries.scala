@@ -360,7 +360,44 @@ object DedupQueries {
     out // `cached` stays persisted until the consumer drains `out`
   }
 
+  val PagerankIters = 10
+
+  /** PageRank over the near-dup pair graph (net-new): centrality of
+    * each document inside its duplication neighborhood — the signal
+    * curation pipelines use to pick the CANONICAL copy of a cluster
+    * (keep the most-linked variant, drop satellites). Fixed
+    * [[PagerankIters]] synchronous iterations with damping 0.85; every
+    * iteration's rank is rounded to 9 dp (same pinning discipline as
+    * the k-means centroids), which makes all ten iterations
+    * bit-replayable by the oracle — the oracle SQL literally unrolls
+    * the same ten steps as chained CTEs.
+    *
+    * Scale shape: the edge set (near-dup pairs only) is orders of
+    * magnitude smaller than the corpus; each iteration is one
+    * edge-keyed join + one node-keyed aggregate over it. The
+    * degree-annotated edge frame is persisted once and reused by all
+    * iterations; the final frame is the only consumer-visible output. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairsFrom(shingleTable(spark, dir))
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+    val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "s").persist()
+    val n = ed.select(col("s")).distinct().count() // one scalar: node count
+    var ranks = ed.select(col("s").as("node")).distinct()
+      .select(col("node"), round(lit(1.0) / n, 9).as("pr"))
+    for (_ <- 1 to PagerankIters) {
+      ranks = ed.join(ranks.withColumnRenamed("node", "s"), "s")
+        .groupBy(col("d").as("node"))
+        .agg(round(lit(0.15) / n + lit(0.85) * sum(col("pr") / col("deg")), 9).as("pr"))
+    }
+    ranks.select(col("node").as("doc_id"), col("pr"))
+    // `ed` stays persisted until the consumer drains the result
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank"       -> (graphPagerank _),
     "dedup_exact"          -> (dedupExact _),
     "dedup_ngram_jaccard"  -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"    -> (dedupMinhashLsh _),
@@ -422,7 +459,39 @@ object DedupQueries {
      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sh, b.sh))::BIGINT AS hamming " +
      s"FROM fp a, fp b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= $SimhashMaxHamming")
 
+  /** Shared oracle prefix: replay the exact n-gram Jaccard pair
+    * pipeline and symmetrize it into a directed edge list — used by
+    * both the components closure and the PageRank unroll. */
+  private val duckEdgesCte =
+    ("t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+     "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
+     "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
+     "ELSE [] END AS sg FROM t), " +
+     "pairs AS (SELECT id_a, id_b FROM (" +
+     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+     "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
+     "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7), " +
+     "edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs)")
+
+  /** DuckDB twin of [[graphPagerank]]: the ten rounded iterations
+    * unrolled as chained CTEs over the identical edge replay. */
+  private val pagerankSql = {
+    val iters = (1 to PagerankIters).map { i =>
+      s"r$i AS (SELECT e.d AS node, " +
+      "round(0.15::DOUBLE / (SELECT n FROM nn) + 0.85::DOUBLE * sum(r.pr / e.deg), 9) AS pr " +
+      s"FROM dge e JOIN r${i - 1} r ON e.s = r.node GROUP BY e.d)"
+    }.mkString(", ")
+    (s"WITH $duckEdgesCte, " +
+     "deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s), " +
+     "dge AS (SELECT e.s, e.d, g.deg FROM edges e JOIN deg g USING (s)), " +
+     "nn AS (SELECT count(*)::DOUBLE AS n FROM deg), " +
+     "r0 AS (SELECT s AS node, round(1::DOUBLE / (SELECT n FROM nn), 9) AS pr FROM deg), " +
+     s"$iters " +
+     s"SELECT node AS doc_id, pr FROM r$PagerankIters")
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_exact" ->
@@ -456,15 +525,7 @@ object DedupQueries {
        "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
        "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
     "dedup_components" ->
-      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
-       "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
-       "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
-       "ELSE [] END AS sg FROM t), " +
-       "pairs AS (SELECT id_a, id_b FROM (" +
-       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-       "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
-       "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7), " +
-       "edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+      (s"WITH RECURSIVE $duckEdgesCte, " +
        "reach AS (SELECT s AS node, d AS r FROM edges " +
        "UNION SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s), " +
        "comp AS (SELECT node, least(node, min(r)) AS comp_id FROM reach GROUP BY node) " +

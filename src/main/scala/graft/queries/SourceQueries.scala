@@ -242,7 +242,31 @@ object SourceQueries {
       .agg(count(lit(1)).as("n_remaining"))
   }
 
+  /** Schema evolution (net-new): a long-lived ingestion layout where a
+    * later batch ADDS a column. Batch 1 writes (o_orderkey,
+    * o_totalprice); batch 2 appends files that also carry
+    * o_orderstatus; a single `mergeSchema` read reconciles them —
+    * batch-1 rows surface NULL for the added column, and the aggregate
+    * proves both vintages flow through one scan. At 100 TB this is the
+    * standard additive-evolution path (the footer-schema union is
+    * planning-time work; no data rewrite). */
+  def s11SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp(dir, "orders_evolved")
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(out)
+    o.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderstatus"), lit("PRE_EVOLUTION")).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_schema_evolution" -> (s11SchemaEvolution _),
     "s1_tsv_roundtrip"       -> (s1TsvRoundtrip _),
     "s2_xml_extract"         -> (s2XmlExtract _),
     "s3_xml_nested_mapping"  -> (s3XmlNestedMapping _),
@@ -289,6 +313,10 @@ object SourceQueries {
     "s9_orc_roundtrip" ->
       ("SELECT l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price " +
        "FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag"),
+    "s11_schema_evolution" ->
+      ("SELECT (CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus ELSE 'PRE_EVOLUTION' END) AS status, " +
+       "count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price " +
+       "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY status"),
     "s10_permissive_badrecords" ->
       ("SELECT sum((o_orderkey % 13 != 0)::BIGINT)::BIGINT AS n_good, " +
        "sum((o_orderkey % 13 = 0)::BIGINT)::BIGINT AS n_quarantined, " +

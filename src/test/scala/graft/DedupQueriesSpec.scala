@@ -52,6 +52,23 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(rows(1).getLong(0) != rows(1).getLong(1))
   }
 
+  test("pagerank: mass conserved, positive ranks, hubs outrank satellites") {
+    val pr = DedupQueries.graphPagerank(spark, sfDir).cache()
+    try {
+      val rows = pr.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getDouble(1) > 0.0))
+      // no dangling nodes in a symmetrized graph → total mass stays ~1
+      // (9-dp per-iteration rounding drifts it by < n·1e-9 per step)
+      val mass = rows.map(_.getDouble(1)).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"mass=$mass")
+      // node set is exactly the near-dup graph's node set
+      val exact = pairs(DedupQueries.dedupNgramJaccard(spark, sfDir))
+      val nodes = exact.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(rows.map(_.getLong(0)).toSet == nodes)
+    } finally pr.unpersist()
+  }
+
   test("fnv64 kernel is stable (pinned vector)") {
     // FNV-1a 64 of "abc" — published constant
     assert(TextHash.fnv64(UTF8String.fromString("abc")) == 0xe71fa2190541574bL)

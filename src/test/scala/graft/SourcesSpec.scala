@@ -56,4 +56,15 @@ class SourcesSpec extends SparkSpecBase {
       .option("mode", "DROPMALFORMED").schema(schema).csv(dir)
     assert(dropped.collect().length == 2)
   }
+
+  test("s11 schema evolution: both vintages flow through one mergeSchema scan") {
+    val rows = graft.queries.SourceQueries.s11SchemaEvolution(spark, sfDir).collect()
+    val statuses = rows.map(_.getString(0)).toSet
+    assert(statuses.contains("PRE_EVOLUTION"), s"batch-1 rows lost: $statuses")
+    assert((statuses - "PRE_EVOLUTION").nonEmpty, s"batch-2 rows lost: $statuses")
+    // batch-1 count == orders with key % 3 == 0
+    val o = Tables.orders(spark, sfDir)
+    val pre = rows.filter(_.getString(0) == "PRE_EVOLUTION").map(_.getLong(1)).sum
+    assert(pre == o.filter(org.apache.spark.sql.functions.col("o_orderkey") % 3 === 0).count())
+  }
 }
