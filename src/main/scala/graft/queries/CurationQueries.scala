@@ -293,6 +293,30 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Corpus-slice divergence: KL(token distribution of each language ‖
+    * corpus-wide distribution) — the distribution-shift metric curation
+    * pipelines watch when a slice drifts from the mixture. One
+    * (lang, tok) aggregate feeds everything; the per-token global
+    * marginal is a second aggregate over THOSE partials (token-keyed,
+    * already combined — never the raw stream again). ln() ulp
+    * differences between engines vanish under the 6-dp post-sum round
+    * (term errors ~1e-16, sums O(1)). */
+  def taSliceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val byLangTok = tok.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n_lt"))
+    val byLang = byLangTok.groupBy(col("lang")).agg(sum(col("n_lt")).as("n_l"))
+    val byTok = byLangTok.groupBy(col("tok")).agg(sum(col("n_lt")).as("n_t"))
+    val total = tok.count() // one scalar; scoring stays distributed
+    val p = col("n_lt").cast("double") / col("n_l").cast("double")
+    val q = col("n_t").cast("double") / total.toDouble
+    byLangTok.join(byLang, "lang").join(byTok, "tok")
+      .select(col("lang"), col("n_l"), (p * log(p / q)).as("term"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_l")).as("n_tokens"), round(sum(col("term")), 6).as("kl_vs_corpus"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -306,6 +330,7 @@ object CurationQueries {
     "x_corpus_mix_weights"  -> (xCorpusMixWeights _),
     "agg_winsorize"         -> (aggWinsorize _),
     "ta_feature_hashing"    -> (taFeatureHashing _),
+    "ta_slice_divergence"   -> (taSliceDivergence _),
   )
 
   private val duckPii = {
@@ -420,6 +445,17 @@ object CurationQueries {
        "round(min(greatest(p.lo, least(p.hi, e.value))), 6) AS min_winsor, " +
        "round(max(greatest(p.lo, least(p.hi, e.value))), 6) AS max_winsor " +
        "FROM events e JOIN pct p USING (event_type) GROUP BY e.event_type"),
+    "ta_slice_divergence" ->
+      ("WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "ft AS (SELECT lang, tok FROM tok WHERE tok <> ''), " +
+       "lt AS (SELECT lang, tok, count(*) AS n_lt FROM ft GROUP BY lang, tok), " +
+       "l AS (SELECT lang, sum(n_lt) AS n_l FROM lt GROUP BY lang), " +
+       "t AS (SELECT tok, sum(n_lt) AS n_t FROM lt GROUP BY tok), " +
+       "tot AS (SELECT count(*)::DOUBLE AS n FROM ft) " +
+       "SELECT lt.lang, max(l.n_l)::BIGINT AS n_tokens, " +
+       "round(sum((lt.n_lt::DOUBLE / l.n_l::DOUBLE) * " +
+       "ln((lt.n_lt::DOUBLE / l.n_l::DOUBLE) / (t.n_t::DOUBLE / (SELECT n FROM tot)))), 6) AS kl_vs_corpus " +
+       "FROM lt JOIN l USING (lang) JOIN t USING (tok) GROUP BY lt.lang"),
     "ta_feature_hashing" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "b AS (SELECT doc_id, " + duckPoly61("tok") + s" % $HashBuckets AS bucket " +

@@ -249,7 +249,28 @@ object RelationalQueries {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** TPC-H Q18 shape (large-volume orders): HAVING-filtered aggregate
+    * subquery re-joined to the fact — the "find entities whose total
+    * exceeds a threshold, then pull their details" pattern. The
+    * aggregate side collapses lineitem to one row per qualifying order
+    * BEFORE the join (both sides key on l_orderkey/o_orderkey, so AQE
+    * plans one co-partitioned exchange pair); the top-k sits in a
+    * TakeOrderedAndProject, never a global sort. */
+  def q18LargeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("total_price"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_large_volume"      -> (q18LargeVolume _),
     "f1_project_filter"     -> (f1ProjectFilter _),
     "j1_dim_join_distinct"  -> (j1DimJoinDistinct _),
     "j2_semi_join"          -> (j2SemiJoin _),
@@ -333,5 +354,11 @@ object RelationalQueries {
        "JOIN region ON n_regionkey = r_regionkey " +
        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
        "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name"),
+    "q18_large_volume" ->
+      ("WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty " +
+       "FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250.0) " +
+       "SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total_price, sum_qty " +
+       "FROM orders JOIN big ON o_orderkey = l_orderkey " +
+       "ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 20"),
   )
 }

@@ -159,6 +159,19 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(totalTokens == direct, s"bucketed tokens $totalTokens != stream $direct")
   }
 
+  test("ta_slice_divergence: KL is nonnegative for every slice") {
+    val rows = CurationQueries.taSliceDivergence(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val kl = r.getDouble(2)
+      // Gibbs' inequality (≥ -1e-9 for the 6-dp rounding slack)
+      assert(kl >= -1e-9 && kl < 10.0, s"KL out of range: $r")
+      assert(r.getLong(1) > 0)
+    }
+    // slices genuinely diverge from the mixture on this corpus
+    assert(rows.exists(_.getDouble(2) > 1e-3), "all KL ~ 0 — metric degenerate?")
+  }
+
   test("x_split_assign covers all three splits with sane proportions") {
     val rows = CurationQueries.xSplitAssign(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap

@@ -61,4 +61,16 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(row.length == 1)
     assert(row(0).getAs[Long]("count_order") > 0)
   }
+
+  test("q18 plans a TakeOrderedAndProject and respects the threshold") {
+    val df = RelationalQueries.q18LargeVolume(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.forall(_.getDouble(3) > 250.0))
+    // descending by sum_qty with orderkey tiebreak
+    val qtys = rows.map(_.getDouble(3))
+    assert(qtys.zip(qtys.tail).forall { case (a, b) => a >= b })
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"limit+sort not fused:\n$plan")
+  }
 }
