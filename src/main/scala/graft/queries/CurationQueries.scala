@@ -93,8 +93,12 @@ object CurationQueries {
     * regexp/list-op chain (no UDF), so it runs scan-side and the only
     * shuffle is the final (tiny, canonical-keyed) aggregate — dedup
     * cardinality reduction happens BEFORE any data moves. */
-  def taUrlDedup(spark: SparkSession, dir: String): DataFrame = {
-    val noFrag = regexp_replace(rawUrl, "#.*$", "")
+  /** Generic URL canonicalizer (pure Column expression, reusable and
+    * IDEMPOTENT — property-tested): lowercase scheme/host, strip :80,
+    * drop fragment, drop utm_* params, sort survivors, strip trailing
+    * slash. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1))
     val after = regexp_replace(noFrag, "^[a-zA-Z]+://", "")
     val hostport = regexp_extract(after, "^([^/?#]+)", 1)
@@ -103,10 +107,13 @@ object CurationQueries {
     val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/$", "")
     val params = split(regexp_extract(pathq, "\\?(.*)$", 1), "&")
     val keep = array_sort(filter(params, p => !p.startsWith("utm_") && p =!= ""))
-    val canon = concat(scheme, lit("://"), host, path,
+    concat(scheme, lit("://"), host, path,
       when(size(keep) > 0, concat(lit("?"), array_join(keep, "&"))).otherwise(lit("")))
+  }
+
+  def taUrlDedup(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .select(col("doc_id"), canon.as("url_canon"))
+      .select(col("doc_id"), canonicalizeUrl(rawUrl).as("url_canon"))
       .groupBy(col("url_canon"))
       .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("min_doc_id"))
   }

@@ -316,7 +316,34 @@ object ScaleQueries {
     out
   }
 
+  /** Small-files compaction (net-new): the maintenance pass every
+    * long-lived 100 TB table needs — a fragmented landing layout (64
+    * shard files here) rewritten into row-budgeted files via ONE
+    * repartition, then proven equivalent through the compacted scan.
+    * File-count collapse is spec-asserted; content equality is
+    * oracle-checked (the aggregate below reads the COMPACTED files).
+    * At scale this is the same op keyed per partition-dir, with the
+    * row budget from target_file_bytes / avg_row_bytes. */
+  def kCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.lang.Integer.toHexString(dir.hashCode)
+    val frag = graft.ScratchDirs.dir("compact_in", suffix)
+    val out = graft.ScratchDirs.dir("compact_out", suffix)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.repartition(64).write.mode("overwrite").parquet(frag)       // fragmented landing
+    val fragged = spark.read.parquet(frag)
+    val nRows = fragged.count()
+    val targetFiles = math.max(1, (nRows / 50000L).toInt)          // ~50k-row file budget
+    fragged.repartition(targetFiles).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_compaction"            -> (kCompaction _),
     "k_zorder_layout"         -> (kZorderLayout _),
     "k_dpp_join"              -> (dppJoin _),
     "bucketed_colocated_join" -> (bucketedColocatedJoin _),
@@ -329,6 +356,11 @@ object ScaleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // compaction must be content-preserving: the oracle is the same
+    // aggregate over the CANONICAL table the fragmented copy came from
+    "k_compaction" ->
+      ("SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, " +
+       "min(event_id) AS min_id, max(event_id) AS max_id FROM events GROUP BY event_type"),
     // layout-independent relation; // = DuckDB integer division, same
     // truncation as the Scala Long division on the Spark side
     "k_zorder_layout" ->

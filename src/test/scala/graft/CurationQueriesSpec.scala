@@ -54,6 +54,32 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(urls.forall(u => u.contains("?id=")), "surviving param lost")
   }
 
+  test("url canonicalizer is idempotent and order-insensitive on params") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://Example.COM:80/a/b/?utm_source=x&z=1&a=2#frag",
+      "https://CDN.site.org/path?b=2&a=1&utm_campaign=y",
+      "http://host/",                       // root path
+      "ftp://Files.example.net:80/x",       // other scheme, :80 stripped anyway
+      "http://host/p?utm_a=1&utm_b=2#f",    // params all dropped
+      "http://host/p",                      // no query at all
+      "https://h.io/p/?a=1&a=1",            // duplicate param survives sorted
+      "HTTPS://UP.example.com/P/Q?Z=9&y=8", // path case preserved, host lowered
+    ).toDF("u")
+    val once = urls.select(CurationQueries.canonicalizeUrl(col("u")).as("c1"))
+    val twice = once.select(col("c1"),
+      CurationQueries.canonicalizeUrl(col("c1")).as("c2")).collect()
+    twice.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}")
+    }
+    // param order insensitivity
+    val pair = Seq(
+      ("http://h/p?b=2&a=1", "http://h/p?a=1&b=2")).toDF("u1", "u2")
+      .select(CurationQueries.canonicalizeUrl(col("u1")).as("c1"),
+        CurationQueries.canonicalizeUrl(col("u2")).as("c2")).collect()(0)
+    assert(pair.getString(0) == pair.getString(1))
+  }
+
   test("ta_boilerplate_grams broadcasts the df-thresholded set") {
     val df = CurationQueries.taBoilerplateGrams(spark, sfDir)
     df.collect()

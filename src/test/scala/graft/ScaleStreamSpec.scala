@@ -25,6 +25,26 @@ class ScaleStreamSpec extends SparkSpecBase {
       "bloom-pruned result diverges from exact semi-join")
   }
 
+  test("k_compaction collapses the file count and preserves content") {
+    val df = ScaleQueries.kCompaction(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+    def parquets(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val nIn = parquets(graft.ScratchDirs.dir("compact_in", suffix))
+    val nOut = parquets(graft.ScratchDirs.dir("compact_out", suffix))
+    assert(nIn == 64, s"fragmented landing should have 64 shards, got $nIn")
+    assert(nOut * 8 <= nIn, s"compaction too weak: $nIn -> $nOut files")
+    // content equality against the canonical table
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    assert(df.exceptAll(direct).isEmpty && direct.exceptAll(df).isEmpty)
+  }
+
   test("k_partitioned_prune prunes partitions at planning time") {
     val df = ScaleQueries.partitionedPrune(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
