@@ -105,7 +105,9 @@ object Bench {
       "win_sessionize", "t1_stream_tumbling",
       // round-3 flagships (stdout line stays well under the ~3 KB tail
       // window: ~120 B added, ~860 B per copy total)
-      "t7_stream_lsh_dedup", "ta_contamination", "ann_quantized_topk")
+      "t7_stream_lsh_dedup", "ta_contamination", "ann_quantized_topk",
+      // curation-pack flagships (~80 B more; ~940 B per copy)
+      "graph_pagerank", "ta_boilerplate_grams", "x_sample_quota")
     // explicit root locale: the default f"" interpolator is
     // locale-sensitive, and a comma-decimal locale would make the
     // machine-parsed metric line invalid JSON

@@ -267,7 +267,65 @@ object StreamingQueries {
     spark.read.parquet(s"$out/date=$day")
   }
 
+  /** T8 (net-new): streaming upsert MATERIALIZATION — `foreachBatch`
+    * read-modify-write of a keyed state table, the pattern behind every
+    * "streaming CDC into a serving table" pipeline (t3 republishes a
+    * partition wholesale; this maintains per-key state across batches).
+    * Each microbatch pre-aggregates to one row per key (count + argmax
+    * struct), full-outer merges with the current table, and atomically
+    * replaces it (persist+count before overwrite — Spark cannot
+    * overwrite a directory it is still lazily reading). The final table
+    * is INDEPENDENT of how files were batched: counts add and the
+    * lexicographic (ts, event_id) max is associative — which is exactly
+    * what makes the DuckDB replay possible. */
+  def t8StreamMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val feed = graft.ScratchDirs.dir("stream", tag, "upsert_feed")
+    val state = graft.ScratchDirs.dir("stream", tag, "upsert_state")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(state)) // idempotent re-run
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.repartition(4, col("user_id")).write.mode("overwrite").parquet(feed)
+    val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sp = batch.sparkSession
+          val delta = batch.groupBy(col("user_id")).agg(
+            count(lit(1)).as("n_events"),
+            max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+          val current =
+            if (new java.io.File(state).exists()) sp.read.parquet(state)
+            else sp.emptyDataFrame.select(lit(0L).as("user_id"), lit(0L).as("n_events"),
+              lit(null).cast(delta.schema("last").dataType).as("last")).limit(0)
+          val merged = current.select(col("user_id"), col("n_events").as("cn"), col("last").as("cl"))
+            .join(delta.select(col("user_id"), col("n_events").as("dn"), col("last").as("dl")),
+              Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("cn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+              when(col("cl").isNull, col("dl"))
+                .when(col("dl").isNull, col("cl"))
+                .when(col("dl") > col("cl"), col("dl")).otherwise(col("cl")).as("last"))
+            .persist()
+          merged.count() // materialize BEFORE overwriting the input of the lazy read
+          merged.write.mode("overwrite").parquet(state)
+          merged.unpersist()
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(state).select(col("user_id"), col("n_events"),
+      col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"),
+      col("last.event_type").as("last_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_stream_merge_upsert" -> (t8StreamMergeUpsert _),
     "t1_stream_tumbling" -> (t1StreamTumbling _),
     "t1_stream_tumbling_append" -> (t1StreamTumblingAppend _),
     "t6_stream_session_append"  -> (t6StreamSessionAppend _),
@@ -280,6 +338,15 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the materialized upsert table must equal the batch "latest state
+    // per key": counts add across batches, (ts, event_id) argmax is
+    // associative, so the replay ignores batching entirely
+    "t8_stream_merge_upsert" ->
+      ("WITH lastrow AS (SELECT user_id, ts, event_id, event_type, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events), " +
+       "cnt AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) " +
+       "SELECT c.user_id, c.n_events, l.ts AS last_ts, l.event_id AS last_event_id, " +
+       "l.event_type AS last_type FROM cnt c JOIN lastrow l USING (user_id) WHERE l.rn = 1"),
     "t1_stream_tumbling" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
        "count(*) AS n_events, round(sum(value), 6) AS sum_value FROM events " +

@@ -118,6 +118,28 @@ class StreamOpsSpec extends SparkSpecBase {
       "two-drop streaming LSH diverges from the batch relation")
   }
 
+  test("T8 upsert materialization equals the batch latest-state table") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.StreamingQueries.t8StreamMergeUpsert(spark, sfDir)
+    // the feed really was multi-file → the merge ran across >1 microbatch
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val feedFiles = new java.io.File(graft.ScratchDirs.dir("stream", tag, "upsert_feed"))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(feedFiles >= 4, s"feed should be sharded, got $feedFiles files")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val batch = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"), col("event_type").as("last_type"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "incremental upsert state diverges from batch latest-state")
+  }
+
   test("T3 republish is idempotent per date partition") {
     val out = Files.createTempDirectory("repub").toString
     val df = Tables.events(spark, sfDir).limit(10)
