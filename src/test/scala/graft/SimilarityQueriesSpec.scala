@@ -109,4 +109,18 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     val total = df.agg(sum("n")).collect().head.getLong(0)
     assert(total == Tables.embeddings(spark, sfDir).count())
   }
+
+  test("PQ top-k achieves >=50% recall and returns exact k per query") {
+    def nbrs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = nbrs(SimilarityQueries.annBruteTopk(spark, sfDir))
+    val pq = nbrs(SimilarityQueries.annPqTopk(spark, sfDir))
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.5, f"PQ recall $recall%.2f")
+    assert(pq.size == exact.size, "PQ must still return k per query")
+    // contract query agrees
+    val row = SimilarityQueries.annPqRecall(spark, sfDir).collect()(0)
+    assert(row.getBoolean(1) && row.getBoolean(2), s"contract row: $row")
+  }
 }
