@@ -320,6 +320,15 @@ object DedupQueries {
   }
 
   private def dedupComponentsLoop(edges: DataFrame): DataFrame = {
+    val labels = componentLabels(edges)
+    labels.groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+  }
+
+  /** Min-label propagation to convergence; returns (node, comp) labels
+    * for every node of the symmetrized edge graph. See
+    * [[dedupComponents]] for the loop's scale rationale. */
+  private def componentLabels(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").persist()
     sym.count()
@@ -354,10 +363,8 @@ object DedupQueries {
       labels = next.select(col("node"), col("comp"))
       iters += 1
     }
-    val out = labels.groupBy(col("comp").as("comp_id"))
-      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
     sym.unpersist()
-    out // `cached` stays persisted until the consumer drains `out`
+    labels // backing `cached` stays persisted until the consumer drains it
   }
 
   val PagerankIters = 10
@@ -377,9 +384,11 @@ object DedupQueries {
     * edge-keyed join + one node-keyed aggregate over it. The
     * degree-annotated edge frame is persisted once and reused by all
     * iterations; the final frame is the only consumer-visible output. */
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramPairsFrom(shingleTable(spark, dir))
-      .select(col("id_a"), col("id_b"))
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankFrom(ngramPairsFrom(shingleTable(spark, dir))
+      .select(col("id_a"), col("id_b")))
+
+  private def pagerankFrom(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
     val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
@@ -396,7 +405,40 @@ object DedupQueries {
     // `ed` stays persisted until the consumer drains the result
   }
 
+  /** Canonical-copy selection (net-new): the step that CLOSES the
+    * near-dup story — cluster the pair graph (connected components),
+    * rank members by DEGREE centrality, keep the most-connected doc of
+    * each cluster (degree tiebreak: lowest doc_id). Degree is the
+    * right centrality here because it is ONE aggregate over the edge
+    * set — iterating PageRank inside this composition fused two
+    * iterative lineages into one AQE plan and ran 3-7x slower with
+    * wild variance; the standalone [[graphPagerank]] operator covers
+    * iterative centrality. One shared pair-gen pass feeds both the
+    * label loop and the degree count. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairsFrom(shingleTable(spark, dir))
+      .select(col("id_a"), col("id_b")).persist()
+    pairs.count()
+    val pKey = "spark.sql.shuffle.partitions"
+    val pOld = spark.conf.get(pKey)
+    spark.conf.set(pKey, "8")
+    // detached projection: the loop unpersists ITS edge frame; the
+    // shared pair cache must survive for the degree pass
+    val labels = try componentLabels(pairs.select(col("id_a"), col("id_b")))
+      finally spark.conf.set(pKey, pOld)
+    val deg = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      .groupBy(col("s").as("doc_id")).agg(count(lit(1)).as("degree"))
+    labels.join(deg, col("node") === col("doc_id"))
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("degree"), (-col("doc_id")).as("nd"))).as("best"))
+      .select(col("comp_id"), col("n_docs"),
+        (-col("best.nd")).as("canonical_doc"), col("best.degree").as("degree"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical"      -> (dedupCanonical _),
     "graph_pagerank"       -> (graphPagerank _),
     "dedup_exact"          -> (dedupExact _),
     "dedup_ngram_jaccard"  -> (dedupNgramJaccard _),
@@ -475,20 +517,37 @@ object DedupQueries {
 
   /** DuckDB twin of [[graphPagerank]]: the ten rounded iterations
     * unrolled as chained CTEs over the identical edge replay. */
-  private val pagerankSql = {
+  private val pagerankCtes = {
     val iters = (1 to PagerankIters).map { i =>
       s"r$i AS (SELECT e.d AS node, " +
       "round(0.15::DOUBLE / (SELECT n FROM nn) + 0.85::DOUBLE * sum(r.pr / e.deg), 9) AS pr " +
       s"FROM dge e JOIN r${i - 1} r ON e.s = r.node GROUP BY e.d)"
     }.mkString(", ")
-    (s"WITH $duckEdgesCte, " +
-     "deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s), " +
+    ("deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s), " +
      "dge AS (SELECT e.s, e.d, g.deg FROM edges e JOIN deg g USING (s)), " +
      "nn AS (SELECT count(*)::DOUBLE AS n FROM deg), " +
      "r0 AS (SELECT s AS node, round(1::DOUBLE / (SELECT n FROM nn), 9) AS pr FROM deg), " +
-     s"$iters " +
-     s"SELECT node AS doc_id, pr FROM r$PagerankIters")
+     iters)
   }
+
+  private val pagerankSql =
+    s"WITH $duckEdgesCte, $pagerankCtes SELECT node AS doc_id, pr FROM r$PagerankIters"
+
+  /** Transitive closure of the symmetric edge graph → per-node min
+    * component label (shared by components and canonical-pick). */
+  private val duckCompCte =
+    ("reach AS (SELECT s AS node, d AS r FROM edges " +
+     "UNION SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s), " +
+     "comp AS (SELECT node, least(node, min(r)) AS comp_id FROM reach GROUP BY node)")
+
+  private val canonicalSql =
+    (s"WITH RECURSIVE $duckEdgesCte, $duckCompCte, " +
+     "dg AS (SELECT s AS doc_id, count(*) AS degree FROM edges GROUP BY s), " +
+     "x AS (SELECT c.comp_id, c.node, g.degree, " +
+     "row_number() OVER (PARTITION BY c.comp_id ORDER BY g.degree DESC, c.node ASC) AS rn, " +
+     "count(*) OVER (PARTITION BY c.comp_id) AS n_docs " +
+     "FROM comp c JOIN dg g ON g.doc_id = c.node) " +
+     "SELECT comp_id, n_docs, node AS canonical_doc, degree FROM x WHERE rn = 1")
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
@@ -525,10 +584,8 @@ object DedupQueries {
        "len(list_intersect(a.sg, b.sg))::DOUBLE / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j " +
        "FROM sh a, sh b WHERE a.doc_id < b.doc_id) WHERE j >= 0.7"),
     "dedup_components" ->
-      (s"WITH RECURSIVE $duckEdgesCte, " +
-       "reach AS (SELECT s AS node, d AS r FROM edges " +
-       "UNION SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s), " +
-       "comp AS (SELECT node, least(node, min(r)) AS comp_id FROM reach GROUP BY node) " +
+      (s"WITH RECURSIVE $duckEdgesCte, $duckCompCte " +
        "SELECT comp_id, count(*) AS n_docs, max(node) AS max_doc FROM comp GROUP BY comp_id"),
+    "dedup_canonical" -> canonicalSql,
   )
 }

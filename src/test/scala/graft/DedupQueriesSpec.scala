@@ -69,6 +69,19 @@ class DedupQueriesSpec extends SparkSpecBase {
     } finally pr.unpersist()
   }
 
+  test("canonical pick: one canonical per component, member of it, max degree") {
+    val canon = DedupQueries.dedupCanonical(spark, sfDir).collect()
+    val comps = DedupQueries.dedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(canon.length == comps.size, "one row per component")
+    canon.foreach { r =>
+      val (comp, n, doc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(comps(comp) == n, s"component size mismatch: $r")
+      assert(doc >= comp, "canonical doc must be a member (comp id = min member)")
+      assert(r.getLong(3) >= 1, "degree must be positive")
+    }
+  }
+
   test("fnv64 kernel is stable (pinned vector)") {
     // FNV-1a 64 of "abc" — published constant
     assert(TextHash.fnv64(UTF8String.fromString("abc")) == 0xe71fa2190541574bL)
