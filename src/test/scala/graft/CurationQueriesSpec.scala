@@ -198,6 +198,48 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(rows.exists(_.getDouble(2) > 1e-3), "all KL ~ 0 — metric degenerate?")
   }
 
+  test("ta_c4_line_filter: scan-stage, rules fire, hash only for kept pages") {
+    val df = CurationQueries.taC4LineFilter(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(queryExchanges(plan) == 0, s"line filter must not shuffle:\n$plan")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (doc, nl, nk, kept) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(nk <= nl)
+      assert(r.isNullAt(4) == !kept, s"clean_hash null iff page dropped: $r")
+      if (kept) assert(nk >= CurationQueries.C4MinLines)
+      // lorem ipsum / brace injection always sinks the page
+      if (doc % 53 == 7 || doc % 47 == 13) assert(!kept, s"noise page survived: $r")
+    }
+    assert(rows.exists(!_.getBoolean(3)) && rows.exists(_.getBoolean(3)),
+      "both page outcomes must be exercised")
+  }
+
+  test("lm_bigram_score: every bigram scored, add-one bounds hold") {
+    val rows = CurationQueries.lmBigramScore(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      // inner count joins can never drop a bigram (counts cover the corpus)
+      assert(r.getLong(1) == docs(r.getLong(0)), s"bigram lost in join: $r")
+      val lp = r.getDouble(2)
+      assert(lp < 0.0 && lp > -30.0, s"avg log-prob out of range: $r")
+    }
+  }
+
+  test("sem_dedup: per-cluster accounting closes, duplicates exist") {
+    val rows = CurationQueries.semDedup(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val (m, p, d, k) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(k + d == m, s"kept + dropped != members: $r")
+      assert(d <= p, s"more drops than pairs: $r")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "threshold finds no duplicates — degenerate")
+  }
+
   test("x_split_assign covers all three splits with sane proportions") {
     val rows = CurationQueries.xSplitAssign(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
