@@ -309,7 +309,49 @@ object TextAnalysisQueries {
           col("dup_trigrams") * 2 >= col("n_trigrams")).as("is_repetitive"))
   }
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("table", "scan", "merge")
+  val Bm25TopK = 20
+
+  /** BM25 top-k retrieval (Robertson–Spärck Jones; the Lucene
+    * `(k1=1.2, b=0.75)` parameterization with the +1 idf floor) for a
+    * pinned query-term set — the "pull the most relevant corpus slice
+    * for a topic" operator of targeted curation. The 100 TB shape:
+    * the corpus is scanned ONCE and the query-term `IN` filter prunes
+    * the exploded token stream IN the scan stage, so only
+    * matching-term rows (≪ corpus) ever shuffle; df and corpus stats
+    * are term-count-sized broadcasts; the final top-k is a
+    * TakeOrderedAndProject, never a global sort. Scores are rounded to
+    * 6 dp BEFORE ranking on both engines, so rank order (with the
+    * doc_id tiebreak) is comparison-exact. Arithmetic shapes (operator
+    * associativity, int→double promotion points) are mirrored
+    * verbatim in the oracle so both engines run the identical IEEE
+    * expression tree. */
+  def taBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col("text"), " "))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val s = idf * col("tf") * (lit(Bm25K1) + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0) - Bm25B + lit(Bm25B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(s), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bm25_topk"          -> (taBm25TopK _),
     "ta_repetition_quality" -> (taRepetitionQuality _),
     "ta_contamination"      -> (taContamination _),
     "ta_pack_sequences"     -> (taPackSequences _),
@@ -322,7 +364,23 @@ object TextAnalysisQueries {
     "ta_winnow_overlap"     -> (taWinnowOverlap _),
   )
 
+  private val duckBm25 = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+     "st AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w), " +
+     "t AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS tok FROM w), " +
+     s"f AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM t WHERE tok IN ($terms) GROUP BY doc_id, tok), " +
+     "d AS (SELECT tok, count(*) AS df FROM f GROUP BY tok) " +
+     "SELECT doc_id, round(sum(" +
+     "ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * f.tf * " +
+     s"($Bm25K1 + 1.0) / (f.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * f.dl / st.avgdl))" +
+     "), 6) AS bm25, count(*) AS n_terms " +
+     "FROM f JOIN d USING (tok), st GROUP BY doc_id " +
+     s"ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK")
+  }
+
   val oracle: Map[String, String] = Map(
+    "ta_bm25_topk" -> duckBm25,
     "ta_tfidf_top_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE len(term) > 0 GROUP BY doc_id, term), " +

@@ -93,6 +93,24 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     assert(preds.subsetOf(Set("en", "es", "de", "und")))
   }
 
+  test("bm25: top-k plan shape and score sanity") {
+    val df = TextAnalysisQueries.taBm25TopK(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"df/stats must broadcast:\n$plan")
+    // the query-term IN prune sits below the first aggregate: only
+    // matching-term rows reach the (doc_id, tok) shuffle
+    assert(plan.contains("tok#") && plan.contains(" IN ") || plan.contains("isin"),
+      s"query-term prune missing:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == TextAnalysisQueries.Bm25TopK)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sorted.reverse), "rows must come back rank-ordered")
+    assert(rows.forall(_.getLong(2) <= TextAnalysisQueries.Bm25Terms.size))
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprint hashes") {
     val fp = TextAnalysisQueries.winnowFingerprints(spark, sfDir)
       .select("doc_id", "fingerprint").collect()
