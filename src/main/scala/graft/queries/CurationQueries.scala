@@ -235,6 +235,13 @@ object CurationQueries {
   val TargetMix: Seq[(String, Double)] =
     Seq("en" -> 0.4, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
 
+  /** CASE target_share built from the literal policy (shared by the
+    * weight computation and the materialization twin below). */
+  private def targetShareCol: Column = TargetMix.tail.foldLeft(
+    when(col("lang") === TargetMix.head._1, TargetMix.head._2)) {
+    case (acc, (l, s)) => acc.when(col("lang") === l, s)
+  }.otherwise(0.0)
+
   /** Corpus mixing weights: per-language sampling weight = target
     * share / actual share, plus the expected per-epoch document count
     * at a fixed budget — the "how hard do I up/down-sample each slice
@@ -243,11 +250,7 @@ object CurationQueries {
     * broadcast literal; nothing heavy moves. */
   def xCorpusMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val Budget = 1000
-    // build CASE target_share from the literal policy
-    val targetShare = TargetMix.tail.foldLeft(
-      when(col("lang") === TargetMix.head._1, TargetMix.head._2)) {
-      case (acc, (l, s)) => acc.when(col("lang") === l, s)
-    }.otherwise(0.0)
+    val targetShare = targetShareCol
     val counts = Tables.documents(spark, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     val total = counts.agg(sum(col("n_docs")).as("n_total"))
@@ -282,6 +285,70 @@ object CurationQueries {
         round(avg(clipped), 6).as("mean_winsor"),
         round(min(clipped), 6).as("min_winsor"),
         round(max(clipped), 6).as("max_winsor"))
+  }
+
+  /** Mixing-weight MATERIALIZATION (the "apply" step after
+    * [[xCorpusMixWeights]]): every doc is repeated
+    * floor(weight) + Bernoulli(frac(weight)) times, with the Bernoulli
+    * drawn from a deterministic per-doc hash — stochastic rounding
+    * that is reproducible across runs AND engines (no RNG). This is
+    * how a pretraining recipe actually up/down-samples slices to hit
+    * the target mixture: rare languages repeat (weight > 1), dominant
+    * ones thin (weight < 1). Scan-side: the weight table is a
+    * lang-count-sized broadcast, the repeat is a per-row
+    * `array_repeat` + explode (no shuffle until the per-lang count),
+    * so the corpus streams through once. The weight arithmetic shapes
+    * are mirrored verbatim in the oracle (identical IEEE trees), so
+    * the hash-vs-fraction comparison is bit-identical. */
+  def xMixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val w = counts.crossJoin(broadcast(total))
+      .select(col("lang"),
+        (targetShareCol * col("n_total").cast("double") / col("n_docs").cast("double")).as("weight"))
+    val fh = (poly61(concat(lit("m"), col("doc_id").cast("string"))) % 1000000L)
+      .cast("double") / 1000000.0
+    val epochs = (floor(col("weight")) +
+      when(col("fh") < col("weight") - floor(col("weight")), 1).otherwise(0)).cast("int")
+    val out = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(broadcast(w), "lang")
+      .withColumn("fh", fh)
+      .select(col("lang"), explode(array_repeat(lit(1), epochs)).as("one"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_rows_out"))
+    val outTotal = out.agg(sum(col("n_rows_out")).as("t_out"))
+    counts.join(out, Seq("lang"), "left")
+      .crossJoin(broadcast(outTotal))
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_rows_out"), lit(0L)).as("n_rows_out"),
+        round(coalesce(col("n_rows_out"), lit(0L)).cast("double") /
+          col("t_out").cast("double"), 6).as("realized_share"))
+  }
+
+  /** Robust outlier gate: per-group median/MAD modified z-score
+    * (Iglewicz–Hoaglin: 0.6745·(x−med)/MAD, flag |z| > 3.5) — the
+    * outlier detector that, unlike mean/stddev, is not itself dragged
+    * by the outliers. Same two-phase shape as [[aggWinsorize]]: the
+    * per-group median frame is |groups| rows (mergeable quantile
+    * sketch at 100 TB), broadcast back for the deviation pass, whose
+    * per-group MAD broadcasts again for the flag pass — the fact
+    * stream never shuffles, it is rescanned with tiny broadcasts.
+    * med/MAD pinned to 6 dp on both engines (winsorize convention)
+    * so every downstream comparison is exact. */
+  def aggRobustZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"), max(col("med")).as("med"))
+    val z = lit(0.6745) * (col("value") - col("med")) / col("mad")
+    ev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum((abs(z) > 3.5).cast("long")).as("n_outliers"),
+        round(avg(when(abs(z) <= 3.5, col("value"))), 6).as("mean_inliers"))
   }
 
   val HashBuckets = 32
@@ -469,6 +536,8 @@ object CurationQueries {
     "ta_c4_line_filter"     -> (taC4LineFilter _),
     "lm_bigram_score"       -> (lmBigramScore _),
     "sem_dedup"             -> (semDedup _),
+    "x_mix_epochs"          -> (xMixEpochs _),
+    "agg_robust_zscore"     -> (aggRobustZscore _),
   )
 
   private val duckPii = {
@@ -567,7 +636,38 @@ object CurationQueries {
      "(m.n_members - coalesce(d.n_dropped, 0))::BIGINT AS n_kept " +
      "FROM m LEFT JOIN d USING (cluster)")
 
+  private val duckTargetShare =
+    ("(CASE WHEN lang = 'en' THEN 0.4 WHEN lang = 'es' THEN 0.2 WHEN lang = 'de' THEN 0.2 " +
+     "WHEN lang = 'fr' THEN 0.1 WHEN lang = 'zh' THEN 0.1 ELSE 0.0 END)::DOUBLE")
+
+  private val duckMixEpochs =
+    ("WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+     "t AS (SELECT sum(n_docs) AS n_total FROM counts), " +
+     s"w AS (SELECT lang, $duckTargetShare * n_total::DOUBLE / n_docs::DOUBLE AS weight FROM counts, t), " +
+     "s AS (SELECT d.doc_id, d.lang, w.weight, 'm' || d.doc_id::VARCHAR AS ms " +
+     "FROM documents d JOIN w USING (lang)), " +
+     "j AS (SELECT lang, weight, (" + duckPoly61("ms") + " % 1000000)::DOUBLE / 1000000.0 AS fh FROM s), " +
+     "e AS (SELECT lang, floor(weight)::BIGINT + (CASE WHEN fh < weight - floor(weight) THEN 1 ELSE 0 END) AS epochs FROM j), " +
+     "x AS (SELECT lang, unnest(generate_series(1, epochs)) AS i FROM e), " +
+     "o AS (SELECT lang, count(*) AS n_rows_out FROM x GROUP BY lang), " +
+     "tt AS (SELECT sum(n_rows_out)::DOUBLE AS t_out FROM o) " +
+     "SELECT c.lang, c.n_docs, coalesce(o.n_rows_out, 0)::BIGINT AS n_rows_out, " +
+     "round(coalesce(o.n_rows_out, 0)::DOUBLE / (SELECT t_out FROM tt), 6) AS realized_share " +
+     "FROM counts c LEFT JOIN o USING (lang)")
+
+  private val duckRobustZscore =
+    ("WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med " +
+     "FROM events GROUP BY event_type), " +
+     "mad AS (SELECT e.event_type, round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad, " +
+     "max(m.med) AS med FROM events e JOIN med m USING (event_type) GROUP BY e.event_type) " +
+     "SELECT e.event_type, count(*) AS n_events, max(d.med) AS med, max(d.mad) AS mad, " +
+     "sum((abs(0.6745 * (e.value - d.med) / d.mad) > 3.5)::BIGINT)::BIGINT AS n_outliers, " +
+     "round(avg(CASE WHEN abs(0.6745 * (e.value - d.med) / d.mad) <= 3.5 THEN e.value END), 6) AS mean_inliers " +
+     "FROM events e JOIN mad d USING (event_type) GROUP BY e.event_type")
+
   val oracle: Map[String, String] = Map(
+    "x_mix_epochs" -> duckMixEpochs,
+    "agg_robust_zscore" -> duckRobustZscore,
     "ta_c4_line_filter" -> duckC4,
     "lm_bigram_score" -> duckLmBigram,
     "sem_dedup" -> duckSemDedup,

@@ -240,6 +240,28 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(2)).sum > 0, "threshold finds no duplicates — degenerate")
   }
 
+  test("x_mix_epochs: realized mixture tracks the target within sampling noise") {
+    val rows = CurationQueries.xMixEpochs(spark, sfDir).collect()
+    val target = CurationQueries.TargetMix.toMap
+    rows.foreach { r =>
+      val (lang, share) = (r.getString(0), r.getDouble(3))
+      // stochastic-rounding noise at n≈60-220 docs/lang: ±0.05 absolute
+      assert(math.abs(share - target(lang)) < 0.05, s"share off target: $r")
+    }
+    assert(rows.map(_.getDouble(3)).sum > 0.999 && rows.map(_.getDouble(3)).sum < 1.001)
+  }
+
+  test("agg_robust_zscore: MAD gate flags a plausible outlier fraction") {
+    val rows = CurationQueries.aggRobustZscore(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, mad, out) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(mad > 0.0, s"degenerate MAD: $r")
+      val frac = out.toDouble / n
+      assert(frac >= 0.0 && frac < 0.25, s"outlier fraction implausible: $r")
+      assert(!r.isNullAt(5), s"inlier mean must exist: $r")
+    }
+  }
+
   test("x_split_assign covers all three splits with sane proportions") {
     val rows = CurationQueries.xSplitAssign(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
