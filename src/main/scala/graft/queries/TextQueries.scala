@@ -162,7 +162,38 @@ object TextQueries {
         col("best.matched").as("matched"), col("best.dist").cast("long").as("dist"))
   }
 
+  val JwThreshold = 0.9
+
+  /** Fuzzy join on the custom codegen'd [[graft.expr.JaroWinklerSim]]
+    * expression (kernel parity with DuckDB's builtin pinned in
+    * KernelProps): same typo corpus and length-band blocking as
+    * [[fuzzyJoinLevenshtein]], but scored by Jaro–Winkler — the
+    * record-linkage metric that rewards shared prefixes, which is what
+    * entity-resolution blocking actually ranks by. Scores are rounded
+    * to 6 dp BEFORE the threshold and the argmax on BOTH engines, so
+    * candidate survival and tie-breaks are comparison-exact. Dict is
+    * broadcast; the length band bounds candidates exactly like the
+    * levenshtein twin. */
+  def fuzzyJoinJw(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.stringfunctions.jaro_winkler
+    val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val pos = pmod(col("p_partkey"), length(col("p_name")))
+    val typo = parts.select(col("p_partkey"),
+      concat(substring(col("p_name"), lit(1), pos),
+        substring(col("p_name"), pos + lit(2), lit(1000000))).as("typo"))
+    val dict = parts.select(col("p_name")).distinct()
+    typo.join(broadcast(dict),
+        abs(length(col("typo")) - length(col("p_name"))) <= 2)
+      .withColumn("jw", round(jaro_winkler(col("typo"), col("p_name")), 6))
+      .filter(col("jw") >= JwThreshold)
+      .groupBy(col("p_partkey"), col("typo"))
+      .agg(max(struct(col("jw"), col("p_name").as("matched"))).as("best"))
+      .select(col("p_partkey"), col("typo"),
+        col("best.matched").as("matched"), col("best.jw").as("jw"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join_jw" -> (fuzzyJoinJw _),
     "fuzzy_join_levenshtein" -> (fuzzyJoinLevenshtein _),
     "f4_regex_filter"     -> (f4RegexFilter _),
     "f6_multi_literal_anti" -> (f6MultiLiteralAnti _),
@@ -180,6 +211,17 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "fuzzy_join_jw" ->
+      ("WITH typo AS (SELECT p_partkey, " +
+       "substr(p_name, 1, p_partkey % length(p_name)) || " +
+       "substr(p_name, (p_partkey % length(p_name)) + 2) AS typo FROM part), " +
+       "dict AS (SELECT DISTINCT p_name FROM part), " +
+       "cand AS (SELECT t.p_partkey, t.typo, d.p_name, " +
+       "round(jaro_winkler_similarity(t.typo, d.p_name), 6) AS jw " +
+       "FROM typo t JOIN dict d ON abs(length(t.typo) - length(d.p_name)) <= 2) " +
+       s"SELECT p_partkey, typo, p_name AS matched, jw FROM (" +
+       "SELECT *, row_number() OVER (PARTITION BY p_partkey, typo ORDER BY jw DESC, p_name DESC) AS rn " +
+       s"FROM cand WHERE jw >= $JwThreshold) WHERE rn = 1"),
     "fuzzy_join_levenshtein" ->
       ("WITH typo AS (SELECT p_partkey, " +
        "substr(p_name, 1, p_partkey % length(p_name)) || " +

@@ -170,4 +170,39 @@ object KernelProps extends Properties("kernels") {
           TextHash.poly61(UTF8String.fromString(g.mkString(" ")))).toSeq
       fused.toLongArray().toSeq == expected
     }
+
+  /** Pinned parity vectors captured from DuckDB's
+    * `jaro_winkler_similarity` (the query oracle): the kernel must
+    * reproduce them BIT-EXACTLY — window, integer transposition
+    * halving, 0.7 boost gate, prefix cap 4 all covered. */
+  property("jaroWinkler matches DuckDB pinned vectors bit-exactly") = Prop {
+    val vectors = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("ABCDEF", "ABFEDC", 0.6944444444444443), // below boost gate
+      ("AB", "AB", 1.0),
+      ("", "ABC", 0.0),
+      ("A", "", 0.0),
+      ("ABCDXX", "ABCDYY", 0.8666666666666666), // prefix cap 4
+      ("PREFIXAAAA", "PREFIXBBBB", 0.8400000000000001),
+      ("ab", "ba", 0.0),               // window max/2-1 = 0
+      ("abcd", "badc", 0.8333333333333334), // integer t = 4/2
+      ("CRATE", "TRACE", 0.7333333333333334))
+    vectors.forall { case (a, b, want) =>
+      val got = graft.expr.StringSim.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      got == want
+    }
+  }
+
+  property("jaroWinkler is symmetric and bounded in [0,1]") =
+    forAll(asciiText, asciiText) { (a, b) =>
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val s1 = graft.expr.StringSim.jaroWinkler(ua, ub)
+      val s2 = graft.expr.StringSim.jaroWinkler(ub, ua)
+      s1 == s2 && s1 >= 0.0 && s1 <= 1.0 &&
+        (a != b || a.isEmpty || s1 == 1.0)
+    }
 }

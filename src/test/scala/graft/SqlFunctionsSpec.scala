@@ -42,6 +42,12 @@ class SqlFunctionsSpec extends SparkSpecBase {
       "multi_contains_any('nothing here', 'rotenone', 'metformin') AS n").collect().head
     assert(mc.getBoolean(0) && !mc.getBoolean(1))
 
+    val jw = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS a, jaro_winkler('ab', 'ba') AS b")
+      .collect().head
+    assert(jw.getDouble(0) == 0.9611111111111111) // DuckDB-pinned vector
+    assert(jw.getDouble(1) == 0.0)
+
     val agg = spark.sql(
       "SELECT topk_mean(v, 2) AS m FROM VALUES (1.0d), (5.0d), (3.0d) AS t(v)").collect().head
     assert(agg.getDouble(0) == 4.0)
