@@ -249,6 +249,33 @@ object RelationalQueries {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** TPC-H Q9 shape (product-type profit by supplier nation and order
+    * year), adapted to the corpus's tables (no partsupp, so profit =
+    * discounted revenue). The plan the 100 TB star join wants: all
+    * three dimensions (name-filtered part, supplier, nation) broadcast
+    * — the fact stream never shuffles for them; the ONLY exchange is
+    * the lineitem⋈orders orderkey join (two co-partitioned big sides),
+    * and the (nation, year) aggregate partial-combines map-side.
+    * Per-row amount is computed BELOW the joins so both engines sum
+    * the identical per-row doubles. */
+  def q9ProductTypeProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red")).select(col("p_partkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("amount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(round(sum(col("amount")), 2).as("profit"), count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q18 shape (large-volume orders): HAVING-filtered aggregate
     * subquery re-joined to the fact — the "find entities whose total
     * exceeds a threshold, then pull their details" pattern. The
@@ -288,6 +315,7 @@ object RelationalQueries {
     "u4_intersect"          -> (u4Intersect _),
     "q3_shipping_priority"  -> (q3ShippingPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q9_product_type_profit" -> (q9ProductTypeProfit _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -354,6 +382,14 @@ object RelationalQueries {
        "JOIN region ON n_regionkey = r_regionkey " +
        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
        "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name"),
+    "q9_product_type_profit" ->
+      ("SELECT n_name, year(o_orderdate)::BIGINT AS o_year, " +
+       "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS profit, count(*) AS n_items " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE contains(p_name, 'red') GROUP BY n_name, o_year"),
     "q18_large_volume" ->
       ("WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty " +
        "FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250.0) " +

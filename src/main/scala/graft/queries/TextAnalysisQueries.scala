@@ -350,7 +350,37 @@ object TextAnalysisQueries {
       .limit(Bm25TopK)
   }
 
+  val PostingK = 5
+
+  /** Inverted-index build with CAPPED posting lists — the batch index
+    * artifact behind BM25-style retrieval. Per term: document
+    * frequency, total term frequency, and the top-[[PostingK]] posting
+    * list ranked by (tf desc, doc_id asc). The cap is the 100 TB
+    * design point: full posting lists are unbounded per term
+    * (stopwords ≈ corpus size), so the ranked head rides through a
+    * bounded collect while df/tf stay exact aggregates; the (term,
+    * doc) partials combine map-side, and both aggregates share one
+    * shuffle of the (term, doc_id, tf) frame. Posting order is pinned
+    * by sorting (−tf, doc_id) structs, so the array is replayable
+    * exactly in SQL. */
+  def taInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("tf").desc, col("doc_id").asc)
+    tf.withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        transform(
+          array_sort(collect_list(when(col("rn") <= PostingK,
+            struct((-col("tf")).as("nt"), col("doc_id").as("d"))))),
+          x => x.getField("d")).as("posting"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_inverted_index"     -> (taInvertedIndex _),
     "ta_bm25_topk"          -> (taBm25TopK _),
     "ta_repetition_quality" -> (taRepetitionQuality _),
     "ta_contamination"      -> (taContamination _),
@@ -379,7 +409,16 @@ object TextAnalysisQueries {
      s"ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK")
   }
 
+  private val duckInvertedIndex =
+    ("WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+     "tf AS (SELECT term, doc_id, count(*) AS tf FROM u WHERE term <> '' GROUP BY term, doc_id), " +
+     "r AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn FROM tf) " +
+     "SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf, " +
+     s"list(doc_id ORDER BY tf DESC, doc_id ASC) FILTER (WHERE rn <= $PostingK) AS posting " +
+     "FROM r GROUP BY term")
+
   val oracle: Map[String, String] = Map(
+    "ta_inverted_index" -> duckInvertedIndex,
     "ta_bm25_topk" -> duckBm25,
     "ta_tfidf_top_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +

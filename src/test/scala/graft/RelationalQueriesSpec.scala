@@ -73,4 +73,19 @@ class RelationalQueriesSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"limit+sort not fused:\n$plan")
   }
+
+  test("q9 star join broadcasts every dimension; only the fact-fact join shuffles") {
+    val df = RelationalQueries.q9ProductTypeProfit(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"part/supplier/nation must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(plan).size <= 1,
+      s"only lineitem-orders may shuffle-join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) > 0))
+    // every (nation, year) cell is distinct
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == rows.length)
+  }
 }

@@ -93,6 +93,18 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     assert(preds.subsetOf(Set("en", "es", "de", "und")))
   }
 
+  test("inverted index: postings capped, ranked, and consistent with df") {
+    val rows = TextAnalysisQueries.taInvertedIndex(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, posting) = (r.getLong(1), r.getSeq[Long](3))
+      assert(posting.nonEmpty && posting.size <= TextAnalysisQueries.PostingK)
+      assert(posting.size == math.min(df, TextAnalysisQueries.PostingK.toLong))
+      assert(posting.distinct.size == posting.size, s"dup doc in posting: $r")
+      assert(r.getLong(2) >= df, "total_tf >= df")
+    }
+  }
+
   test("bm25: top-k plan shape and score sanity") {
     val df = TextAnalysisQueries.taBm25TopK(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
