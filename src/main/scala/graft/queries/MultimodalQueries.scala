@@ -100,7 +100,49 @@ object MultimodalQueries {
       "orderkey_not_null" -> col("o_orderkey").isNotNull,
       "date_in_range" -> (year(col("o_orderdate")) >= 1990)))
 
+  /** Column profiling (the Deequ/Glue-profiler artifact: per-column
+    * null count, exact distinct cardinality, numeric/string min-max)
+    * over a pinned lineitem column set, emitted as one row per column.
+    * ONE corpus pass computes every stat (the multi-countDistinct
+    * plans a single Expand — ×4 row amplification map-side, still one
+    * shuffle); the per-column rows come from exploding a 4-struct
+    * literal array over the 1-row aggregate. At 100 TB the exact
+    * distincts swap for HLL sketches ([[SketchQueries]] has the
+    * mergeable form); exact is kept here so the oracle can replay
+    * values bit-for-bit. Numeric and string extrema ride in separate
+    * typed columns — no cross-type casts to string, whose formatting
+    * differs between engines. */
+  def p4ProfileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    def num(c: String) = Seq(
+      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+      round(min(col(c)), 6).as(s"mn_$c"), round(max(col(c)), 6).as(s"mx_$c"))
+    def str(c: String) = Seq(
+      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      num("l_quantity") ++ num("l_discount") ++
+      str("l_returnflag") ++ str("l_linestatus")
+    val a = l.agg(aggs.head, aggs.tail: _*)
+    def rowOf(c: String, numeric: Boolean) = struct(
+      lit(c).as("column_name"),
+      (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+      col(s"nd_$c").as("n_distinct"),
+      (if (numeric) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+      (if (numeric) col(s"mx_$c") else lit(null).cast("double")).as("max_num"),
+      (if (numeric) lit(null).cast("string") else col(s"mn_$c")).as("min_str"),
+      (if (numeric) lit(null).cast("string") else col(s"mx_$c")).as("max_str"))
+    a.select(col("n_rows"), explode(array(
+        rowOf("l_quantity", numeric = true), rowOf("l_discount", numeric = true),
+        rowOf("l_returnflag", numeric = false), rowOf("l_linestatus", numeric = false)))
+      .as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
+        col("p.min_str"), col("p.max_str"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p4_profile_columns" -> (p4ProfileColumns _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_frame_sample"    -> (mmFrameSample _),
     "mm_resize"          -> (mmResize _),
@@ -108,7 +150,23 @@ object MultimodalQueries {
     "p3_constraint_check" -> (p3ConstraintCheck _),
   )
 
+  private val duckProfile = {
+    def num(c: String) =
+      (s"SELECT '$c' AS column_name, count(*) AS n_rows, " +
+       s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
+       s"round(min($c), 6) AS min_num, round(max($c), 6) AS max_num, " +
+       "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM lineitem")
+    def str(c: String) =
+      (s"SELECT '$c' AS column_name, count(*) AS n_rows, " +
+       s"count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, " +
+       "NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, " +
+       s"min($c) AS min_str, max($c) AS max_str FROM lineitem")
+    Seq(num("l_quantity"), num("l_discount"),
+      str("l_returnflag"), str("l_linestatus")).mkString(" UNION ALL ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "p4_profile_columns" -> duckProfile,
     "mm_decode_features" ->
       ("SELECT doc_id, length(text)::BIGINT AS f_len, " +
        "(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::BIGINT AS f_vowels, " +

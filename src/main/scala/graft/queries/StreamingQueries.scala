@@ -182,6 +182,39 @@ object StreamingQueries {
     * horizon are held back BY DESIGN, and the oracle applies the same
     * cutoff: window_end <= max(ts) − 1h, with the watermark's
     * millisecond floor replicated exactly. */
+  /** Stream–STATIC broadcast join (the enrichment-dimension pattern the
+    * pack lacked: t5 is stream-stream): every microbatch joins against
+    * a small static dimension with NO join state at all — the dim is
+    * broadcast per batch, the stream side never buffers for it, which
+    * is exactly how a 100 TB/day feed picks up slowly-changing
+    * reference data. Downstream the weighted windowed aggregate runs
+    * append-mode with watermark-closed windows (the bounded-sink
+    * continuous form; cutoff replayed by the oracle like
+    * [[t1StreamTumblingAppend]]). The dim is a LITERAL policy table so
+    * the DuckDB twin can inline it as VALUES. */
+  def t9StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      ("click", "engagement", 1.0), ("view", "engagement", 0.5),
+      ("purchase", "revenue", 5.0), ("signup", "acquisition", 3.0),
+      ("error", "ops", 0.0)).toDF("event_type", "category", "weight")
+    val stream = decodeTs(stagedEventFeed(spark, dir))
+    val agg = stream.join(broadcast(dim), "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * col("weight")), 6).as("wsum"))
+      .select(col("w.start").as("window_start"), col("category"),
+        col("n_events"), col("wsum"))
+    val qname = "t9_stream_static_" + java.lang.Integer.toHexString(dir.hashCode)
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(qname)
+  }
+
   def t1StreamTumblingAppend(spark: SparkSession, dir: String): DataFrame = {
     val stream = decodeTs(stagedEventFeed(spark, dir))
     val agg = stream
@@ -328,6 +361,7 @@ object StreamingQueries {
     "t8_stream_merge_upsert" -> (t8StreamMergeUpsert _),
     "t1_stream_tumbling" -> (t1StreamTumbling _),
     "t1_stream_tumbling_append" -> (t1StreamTumblingAppend _),
+    "t9_stream_static_join" -> (t9StreamStaticJoin _),
     "t6_stream_session_append"  -> (t6StreamSessionAppend _),
     "t2_stream_dedup"    -> (t2StreamDedup _),
     "t3_republish"       -> (t3Republish _),
@@ -355,6 +389,17 @@ object StreamingQueries {
     // sessions CLOSED by the final watermark. Spark tracks event-time
     // stats in MILLISECONDS, so the watermark is (max ts floored to ms)
     // − 1 h — the floor is replicated exactly via epoch_us // 1000.
+    "t9_stream_static_join" ->
+      ("WITH dim(event_type, category, weight) AS (VALUES " +
+       "('click', 'engagement', 1.0), ('view', 'engagement', 0.5), " +
+       "('purchase', 'revenue', 5.0), ('signup', 'acquisition', 3.0), " +
+       "('error', 'ops', 0.0)), " +
+       "w AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wm_us FROM events) " +
+       "SELECT date_trunc('hour', e.ts) AS window_start, d.category, " +
+       "count(*) AS n_events, round(sum(e.value * d.weight::DOUBLE), 6) AS wsum " +
+       "FROM events e JOIN dim d USING (event_type), w " +
+       "GROUP BY window_start, d.category, wm_us " +
+       "HAVING epoch_us(window_start + INTERVAL 1 HOUR) <= wm_us"),
     "t1_stream_tumbling_append" ->
       ("WITH w AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wm_us FROM events) " +
        "SELECT date_trunc('hour', ts) AS window_start, event_type, " +

@@ -37,6 +37,23 @@ class ProvenanceMultimodalSpec extends SparkSpecBase {
     assert(e.getMessage.contains("impossible"))
   }
 
+  test("P4 column profile: one row per column, typed extrema lanes are exclusive") {
+    val rows = graft.queries.MultimodalQueries.p4ProfileColumns(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val n = Tables.lineitem(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "n_rows must be the table count")
+      assert(r.getLong(2) == 0, "corpus has no nulls in the profiled columns")
+      assert(r.getLong(3) > 0)
+      val numeric = !r.isNullAt(4)
+      if (numeric) {
+        assert(r.getDouble(4) <= r.getDouble(5) && r.isNullAt(6) && r.isNullAt(7))
+      } else {
+        assert(r.isNullAt(4) && r.isNullAt(5) && r.getString(6) <= r.getString(7))
+      }
+    }
+  }
+
   test("frame sample reassembles to the original payload length") {
     val media = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

@@ -152,6 +152,28 @@ class ScaleStreamSpec extends SparkSpecBase {
       "a watermark-closed window was held back from the append sink")
   }
 
+  test("t9 stream-static join keeps the dim stateless and matches the batch relation") {
+    val streamed = StreamingQueries.t9StreamStaticJoin(spark, sfDir)
+    assert(streamed.count() > 0, "stream-static join drained nothing")
+    // batch replay of the same dim join + windowed agg, watermark-cut
+    import spark.implicits._
+    val dim = Seq(
+      ("click", "engagement", 1.0), ("view", "engagement", 0.5),
+      ("purchase", "revenue", 5.0), ("signup", "acquisition", 3.0),
+      ("error", "ops", 0.0)).toDF("event_type", "category", "weight")
+    val ev = Tables.events(spark, sfDir)
+    val horizonMs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - 3600L * 1000
+    val batch = ev.join(broadcast(dim), "event_type")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * col("weight")), 6).as("wsum"))
+      .filter(col("w.end").cast("timestamp").cast("long") * 1000 <= horizonMs)
+      .select(col("w.start").as("window_start"), col("category"),
+        col("n_events"), col("wsum"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-static result diverges from the batch relation")
+  }
+
   test("t6 streaming sessions match the batch session-window relation") {
     val streamed = StreamingQueries.t6StreamSession(spark, sfDir)
     val batch = Tables.events(spark, sfDir)
