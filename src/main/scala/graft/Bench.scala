@@ -107,7 +107,11 @@ object Bench {
       // window: ~120 B added, ~860 B per copy total)
       "t7_stream_lsh_dedup", "ta_contamination", "ann_quantized_topk",
       // curation-pack flagships (~80 B more; ~940 B per copy)
-      "graph_pagerank", "ta_boilerplate_grams", "x_sample_quota")
+      "graph_pagerank", "ta_boilerplate_grams", "x_sample_quota",
+      // round-3 session-2 flagships (~150 B more; ~1.1 KB per copy —
+      // still < half the ~3 KB tail window for both copies together)
+      "sem_dedup", "ta_bm25_topk", "lm_bigram_score", "fuzzy_join_jw",
+      "q9_product_type_profit", "dedup_canonical")
     // explicit root locale: the default f"" interpolator is
     // locale-sensitive, and a comma-decimal locale would make the
     // machine-parsed metric line invalid JSON
