@@ -47,6 +47,7 @@ object Functions {
     "bit_dice"            -> (e => BitDice(e(0), e(1))),
     "multi_contains_any"  -> (e => MultiContainsAny(e.head, e.tail.map(str))),
     "jaro_winkler"        -> (e => JaroWinklerSim(e(0), e(1))),
+    "cdc_boundaries"      -> (e => CdcBoundaries(e.head)),
     "topk_mean"           -> (e => TopKMean(e(0), int(e(1)))),
     "topk_pairs"          -> (e => TopKPairs(e(0), e(1), int(e(2)))),
     // Spark's internal runtime-filter bloom pair, surfaced as SQL

@@ -379,7 +379,27 @@ object TextAnalysisQueries {
           x => x.getField("d")).as("posting"))
   }
 
+  /** Content-defined chunking over the corpus (kernel rationale in
+    * [[graft.expr.Cdc]]): per doc, the boundary count and a poly61
+    * fingerprint of the exact cut-position list — the storage-dedup
+    * primitive where chunk boundaries follow content, so shared
+    * passages chunk identically across documents. Pure scan-stage
+    * projection (one rolling O(n) codegen'd pass per doc, no shuffle
+    * at all); the oracle recomputes every window hash positionally in
+    * SQL and must match the rolling kernel bit-for-bit. */
+  def taCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.stringfunctions.cdc_boundaries
+    import graft.expr.hashfunctions.poly61
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"),
+        cdc_boundaries(col("text")).as("b"))
+      .select(col("doc_id"), col("text_len"),
+        (size(col("b")) + 1).cast("long").as("n_chunks"),
+        poly61(array_join(transform(col("b"), x => x.cast("string")), ",")).as("bnd_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_cdc_chunks"         -> (taCdcChunks _),
     "ta_inverted_index"     -> (taInvertedIndex _),
     "ta_bm25_topk"          -> (taBm25TopK _),
     "ta_repetition_quality" -> (taRepetitionQuality _),
@@ -417,7 +437,18 @@ object TextAnalysisQueries {
      s"list(doc_id ORDER BY tf DESC, doc_id ASC) FILTER (WHERE rn <= $PostingK) AS posting " +
      "FROM r GROUP BY term")
 
+  private val duckCdc = {
+    import graft.expr.hashfunctions.duckPoly61
+    ("WITH b AS (SELECT doc_id, length(text)::BIGINT AS text_len, " +
+     "list_filter(generate_series(8, length(text)), ci -> " +
+     "(" + duckPoly61("substr(text, ci-7, 8)") + ") % 64 = 0) AS bnd FROM documents), " +
+     "p AS (SELECT doc_id, text_len, (len(bnd) + 1)::BIGINT AS n_chunks, " +
+     "array_to_string(list_transform(bnd, bi -> bi::VARCHAR), ',') AS ps FROM b) " +
+     "SELECT doc_id, text_len, n_chunks, " + duckPoly61("ps") + " AS bnd_hash FROM p")
+  }
+
   val oracle: Map[String, String] = Map(
+    "ta_cdc_chunks" -> duckCdc,
     "ta_inverted_index" -> duckInvertedIndex,
     "ta_bm25_topk" -> duckBm25,
     "ta_tfidf_top_terms" ->

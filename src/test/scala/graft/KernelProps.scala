@@ -196,6 +196,20 @@ object KernelProps extends Properties("kernels") {
     }
   }
 
+  property("cdc boundaries == naive per-window poly61 recompute") =
+    forAll(unicodeText) { s =>
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      val got = graft.expr.Cdc.boundaries(UTF8String.fromString(s))
+        .asInstanceOf[ArrayData].toIntArray().toSeq
+      val cps = s.codePoints().toArray
+      val want = (graft.expr.Cdc.CdcWindow to cps.length).filter { i =>
+        val win = new String(cps.slice(i - graft.expr.Cdc.CdcWindow, i), 0,
+          graft.expr.Cdc.CdcWindow)
+        TextHash.poly61(UTF8String.fromString(win)) % (graft.expr.Cdc.CdcMask + 1) == 0
+      }
+      got == want
+    }
+
   property("jaroWinkler is symmetric and bounded in [0,1]") =
     forAll(asciiText, asciiText) { (a, b) =>
       val ua = UTF8String.fromString(a)
