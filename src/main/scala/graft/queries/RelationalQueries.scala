@@ -249,6 +249,24 @@ object RelationalQueries {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** Correlated scalar subquery ("orders more than twice their
+    * customer's average") through the SQL surface — the decorrelation
+    * path: Catalyst rewrites the per-row subquery into ONE aggregate
+    * over orders plus a join (RewriteCorrelatedScalarSubquery), so the
+    * fact is scanned twice and joined once instead of re-aggregated
+    * per row — the only plan that survives 100 TB. The threshold is
+    * rounded to 2 dp inside the subquery on BOTH engines (q18's
+    * convention) so row inclusion is comparison-exact. */
+  def xCorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total_price
+        |FROM orders_v o
+        |WHERE o.o_totalprice > (SELECT round(2 * avg(o2.o_totalprice), 2)
+        |                        FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |""".stripMargin)
+  }
+
   /** TPC-H Q9 shape (product-type profit by supplier nation and order
     * year), adapted to the corpus's tables (no partsupp, so profit =
     * discounted revenue). The plan the 100 TB star join wants: all
@@ -316,6 +334,7 @@ object RelationalQueries {
     "q3_shipping_priority"  -> (q3ShippingPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "q9_product_type_profit" -> (q9ProductTypeProfit _),
+    "x_correlated_subquery" -> (xCorrelatedSubquery _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -382,6 +401,10 @@ object RelationalQueries {
        "JOIN region ON n_regionkey = r_regionkey " +
        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
        "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name"),
+    "x_correlated_subquery" ->
+      ("SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total_price FROM orders o " +
+       "WHERE o.o_totalprice > (SELECT round(2 * avg(o2.o_totalprice), 2) " +
+       "FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"),
     "q9_product_type_profit" ->
       ("SELECT n_name, year(o_orderdate)::BIGINT AS o_year, " +
        "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS profit, count(*) AS n_items " +

@@ -74,6 +74,24 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), s"limit+sort not fused:\n$plan")
   }
 
+  test("correlated scalar subquery decorrelates to one aggregate + join") {
+    val df = RelationalQueries.xCorrelatedSubquery(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"),
+      s"subquery must decorrelate:\n$optimized")
+    assert(optimized.contains("Aggregate") && optimized.contains("Join"),
+      s"expected aggregate+join rewrite:\n$optimized")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // spot-check the semantics against a hand-computed relation
+    val avgByCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(round(lit(2) * avg(col("o_totalprice")), 2).as("thr"))
+    val expect = Tables.orders(spark, sfDir).join(avgByCust, "o_custkey")
+      .filter(col("o_totalprice") > col("thr")).count()
+    assert(rows.length.toLong == expect)
+  }
+
   test("q9 star join broadcasts every dimension; only the fact-fact join shuffles") {
     val df = RelationalQueries.q9ProductTypeProfit(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
