@@ -437,7 +437,39 @@ object DedupQueries {
         (-col("best.nd")).as("canonical_doc"), col("best.degree").as("degree"))
   }
 
+  /** Triangle count over the near-dup graph (the clustering-coefficient
+    * numerator — how cliquish the duplicate neighborhoods are). The
+    * 100 TB trick is the DEGREE-ORDERED ORIENTATION: each undirected
+    * edge points from its (degree, id)-smaller endpoint to the larger,
+    * so every triangle is counted EXACTLY once and the wedge join
+    * fans out from low-degree vertices only — O(Σ deg(v)·out(v)) with
+    * out-degree bounded by O(√|E|) on any graph, instead of the
+    * unbounded hub fan-out of the naive 3-way self-join. Two
+    * equi-joins close the wedges; all counts are exact integers (no FP
+    * anywhere). */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairsFrom(shingleTable(spark, dir))
+      .select(col("id_a"), col("id_b")).persist()
+    pairs.count()
+    val sym = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dd = sym.join(deg, "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("deg_d")), "dst")
+    // orient: keep the copy that points (deg, id)-upward
+    val ed = dd.filter(col("deg") < col("deg_d") ||
+        (col("deg") === col("deg_d") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v")).persist()
+    val wedges = ed.join(ed.select(col("u").as("v"), col("v").as("w")), "v")
+      .select(col("u"), col("v"), col("w"))
+    val tri = wedges.join(ed.select(col("u"), col("v").as("w")), Seq("u", "w"))
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+    // `pairs`/`ed` stay persisted until the consumer drains the result
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles"      -> (graphTriangles _),
     "dedup_canonical"      -> (dedupCanonical _),
     "graph_pagerank"       -> (graphPagerank _),
     "dedup_exact"          -> (dedupExact _),
@@ -549,7 +581,18 @@ object DedupQueries {
      "FROM comp c JOIN dg g ON g.doc_id = c.node) " +
      "SELECT comp_id, n_docs, node AS canonical_doc, degree FROM x WHERE rn = 1")
 
+  private val trianglesSql =
+    (s"WITH $duckEdgesCte, " +
+     "deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s), " +
+     "ed AS (SELECT e.s AS u, e.d AS v FROM edges e " +
+     "JOIN deg a ON a.s = e.s JOIN deg b ON b.s = e.d " +
+     "WHERE a.deg < b.deg OR (a.deg = b.deg AND e.s < e.d)), " +
+     "wed AS (SELECT e1.u, e1.v, e2.v AS w FROM ed e1 JOIN ed e2 ON e1.v = e2.u) " +
+     "SELECT (SELECT count(*) FROM wed JOIN ed e3 ON wed.u = e3.u AND wed.w = e3.v)::BIGINT AS n_triangles, " +
+     "(SELECT count(*) FROM pairs)::BIGINT AS n_edges")
+
   val oracle: Map[String, String] = Map(
+    "graph_triangles" -> trianglesSql,
     "graph_pagerank" -> pagerankSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,

@@ -82,6 +82,22 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("triangle count matches brute force over the collected edge set") {
+    val row = DedupQueries.graphTriangles(spark, sfDir).collect().head
+    val (nTri, nEdges) = (row.getLong(0), row.getLong(1))
+    val pairs = DedupQueries.dedupNgramJaccard(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nEdges.toInt == pairs.size)
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val brute = pairs.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty[Long]).toSet
+        .intersect(adj.getOrElse(b, Set.empty[Long]).toSet).size
+    }.sum / 3 // each triangle seen from its 3 edges
+    assert(nTri.toInt == brute, s"oriented count $nTri != brute $brute")
+  }
+
   test("fnv64 kernel is stable (pinned vector)") {
     // FNV-1a 64 of "abc" — published constant
     assert(TextHash.fnv64(UTF8String.fromString("abc")) == 0xe71fa2190541574bL)
