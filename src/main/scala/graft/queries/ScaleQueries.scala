@@ -342,7 +342,35 @@ object ScaleQueries {
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
   }
 
+  /** CDC snapshot DIFF — the generator side of change-data-capture
+    * (the feed [[mergeUpsert]] consumes): classify every key of two
+    * table versions as insert / delete / update / unchanged via ONE
+    * full-outer join on the key, and emit per-class counts plus a
+    * value checksum. The two versions are derived deterministically
+    * from orders (v2 gains the %7 keys, loses the %5 slice, reprices
+    * the %3 slice) so the oracle replays them exactly. At 100 TB both
+    * snapshots are key-partitioned parquet: the full-outer join is the
+    * ONE co-partitioned exchange pair and the class aggregate is
+    * 4 rows — nothing else moves. */
+  def cdcSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), round(col("o_totalprice"), 2).as("p"))
+    val v1 = base.filter(col("k") % 7 =!= 0)
+    val v2 = base.filter(col("k") % 5 =!= 3)
+      .select(col("k"),
+        when(col("k") % 3 === 0, round(col("p") + lit(1.5), 2)).otherwise(col("p")).as("p2"))
+    val op = when(col("p").isNull, "insert")
+      .when(col("p2").isNull, "delete")
+      .when(col("p") =!= col("p2"), "update")
+      .otherwise("unchanged")
+    v1.join(v2, Seq("k"), "full_outer")
+      .select(op.as("op"), coalesce(col("p2"), col("p")).as("v"))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("v")), 2).as("checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_snapshot_diff" -> (cdcSnapshotDiff _),
     "k_compaction"            -> (kCompaction _),
     "k_zorder_layout"         -> (kZorderLayout _),
     "k_dpp_join"              -> (dppJoin _),
@@ -355,7 +383,19 @@ object ScaleQueries {
     "k_partitioned_prune"     -> (partitionedPrune _),
   )
 
+  private val duckCdcDiff =
+    ("WITH base AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS p FROM orders), " +
+     "v1 AS (SELECT k, p FROM base WHERE k % 7 <> 0), " +
+     "v2 AS (SELECT k, CASE WHEN k % 3 = 0 THEN round(p + 1.5, 2) ELSE p END AS p2 " +
+     "FROM base WHERE k % 5 <> 3), " +
+     "d AS (SELECT coalesce(v1.k, v2.k) AS k, p, p2 FROM v1 FULL OUTER JOIN v2 USING (k)) " +
+     "SELECT (CASE WHEN p IS NULL THEN 'insert' WHEN p2 IS NULL THEN 'delete' " +
+     "WHEN p <> p2 THEN 'update' ELSE 'unchanged' END) AS op, " +
+     "count(*) AS n_rows, round(sum(coalesce(p2, p)), 2) AS checksum " +
+     "FROM d GROUP BY op")
+
   val oracle: Map[String, String] = Map(
+    "cdc_snapshot_diff" -> duckCdcDiff,
     // compaction must be content-preserving: the oracle is the same
     // aggregate over the CANONICAL table the fragmented copy came from
     "k_compaction" ->
