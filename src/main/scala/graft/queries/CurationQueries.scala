@@ -208,6 +208,31 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** End-to-end TRAINING-DATA MANIFEST — the capstone composition:
+    * exact dedup (keep min doc_id per text) → C4 page filter → target
+    * language policy → deterministic split assignment, aggregated to
+    * the (split, lang) matrix of document and token counts a training
+    * run consumes. Every stage is an operator this pack already
+    * verifies in isolation; here they fuse into ONE lazy DAG — the
+    * dedup groupBy is the only corpus-keyed shuffle, the C4 filter and
+    * split bucket stay scan-side, and the final aggregate is
+    * |splits×langs| rows. The point (and what the oracle checks) is
+    * that the composition holds end-to-end, not just per stage. */
+  def e2eTrainManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val keepMin = d.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+    val b = ascii(substring(md5(col("doc_id").cast("string")), 1, 1)) % 10
+    val splitCol = when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+    d.join(keepMin, "text").filter(col("doc_id") === col("keep_id"))
+      .filter(col("lang").isin(TargetMix.map(_._1): _*))
+      .join(taC4LineFilter(spark, dir).select(col("doc_id"), col("page_kept")), "doc_id")
+      .filter(col("page_kept"))
+      .select(splitCol.as("split"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+  }
+
   // ---------------------------------------------------------------- SCD2
 
   /** SCD2 (type-2 slowly-changing dimension) history build from a
@@ -538,6 +563,7 @@ object CurationQueries {
     "sem_dedup"             -> (semDedup _),
     "x_mix_epochs"          -> (xMixEpochs _),
     "agg_robust_zscore"     -> (aggRobustZscore _),
+    "e2e_train_manifest"    -> (e2eTrainManifest _),
   )
 
   private val duckPii = {
@@ -576,8 +602,10 @@ object CurationQueries {
      "pp -> NOT starts_with(pp, 'utm_') AND pp <> '')) AS keep FROM pq))")
   }
 
-  private val duckC4 =
-    ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+  /** C4 CTE chain through `f` (doc_id, n_lines, n_kept, page_kept,
+    * cleaned) — shared by the standalone query and the e2e manifest. */
+  private val duckC4Ctes =
+    ("w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
      s"base AS (SELECT doc_id, list_transform(generate_series(0, ((len(ws)+${C4LineWords - 1})//$C4LineWords) - 1), li -> " +
      "(CASE WHEN li = 0 AND doc_id % 11 = 5 THEN 'javascript ' ELSE '' END) || " +
      s"array_to_string(list_slice(ws, li*$C4LineWords+1, li*$C4LineWords+$C4LineWords), ' ') || " +
@@ -593,7 +621,10 @@ object CurationQueries {
      "(NOT contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum') " +
      "AND NOT contains(array_to_string(lines, chr(10)), '{') " +
      s"AND len(kept) >= $C4MinLines) AS page_kept, " +
-     "array_to_string(kept, chr(10)) AS cleaned FROM k) " +
+     "array_to_string(kept, chr(10)) AS cleaned FROM k)")
+
+  private val duckC4 =
+    (s"WITH $duckC4Ctes " +
      "SELECT doc_id, n_lines, n_kept, page_kept, " +
      "CASE WHEN page_kept THEN " + duckPoly61("cleaned") + " ELSE NULL END AS clean_hash FROM f")
 
@@ -665,7 +696,22 @@ object CurationQueries {
      "round(avg(CASE WHEN abs(0.6745 * (e.value - d.med) / d.mad) <= 3.5 THEN e.value END), 6) AS mean_inliers " +
      "FROM events e JOIN mad d USING (event_type) GROUP BY e.event_type")
 
+  private val duckManifest = {
+    val langs = TargetMix.map { case (l, _) => s"'$l'" }.mkString(", ")
+    (s"WITH $duckC4Ctes, " +
+     "keep AS (SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text) " +
+     "SELECT split, lang, count(*) AS n_docs, sum(toks)::BIGINT AS n_tokens FROM (" +
+     "SELECT (CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END) AS split, " +
+     "d.lang, len(string_split(d.text, ' '))::BIGINT AS toks " +
+     "FROM (SELECT *, ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % 10 AS b FROM documents) d " +
+     "JOIN keep kp ON d.text = kp.text AND d.doc_id = kp.keep_id " +
+     "JOIN f ON f.doc_id = d.doc_id " +
+     s"WHERE f.page_kept AND d.lang IN ($langs)) " +
+     "GROUP BY split, lang")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e2e_train_manifest" -> duckManifest,
     "x_mix_epochs" -> duckMixEpochs,
     "agg_robust_zscore" -> duckRobustZscore,
     "ta_c4_line_filter" -> duckC4,
