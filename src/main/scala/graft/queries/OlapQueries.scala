@@ -165,7 +165,28 @@ object OlapQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Explicit GROUPING SETS with grouping() disambiguation — the
+    * general form that cube/rollup specialize (a reporting layer
+    * usually wants a HAND-PICKED set list, not the full lattice).
+    * Spark plans ONE Expand + one aggregate for all four sets — the
+    * corpus is scanned once regardless of set count, which is the
+    * 100 TB property. grouping() flags are cast to BIGINT on both
+    * engines (Spark emits tinyint, DuckDB int64). */
+  def olapGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |       cast(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+        |       cast(grouping(o_orderstatus) AS BIGINT) AS g_st,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus), ())
+        |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_grouping_sets" -> (olapGroupingSets _),
     "funnel_conversion"     -> (funnelConversion _),
     "cohort_retention"      -> (cohortRetention _),
     "olap_unpivot_melt"     -> (olapUnpivotMelt _),
@@ -179,6 +200,12 @@ object OlapQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "olap_grouping_sets" ->
+      ("SELECT o_orderpriority, o_orderstatus, " +
+       "grouping(o_orderpriority)::BIGINT AS g_pri, grouping(o_orderstatus)::BIGINT AS g_st, " +
+       "count(*) AS n_orders, round(sum(o_totalprice), 2) AS total FROM orders " +
+       "GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), " +
+       "(o_orderpriority), (o_orderstatus), ())"),
     "funnel_conversion" ->
       ("WITH stage AS (SELECT user_id, " +
        "min(CASE WHEN event_type = 'view' THEN ts END) AS t_view, " +

@@ -218,7 +218,27 @@ object WindowQueries {
       order = Seq(col("value").desc, col("event_id").asc),
       k = 3)
 
+  /** Value-based RANGE window frame (trailing 10-minute sum per
+    * event): the frame is defined by the ORDER-BY VALUE, not row
+    * offsets — ties at equal timestamps all enter the frame, and gaps
+    * shrink it, which row frames cannot express. Ordering runs on
+    * exact epoch-microsecond longs (unix_micros / epoch_us) so both
+    * engines compute identical frames. One shuffle (the per-type
+    * window partitioning); the frame itself is a streaming
+    * accumulator inside the sorted partition — no extra pass. */
+  def winRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_rf")
+    spark.sql(
+      """SELECT event_id, count(*) OVER w AS n_win,
+        |       round(sum(value) OVER w, 6) AS sum_win
+        |FROM (SELECT event_id, event_type, value, unix_micros(ts) AS us FROM events_rf)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY us
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_range_frame" -> (winRangeFrame _),
     "win_distribution_ranks" -> (winDistributionRanks _),
     "topk_custom_op"     -> (topkCustomOp _),
     "win_first_last_nth" -> (winFirstLastNth _),
@@ -238,6 +258,11 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_range_frame" ->
+      ("SELECT event_id, count(*) OVER w AS n_win, round(sum(value) OVER w, 6) AS sum_win " +
+       "FROM (SELECT event_id, event_type, value, epoch_us(ts) AS us FROM events) " +
+       "WINDOW w AS (PARTITION BY event_type ORDER BY us " +
+       "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)"),
     "win_first_last_nth" ->
       ("SELECT event_id, user_id, " +
        "round(first_value(value) OVER w, 6) AS first_v, " +
