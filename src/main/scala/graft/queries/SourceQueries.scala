@@ -265,7 +265,29 @@ object SourceQueries {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** S12: the line-list artifact read through the CUSTOM DataSource V2
+    * connector ([[graft.sources.LineListSource]]) — prefix predicate
+    * and column set pushed INTO the reader (spec asserts both off the
+    * BatchScan node), one partition per staged file. The corpus's
+    * distinct term list is staged as two text files, read back via the
+    * connector with a `startsWith("s")` pushdown, and aggregated per
+    * 2-char prefix; the oracle replays the whole thing from
+    * `documents` directly (the staging is deterministic). */
+  def s12CustomSource(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp(dir, "linelist_v2")
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("value"))
+      .filter(col("value") =!= "").distinct().orderBy(col("value"))
+      .coalesce(2).write.mode("overwrite").text(out)
+    spark.read.format("graft.sources.LineListSource").option("path", out).load()
+      .filter(col("value").startsWith("s"))
+      .groupBy(substring(col("value"), 1, 2).as("pfx"))
+      .agg(count(lit(1)).as("n_terms"), min(col("value")).as("first_term"),
+        max(col("len")).cast("long").as("max_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_custom_source" -> (s12CustomSource _),
     "s11_schema_evolution" -> (s11SchemaEvolution _),
     "s1_tsv_roundtrip"       -> (s1TsvRoundtrip _),
     "s2_xml_extract"         -> (s2XmlExtract _),
@@ -280,6 +302,11 @@ object SourceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "s12_custom_source" ->
+      ("SELECT substr(value, 1, 2) AS pfx, count(*) AS n_terms, " +
+       "min(value) AS first_term, max(length(value))::BIGINT AS max_len " +
+       "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS value FROM documents) " +
+       "WHERE value <> '' AND starts_with(value, 's') GROUP BY pfx"),
     "s1_tsv_roundtrip" ->
       "SELECT l_orderkey, l_partkey, l_returnflag, l_quantity FROM lineitem",
     "s2_xml_extract" ->

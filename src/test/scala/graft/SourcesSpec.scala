@@ -57,6 +57,37 @@ class SourcesSpec extends SparkSpecBase {
     assert(dropped.collect().length == 2)
   }
 
+  test("s12 custom DSv2 source pushes the prefix filter and prunes columns") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scansOf(plan: SparkPlan): Seq[String] = {
+      val root = plan match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+      root.collect { case b: BatchScanExec => b.scan.description() }
+    }
+    val df = graft.queries.SourceQueries.s12CustomSource(spark, sfDir)
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a DSv2 BatchScan in the plan")
+    assert(scans.exists(_.contains("pushedPrefix=s")),
+      s"prefix filter did not reach the reader: $scans")
+    // value-only projection prunes the derived len column at the source
+    val pruned = spark.read.format("graft.sources.LineListSource")
+      .option("path", graft.ScratchDirs.dir("sources",
+        sfDir.replaceAll("[^a-zA-Z0-9]", "_"), "linelist_v2"))
+      .load().select("value")
+    val prunedScans = scansOf(pruned.queryExecution.executedPlan)
+    assert(prunedScans.exists(_.endsWith("columns=value")),
+      s"len not pruned from the reader: $prunedScans")
+    // semantics: parity with the direct exists-form over documents
+    val expect = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("v"))
+      .filter("v <> '' AND v LIKE 's%'")
+      .select("v").distinct().count()
+    assert(df.collect().map(_.getLong(1)).sum == expect)
+  }
+
   test("s11 schema evolution: both vintages flow through one mergeSchema scan") {
     val rows = graft.queries.SourceQueries.s11SchemaEvolution(spark, sfDir).collect()
     val statuses = rows.map(_.getString(0)).toSet
