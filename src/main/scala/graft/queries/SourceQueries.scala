@@ -286,7 +286,29 @@ object SourceQueries {
         max(col("len")).cast("long").as("max_len"))
   }
 
+  /** S13: round-trip through the connector's WRITE side — the distinct
+    * term list goes out via the custom `BatchWrite` (per-task temp
+    * files, driver-side rename commit — the real two-phase protocol)
+    * and comes back through the custom scan; the aggregate must equal
+    * the oracle's direct replay, which proves the sink published
+    * exactly one visible copy of every row (no temp leakage, no loss). */
+  def s13CustomSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp(dir, "linelist_sink")
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("value"))
+      .filter(col("value") =!= "").distinct()
+      .select(col("value"), length(col("value")).cast("int").as("len"))
+      .repartition(3)
+      .write.format("graft.sources.LineListSource")
+      .option("path", out).mode("overwrite").save()
+    spark.read.format("graft.sources.LineListSource").option("path", out).load()
+      .agg(count(lit(1)).as("n_terms"),
+        min(col("value")).as("first_term"), max(col("value")).as("last_term"),
+        sum(col("len")).as("sum_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_custom_sink" -> (s13CustomSink _),
     "s12_custom_source" -> (s12CustomSource _),
     "s11_schema_evolution" -> (s11SchemaEvolution _),
     "s1_tsv_roundtrip"       -> (s1TsvRoundtrip _),
@@ -302,6 +324,11 @@ object SourceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "s13_custom_sink" ->
+      ("SELECT count(*) AS n_terms, min(value) AS first_term, max(value) AS last_term, " +
+       "sum(length(value))::BIGINT AS sum_len " +
+       "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS value FROM documents) " +
+       "WHERE value <> ''"),
     "s12_custom_source" ->
       ("SELECT substr(value, 1, 2) AS pfx, count(*) AS n_terms, " +
        "min(value) AS first_term, max(length(value))::BIGINT AS max_len " +

@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{Filter, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,13 +45,16 @@ object LineListSource {
     StructField("len", IntegerType, nullable = false)))
 }
 
-class LineListTable(path: String) extends Table with SupportsRead {
+class LineListTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"linelist($path)"
   override def schema(): StructType = LineListSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LineListScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LineListWriteBuilder(path, info.schema())
 }
 
 class LineListScanBuilder(path: String) extends ScanBuilder
@@ -83,7 +87,9 @@ class LineListScan(path: String, prefix: Option[String], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    fs.listStatus(p).filter(s => s.isFile && s.getLen > 0)
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       .map(_.getPath.toString).sorted
       .map(f => LineListPartition(f): InputPartition)
   }
@@ -92,6 +98,79 @@ class LineListScan(path: String, prefix: Option[String], required: StructType)
 }
 
 case class LineListPartition(file: String) extends InputPartition
+
+/** WRITE side of the connector — the real two-phase protocol: each
+  * task streams its lines to an invisible `_tmp-…` file and reports it
+  * in its commit message; the DRIVER renames every temp to its final
+  * `part-…` name only in [[LineListWrite.commit]], so a failed or
+  * speculated task can never leave a half-visible artifact (its
+  * temps are deleted in abort, and the reader lists only
+  * non-`_`-prefixed files, the Hadoop visibility convention). */
+class LineListWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new LineListWrite(path, doTruncate, schema)
+}
+
+case class LineListCommitMessage(tmpPath: String, finalName: String)
+  extends WriterCommitMessage
+
+class LineListWrite(path: String, doTruncate: Boolean, schema: StructType)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (doTruncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new LineListWriterFactory(path, schema.fieldIndex("value"))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.foreach { case LineListCommitMessage(tmp, fin) =>
+      val t = new Path(tmp)
+      val fs = t.getFileSystem(conf)
+      fs.rename(t, new Path(t.getParent, fin))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.foreach {
+      case LineListCommitMessage(tmp, _) =>
+        val t = new Path(tmp)
+        t.getFileSystem(conf).delete(t, false)
+      case _ => ()
+    }
+  }
+}
+
+class LineListWriterFactory(path: String, valueIdx: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val tmp = new Path(path, s"_tmp-$partitionId-$taskId")
+      private val fs = tmp.getFileSystem(new Configuration())
+      private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+
+      override def write(row: InternalRow): Unit = {
+        out.write(row.getUTF8String(valueIdx).toString)
+        out.write('\n')
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        LineListCommitMessage(tmp.toString, f"part-$partitionId%05d")
+      }
+      override def abort(): Unit = {
+        out.close()
+        fs.delete(tmp, false)
+      }
+      override def close(): Unit = ()
+    }
+}
 
 class LineListReaderFactory(prefix: Option[String], cols: Array[String])
     extends PartitionReaderFactory {

@@ -88,6 +88,18 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.collect().map(_.getLong(1)).sum == expect)
   }
 
+  test("s13 custom sink commits exactly the visible part files (no temp leakage)") {
+    val row = graft.queries.SourceQueries.s13CustomSink(spark, sfDir).collect().head
+    assert(row.getLong(0) > 0)
+    val dir = new java.io.File(graft.ScratchDirs.dir("sources",
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_"), "linelist_sink"))
+    val names = dir.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(names.nonEmpty && names.forall(_.startsWith("part-")),
+      s"uncommitted or foreign files in sink dir: $names")
+    // 3 write partitions → exactly 3 committed parts
+    assert(names.size == 3, s"expected 3 committed parts: $names")
+  }
+
   test("s11 schema evolution: both vintages flow through one mergeSchema scan") {
     val rows = graft.queries.SourceQueries.s11SchemaEvolution(spark, sfDir).collect()
     val statuses = rows.map(_.getString(0)).toSet
