@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -20,6 +20,11 @@ import graft.Tables
   *     oracle-comparable values.
   */
 object RelationalQueries {
+
+  /** Typed-path row/buffer shapes for [[a10TypedAggregator]] (object
+    * scope — method-local case classes have no TypeTag for Encoders). */
+  case class Ev(event_type: String, value: Double)
+  case class Acc(var n: Long, var sum: Double, var mn: Double, var mx: Double)
 
   /** F1 (process_pubtator.sh:30): non-null filter + project + reorder.
     * awk `$3 != "" {print $3 "\t" $1}` ≙ filter + select; the predicate
@@ -249,6 +254,43 @@ object RelationalQueries {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** A10 (net-new API point): the TYPED aggregation path —
+    * `Dataset[T].groupByKey` + a custom `Aggregator[IN, BUF, OUT]`
+    * (`expr.TopKAgg` covers the Catalyst-internal
+    * TypedImperativeAggregate API; this is the type-safe user-facing
+    * one). The aggregator carries a (count, sum, min, max) buffer —
+    * mergeable, so it partial-aggregates map-side exactly like the
+    * untyped form; the Encoder-driven serialization is the only
+    * difference. Values are summed in one pass and rounded after. */
+  def a10TypedAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Aggregator
+    import RelationalQueries.{Acc, Ev}
+    val stats = new Aggregator[Ev, Acc, (Long, Double, Double, Double)] {
+      def zero: Acc = Acc(0L, 0.0, Double.MaxValue, Double.MinValue)
+      def reduce(b: Acc, e: Ev): Acc = {
+        b.n += 1; b.sum += e.value
+        b.mn = math.min(b.mn, e.value); b.mx = math.max(b.mx, e.value); b
+      }
+      def merge(a: Acc, b: Acc): Acc = {
+        a.n += b.n; a.sum += b.sum
+        a.mn = math.min(a.mn, b.mn); a.mx = math.max(a.mx, b.mx); a
+      }
+      def finish(b: Acc): (Long, Double, Double, Double) = (b.n, b.sum, b.mn, b.mx)
+      def bufferEncoder: org.apache.spark.sql.Encoder[Acc] = Encoders.product[Acc]
+      def outputEncoder: org.apache.spark.sql.Encoder[(Long, Double, Double, Double)] =
+        Encoders.product[(Long, Double, Double, Double)]
+    }
+    Tables.events(spark, dir).select(col("event_type"), col("value")).as[Ev]
+      .groupByKey(_.event_type)
+      .agg(stats.toColumn)
+      .toDF("event_type", "s")
+      .select(col("event_type"), col("s._1").as("n_events"),
+        round(col("s._2"), 6).as("sum_value"),
+        round(col("s._3"), 6).as("min_value"),
+        round(col("s._4"), 6).as("max_value"))
+  }
+
   /** Correlated scalar subquery ("orders more than twice their
     * customer's average") through the SQL surface — the decorrelation
     * path: Catalyst rewrites the per-row subquery into ONE aggregate
@@ -335,6 +377,7 @@ object RelationalQueries {
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "q9_product_type_profit" -> (q9ProductTypeProfit _),
     "x_correlated_subquery" -> (xCorrelatedSubquery _),
+    "a10_typed_aggregator" -> (a10TypedAggregator _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -401,6 +444,10 @@ object RelationalQueries {
        "JOIN region ON n_regionkey = r_regionkey " +
        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
        "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name"),
+    "a10_typed_aggregator" ->
+      ("SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value, " +
+       "round(min(value), 6) AS min_value, round(max(value), 6) AS max_value " +
+       "FROM events GROUP BY event_type"),
     "x_correlated_subquery" ->
       ("SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total_price FROM orders o " +
        "WHERE o.o_totalprice > (SELECT round(2 * avg(o2.o_totalprice), 2) " +
