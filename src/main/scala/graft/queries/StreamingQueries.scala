@@ -215,6 +215,36 @@ object StreamingQueries {
     spark.table(qname)
   }
 
+  /** t10: streaming read through the CUSTOM DSv2 connector
+    * ([[graft.sources.LineListSource]]'s `MicroBatchStream`): the
+    * staged term list drains through `maxFilesPerTrigger=1` bounded
+    * microbatches (file-count offsets, `SupportsTriggerAvailableNow`
+    * pinning the drain target), rows append straight to the sink —
+    * no aggregation state at all — and the per-letter rollup runs as
+    * a BATCH query over the drained table. The oracle replays the
+    * terms from `documents` directly; equality proves the incremental
+    * file-slice batches covered the listing exactly once. */
+  def t10CustomSourceStream(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.ScratchDirs.dir("streaming",
+      dir.replaceAll("[^a-zA-Z0-9]", "_"), "linelist_stream")
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("value"))
+      .filter(col("value") =!= "").distinct()
+      .repartition(3).write.mode("overwrite").text(out)
+    val stream = spark.readStream.format("graft.sources.LineListSource")
+      .option("path", out).option("maxFilesPerTrigger", "1").load()
+    val qname = "t10_custom_stream_" + java.lang.Integer.toHexString(dir.hashCode)
+    withStatePartitions(spark, 8) {
+      val q = stream.select(col("value"), col("len"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(qname)
+      .groupBy(substring(col("value"), 1, 1).as("letter"))
+      .agg(count(lit(1)).as("n_terms"), max(col("len")).cast("long").as("max_len"))
+  }
+
   def t1StreamTumblingAppend(spark: SparkSession, dir: String): DataFrame = {
     val stream = decodeTs(stagedEventFeed(spark, dir))
     val agg = stream
@@ -362,6 +392,7 @@ object StreamingQueries {
     "t1_stream_tumbling" -> (t1StreamTumbling _),
     "t1_stream_tumbling_append" -> (t1StreamTumblingAppend _),
     "t9_stream_static_join" -> (t9StreamStaticJoin _),
+    "t10_custom_source_stream" -> (t10CustomSourceStream _),
     "t6_stream_session_append"  -> (t6StreamSessionAppend _),
     "t2_stream_dedup"    -> (t2StreamDedup _),
     "t3_republish"       -> (t3Republish _),
@@ -389,6 +420,11 @@ object StreamingQueries {
     // sessions CLOSED by the final watermark. Spark tracks event-time
     // stats in MILLISECONDS, so the watermark is (max ts floored to ms)
     // − 1 h — the floor is replicated exactly via epoch_us // 1000.
+    "t10_custom_source_stream" ->
+      ("SELECT substr(value, 1, 1) AS letter, count(*) AS n_terms, " +
+       "max(length(value))::BIGINT AS max_len " +
+       "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS value FROM documents) " +
+       "WHERE value <> '' GROUP BY letter"),
     "t9_stream_static_join" ->
       ("WITH dim(event_type, category, weight) AS (VALUES " +
        "('click', 'engagement', 1.0), ('view', 'engagement', 0.5), " +

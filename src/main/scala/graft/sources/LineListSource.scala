@@ -50,14 +50,17 @@ class LineListTable(path: String) extends Table with SupportsRead with SupportsW
   override def schema(): StructType = LineListSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LineListScanBuilder(path)
+    new LineListScanBuilder(path,
+      Option(options.get("maxfilespertrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LineListWriteBuilder(path, info.schema())
 }
 
-class LineListScanBuilder(path: String) extends ScanBuilder
+class LineListScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var prefix: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
@@ -74,13 +77,17 @@ class LineListScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new LineListScan(path, prefix, required)
+  override def build(): Scan = new LineListScan(path, prefix, required, maxFilesPerTrigger)
 }
 
-class LineListScan(path: String, prefix: Option[String], required: StructType)
+class LineListScan(path: String, prefix: Option[String], required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LineListMicroBatchStream(path, prefix, required, maxFilesPerTrigger)
   override def description(): String =
     s"LineListScan path=$path pushedPrefix=${prefix.getOrElse("-")} " +
       s"columns=${required.fieldNames.mkString(",")}"
@@ -98,6 +105,65 @@ class LineListScan(path: String, prefix: Option[String], required: StructType)
 }
 
 case class LineListPartition(file: String) extends InputPartition
+
+/** STREAMING read surface of the connector (`MicroBatchStream`): the
+  * offset is simply "how many files of the sorted listing have been
+  * consumed", so each microbatch is a contiguous file slice —
+  * `maxFilesPerTrigger` bounds the slice exactly like Spark's own
+  * file source, giving backlog drains bounded batch sizes instead of
+  * one giant batch. The same pushed prefix and pruned columns reach
+  * the streaming reader (one ScanBuilder serves both surfaces). */
+case class LineListOffset(n: Int)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+class LineListMicroBatchStream(path: String, prefix: Option[String],
+    required: StructType, maxFilesPerTrigger: Option[Int])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def files: Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+  }
+  private var committed = 0
+  // AvailableNow pins the drain target at prepare time: the query runs
+  // ceil(target/k) bounded batches and stops when committed == target,
+  // even if new files land mid-drain (they wait for the next run)
+  private var target: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = target = Some(files.length)
+  override def initialOffset(): Offset = LineListOffset(0)
+  // admission-control form (SupportsTriggerAvailableNow extends
+  // SupportsAdmissionControl): advance at most maxFilesPerTrigger
+  // files past the engine-supplied start offset
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val total = target.getOrElse(files.length)
+    val from = start.asInstanceOf[LineListOffset].n
+    LineListOffset(maxFilesPerTrigger
+      .map(k => math.min(total, from + k)).getOrElse(total))
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+  override def deserializeOffset(json: String): Offset = LineListOffset(json.toInt)
+  override def commit(end: Offset): Unit =
+    committed = end.asInstanceOf[LineListOffset].n
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    files.slice(start.asInstanceOf[LineListOffset].n, end.asInstanceOf[LineListOffset].n)
+      .map(f => LineListPartition(f): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LineListReaderFactory(prefix, required.fieldNames)
+}
 
 /** WRITE side of the connector — the real two-phase protocol: each
   * task streams its lines to an invisible `_tmp-…` file and reports it

@@ -100,6 +100,31 @@ class SourcesSpec extends SparkSpecBase {
     assert(names.size == 3, s"expected 3 committed parts: $names")
   }
 
+  test("t10 streaming connector drains in maxFilesPerTrigger-bounded microbatches") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ScratchDirs.dir("sources",
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_"), "linelist_batched")
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("value"))
+      .filter(col("value") =!= "").distinct()
+      .repartition(3).write.mode("overwrite").text(out)
+    val q = spark.readStream.format("graft.sources.LineListSource")
+      .option("path", out).option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("t10_batched_spec")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 3, s"expected 3 one-file microbatches, got $dataBatches " +
+      q.recentProgress.map(p => s"batch${p.batchId}=${p.numInputRows}").mkString(","))
+    // and nothing was lost or duplicated across the slices
+    val drained = spark.table("t10_batched_spec").count()
+    val expect = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("v"))
+      .filter("v <> ''").distinct().count()
+    assert(drained == expect)
+  }
+
   test("s11 schema evolution: both vintages flow through one mergeSchema scan") {
     val rows = graft.queries.SourceQueries.s11SchemaEvolution(spark, sfDir).collect()
     val statuses = rows.map(_.getString(0)).toSet
