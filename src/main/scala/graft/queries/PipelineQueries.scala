@@ -179,7 +179,29 @@ object PipelineQueries {
         .cast("long").as("days_to_anchor"),
       last_day(col("o_orderdate")).as("month_end"))
 
+  /** MapType end-to-end (the one Catalyst container type the surface
+    * didn't exercise): per-user event counts collected into a
+    * `map<string,long>` via `map_from_entries`, then extracted with
+    * `element_at` lookups — the "bag of typed counters per entity"
+    * shape feature stores use. The map stays INSIDE the plan (output
+    * is plain columns), so the oracle replays it as conditional sums;
+    * one (user, type) aggregate then a user-keyed rollup. */
+  def xMapPivot(spark: SparkSession, dir: String): DataFrame = {
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    perType.groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "view"), lit(0L)).as("n_view"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        size(col("m")).cast("long").as("n_types"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_map_pivot" -> (xMapPivot _),
     "x_date_functions"    -> (xDateFunctions _),
     "e2e_finalize"        -> (e2eFinalize _),
     "e2e_curate_corpus"   -> (e2eCurateCorpus _),
@@ -198,6 +220,13 @@ object PipelineQueries {
     "FROM documents"
 
   val oracle: Map[String, String] = Map(
+    "x_map_pivot" ->
+      ("SELECT user_id, " +
+       "sum((event_type = 'click')::BIGINT)::BIGINT AS n_click, " +
+       "sum((event_type = 'view')::BIGINT)::BIGINT AS n_view, " +
+       "sum((event_type = 'purchase')::BIGINT)::BIGINT AS n_purchase, " +
+       "count(DISTINCT event_type) AS n_types " +
+       "FROM events GROUP BY user_id"),
     "e2e_curate_corpus" ->
       ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents), " +
        "feat AS (SELECT doc_id, text, ws, len(ws)::BIGINT toks, sha256(text) digest, " +

@@ -112,7 +112,14 @@ case class LineListPartition(file: String) extends InputPartition
   * `maxFilesPerTrigger` bounds the slice exactly like Spark's own
   * file source, giving backlog drains bounded batch sizes instead of
   * one giant batch. The same pushed prefix and pruned columns reach
-  * the streaming reader (one ScanBuilder serves both surfaces). */
+  * the streaming reader (one ScanBuilder serves both surfaces).
+  * Offset contract: files must arrive in listing-sort order (the
+  * standard drop-folder assumption — e.g. monotonically named parts);
+  * a late file sorting BEFORE a consumed position would be skipped,
+  * exactly like Spark's own file source without the option to track
+  * per-file state. Offsets round-trip through the checkpoint
+  * (`deserializeOffset`), so a restarted query resumes from the last
+  * committed file count — the resume spec pins this. */
 case class LineListOffset(n: Int)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = n.toString

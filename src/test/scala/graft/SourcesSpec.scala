@@ -125,6 +125,41 @@ class SourcesSpec extends SparkSpecBase {
     assert(drained == expect)
   }
 
+  test("t10 streaming connector resumes from its checkpoint without reprocessing") {
+    import org.apache.spark.sql.functions._
+    val base = graft.ScratchDirs.dir("sources",
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_"), "linelist_resume")
+    val data = s"$base/data"
+    val ckpt = s"$base/ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    new java.io.File(data).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$data/part-00000"), "alpha\nbeta\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$data/part-00001"), "gamma\n")
+    val sink = s"$base/sink"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.LineListSource")
+        .option("path", data).load().select(col("value"))
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val run1 = spark.read.parquet(sink).collect().map(_.getString(0)).sorted
+    assert(run1.toSeq == Seq("alpha", "beta", "gamma"))
+    // a new file lands; the restarted query must process ONLY it —
+    // the offset round-trips through deserializeOffset on recovery,
+    // and the exactly-once file sink appends the delta exactly once
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$data/part-00002"), "delta\n")
+    drain()
+    val run2 = spark.read.parquet(sink).collect().map(_.getString(0)).sorted
+    assert(run2.toSeq == Seq("alpha", "beta", "delta", "gamma"),
+      s"resume reprocessed or lost rows: ${run2.toSeq}")
+  }
+
   test("s11 schema evolution: both vintages flow through one mergeSchema scan") {
     val rows = graft.queries.SourceQueries.s11SchemaEvolution(spark, sfDir).collect()
     val statuses = rows.map(_.getString(0)).toSet
