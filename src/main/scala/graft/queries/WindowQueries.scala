@@ -237,7 +237,35 @@ object WindowQueries {
         |""".stripMargin)
   }
 
+  val EwmaAlpha = 0.1
+
+  /** Per-user EWMA (exponentially weighted moving average) — the
+    * RECURSIVE time-series smoother (s₀ = v₀, sᵢ = (1−α)·sᵢ₋₁ + α·vᵢ)
+    * that no window frame can express: each step depends on the
+    * previous output. Computed as an ORDERED LEFT FOLD over the
+    * per-user event sequence (collect → sort by (ts, event_id) →
+    * `aggregate` HOF), which is also exactly how the oracle replays it
+    * (`list_reduce` over `list(value ORDER BY ...)`) — both engines
+    * run the IDENTICAL sequence of IEEE ops, so the result is
+    * bit-comparable before the 6-dp round. One user-keyed shuffle;
+    * per-user state is the event list (bounded by the session horizon
+    * at 100 TB — the continuous form is t4's mapGroupsWithState
+    * carrying just the scalar). */
+  def winEwma(spark: SparkSession, dir: String): DataFrame = {
+    val arr = array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(arr.as("evs"))
+      .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+        round(aggregate(
+          slice(col("evs"), lit(2), greatest(size(col("evs")) - 1, lit(0))),
+          element_at(col("evs"), 1).getField("value"),
+          (acc, x) => acc * (1.0 - EwmaAlpha) + x.getField("value") * EwmaAlpha),
+          6).as("ewma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ewma" -> (winEwma _),
     "win_range_frame" -> (winRangeFrame _),
     "win_distribution_ranks" -> (winDistributionRanks _),
     "topk_custom_op"     -> (topkCustomOp _),
@@ -258,6 +286,11 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_ewma" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+       s"round(list_reduce(list(value ORDER BY ts, event_id), " +
+       s"(acc, x) -> acc * (1.0 - $EwmaAlpha) + x * $EwmaAlpha), 6) AS ewma " +
+       "FROM events GROUP BY user_id"),
     "win_range_frame" ->
       ("SELECT event_id, count(*) OVER w AS n_win, round(sum(value) OVER w, 6) AS sum_win " +
        "FROM (SELECT event_id, event_type, value, epoch_us(ts) AS us FROM events) " +
