@@ -148,6 +148,29 @@ object CurationQueries {
         round(frac, 6).as("boiler_frac"))
   }
 
+  /** N-gram NOVELTY (the diversity signal dedup doesn't capture): per
+    * doc, the fraction of its distinct 3-grams that FIRST appear in it
+    * (first = lowest doc_id — ingestion order). High-novelty docs
+    * widen corpus coverage; near-zero novelty marks recombined
+    * boilerplate even when no single document matches. One gram-keyed
+    * aggregate finds each gram's first owner; the ownership verdict
+    * joins back onto the SAME distinct-gram stream — grams ride as
+    * fused poly61 hashes, and at 100 TB the first-owner table shrinks
+    * to |distinct grams| and partial-combines map-side. */
+  def taNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(word_gram_poly61(col("ws"), BoilerGramN))).as("g"))
+    val firstOwner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstOwner, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6).as("novelty"))
+  }
+
   // ------------------------------------------------------------ sampling
 
   val QuotaK = 40
@@ -564,6 +587,7 @@ object CurationQueries {
     "x_mix_epochs"          -> (xMixEpochs _),
     "agg_robust_zscore"     -> (aggRobustZscore _),
     "e2e_train_manifest"    -> (e2eTrainManifest _),
+    "ta_ngram_novelty"      -> (taNgramNovelty _),
   )
 
   private val duckPii = {
@@ -711,6 +735,17 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_ngram_novelty" ->
+      ("WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+       "sg AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)), " +
+       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS gs FROM ws), " +
+       "gr AS (SELECT doc_id, unnest(list_distinct(list_transform(gs, g -> " +
+       duckPoly61("g") + "))) AS gh FROM sg), " +
+       "fo AS (SELECT gh, min(doc_id) AS first_doc FROM gr GROUP BY gh) " +
+       "SELECT gr.doc_id, count(*) AS n_grams, " +
+       "sum((fo.first_doc = gr.doc_id)::BIGINT)::BIGINT AS n_novel, " +
+       "round(sum((fo.first_doc = gr.doc_id)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6) AS novelty " +
+       "FROM gr JOIN fo USING (gh) GROUP BY gr.doc_id"),
     "e2e_train_manifest" -> duckManifest,
     "x_mix_epochs" -> duckMixEpochs,
     "agg_robust_zscore" -> duckRobustZscore,
