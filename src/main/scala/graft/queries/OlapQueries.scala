@@ -185,7 +185,29 @@ object OlapQueries {
         |""".stripMargin)
   }
 
+  /** Gini coefficient per group (the inequality metric data-mixing
+    * diagnostics watch: how concentrated is the value mass): rank
+    * within group ascending (value, event_id tiebreak — Σi·x is
+    * invariant under tie permutations, so the tiebreak only pins
+    * determinism), then G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n. One window
+    * shuffle shared with the per-group aggregate; arithmetic shapes
+    * mirrored verbatim in the oracle. */
+  def aggGini(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        row_number().over(w).cast("long").as("i"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sumx"),
+        sum(col("i") * col("value")).as("sumix"))
+      .select(col("event_type"), col("n").as("n_events"),
+        round((lit(2.0) * col("sumix")) / (col("n") * col("sumx")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_gini" -> (aggGini _),
     "olap_grouping_sets" -> (olapGroupingSets _),
     "funnel_conversion"     -> (funnelConversion _),
     "cohort_retention"      -> (cohortRetention _),
@@ -200,6 +222,14 @@ object OlapQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_gini" ->
+      ("WITH r AS (SELECT event_type, value, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS i " +
+       "FROM events), " +
+       "a AS (SELECT event_type, count(*) AS n, sum(value) AS sumx, " +
+       "sum(i * value) AS sumix FROM r GROUP BY event_type) " +
+       "SELECT event_type, n AS n_events, " +
+       "round((2.0 * sumix) / (n * sumx) - (n + 1.0) / n, 6) AS gini FROM a"),
     "olap_grouping_sets" ->
       ("SELECT o_orderpriority, o_orderstatus, " +
        "grouping(o_orderpriority)::BIGINT AS g_pri, grouping(o_orderstatus)::BIGINT AS g_st, " +

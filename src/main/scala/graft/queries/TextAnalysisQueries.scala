@@ -398,7 +398,29 @@ object TextAnalysisQueries {
         poly61(array_join(transform(col("b"), x => x.cast("string")), ",")).as("bnd_hash"))
   }
 
+  /** Zipf-law fit of the corpus vocabulary: regress ln(frequency) on
+    * ln(rank) over the term-frequency table — the exponent (slope ≈ −1
+    * for natural text) and R² are the "does this corpus look like
+    * language" sanity gauge curation dashboards track. Rank ties pin
+    * on (count desc, term asc); the regression runs on Spark/DuckDB's
+    * shared `regr_slope`/`regr_r2` co-moment aggregates, rounded after
+    * aggregation. Vocabulary-sized data — the token explode is the
+    * only corpus-scale stage and it partial-combines map-side. */
+  def taZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+    tf.select(col("cnt"), row_number().over(w).cast("long").as("r"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(ln(cnt), ln(r))"), 6).as("zipf_slope"),
+        round(expr("regr_r2(ln(cnt), ln(r))"), 6).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_zipf_fit"           -> (taZipfFit _),
     "ta_cdc_chunks"         -> (taCdcChunks _),
     "ta_inverted_index"     -> (taInvertedIndex _),
     "ta_bm25_topk"          -> (taBm25TopK _),
@@ -448,6 +470,13 @@ object TextAnalysisQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_zipf_fit" ->
+      ("WITH tf AS (SELECT term, count(*) AS cnt FROM " +
+       "(SELECT unnest(string_split(text, ' ')) AS term FROM documents) " +
+       "WHERE term <> '' GROUP BY term), " +
+       "rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS r FROM tf) " +
+       "SELECT count(*) AS n_terms, round(regr_slope(ln(cnt), ln(r)), 6) AS zipf_slope, " +
+       "round(regr_r2(ln(cnt), ln(r)), 6) AS r2 FROM rk"),
     "ta_cdc_chunks" -> duckCdc,
     "ta_inverted_index" -> duckInvertedIndex,
     "ta_bm25_topk" -> duckBm25,
