@@ -82,8 +82,12 @@ object hashfunctions {
     Bridge.column(WordGramPoly61(Bridge.expression(c), n))
 
   /** DuckDB twin of [[TextHash.poly61]] over a SQL string expression
-    * `g` (must be a simple reference — it is substituted twice).
-    * Lambda vars are `pa`/`pc` to avoid capturing outer lambda names. */
+    * `g`. The expression is substituted FOUR times (two folds × two
+    * uses each), so it is re-evaluated per substitution: callers may
+    * pass any PURE, DETERMINISTIC expression (column refs, substr,
+    * concatenations — as duckCdc and ta_repetition_quality do), never
+    * anything volatile or stateful. Lambda vars are `pa`/`pc`/`pi` to
+    * avoid capturing outer lambda names. */
   def duckPoly61(g: String): String =
     (s"(list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length($g)), pi -> unicode($g[pi]))), " +
      "(pa, pc) -> (pa * 131 + pc) % 1000000007) * 998244353 + " +

@@ -352,6 +352,12 @@ object DedupQueries {
       // iteration. count(), NOT isEmpty: isEmpty is take(1) and can
       // short-circuit before every partition of the cache fills, leaving
       // the next iteration to recompute the whole lineage chain.
+      // Lineage growth note: each iteration's frame is persisted AND fully
+      // materialized by the count() below, so cache substitution hands the
+      // optimizer an InMemoryRelation leaf per iteration — plan cost stays
+      // bounded without an explicit checkpoint (unlike pagerankFrom, whose
+      // un-persisted chain needs localCheckpoint). The iters<20 cap bounds
+      // the analyzed-plan depth; raise both together if ever needed.
       val next = viaNeighbors
         .groupBy(col("node")).agg(min(col("comp")).as("minNbr"))
         .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"), "right")
@@ -368,6 +374,14 @@ object DedupQueries {
   }
 
   val PagerankIters = 10
+
+  /** Truncate the pagerank lineage every this many iterations: an
+    * unrolled rank chain grows the logical plan linearly and the
+    * optimizer's cost superlinearly, so past ~20 iterations planning
+    * time dominates. `localCheckpoint` cuts the plan back to a leaf at
+    * executor-memory cost only (no HDFS round-trip); ranks are tiny
+    * (one row per node of the pair graph). */
+  val PagerankCheckpointEvery = 8
 
   /** PageRank over the near-dup pair graph (net-new): centrality of
     * each document inside its duplication neighborhood — the signal
@@ -388,7 +402,8 @@ object DedupQueries {
     pagerankFrom(ngramPairsFrom(shingleTable(spark, dir))
       .select(col("id_a"), col("id_b")))
 
-  private def pagerankFrom(pairs: DataFrame): DataFrame = {
+  private[graft] def pagerankFrom(pairs: DataFrame,
+                                  iters: Int = PagerankIters): DataFrame = {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
     val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
@@ -396,10 +411,14 @@ object DedupQueries {
     val n = ed.select(col("s")).distinct().count() // one scalar: node count
     var ranks = ed.select(col("s").as("node")).distinct()
       .select(col("node"), round(lit(1.0) / n, 9).as("pr"))
-    for (_ <- 1 to PagerankIters) {
+    for (i <- 1 to iters) {
       ranks = ed.join(ranks.withColumnRenamed("node", "s"), "s")
         .groupBy(col("d").as("node"))
         .agg(round(lit(0.15) / n + lit(0.85) * sum(col("pr") / col("deg")), 9).as("pr"))
+      // bound the unrolled lineage (see [[PagerankCheckpointEvery]]);
+      // values are identical — checkpointing only cuts the plan
+      if (i % PagerankCheckpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node").as("doc_id"), col("pr"))
     // `ed` stays persisted until the consumer drains the result

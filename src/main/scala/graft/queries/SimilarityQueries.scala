@@ -73,12 +73,23 @@ object SimilarityQueries {
         round(col("p.score"), 6).as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Hard cap on the all-pairs exact baseline: O(n²) work is the POINT
+    * of [[annNearDupPairs]] (it is the ground truth the LSH/IVF/PQ
+    * recall contracts ratio against), but pointed at a real corpus it
+    * would be a silent cluster-killer. Fail fast instead — the scale
+    * path for production near-dup is [[annLshNearDup]]/semantic dedup. */
+  val NearDupExactMaxRows = 100000L
+
   /** Embedding-cosine near-duplicate pairs (all-pairs exact form). */
   def annNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // norms are computed once per ROW (projection below the join);
     // each pair then pays only the dot product — same double-precision
     // formula as the oracle (dot / (|a|·|b|)), just factored.
     val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    require(n <= NearDupExactMaxRows,
+      s"annNearDupPairs is the O(n^2) exact baseline: input has $n rows " +
+      s"(cap $NearDupExactMaxRows). Use annLshNearDup for corpus-scale near-dup.")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       norm(col("embedding")).as("norm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
@@ -257,7 +268,10 @@ object SimilarityQueries {
     * trade — each 64-dim vector stored as 8 one-byte codes (64× smaller
     * than float32) against per-subspace codebooks of 16 centroids;
     * search scores queries against RECONSTRUCTED vectors (ADC), then
-    * exact-rescores the top-20 to top-5. Codebooks: deterministic seed
+    * exact-rescores the top-[[PqRescoreK]] ADC candidates down to
+    * top-5 (the pool is wide — 150 — because 16-code-per-subspace
+    * quantization is coarse; rescoring is still ≪ corpus-sized).
+    * Codebooks: deterministic seed
     * (vec_id % 16) + one Lloyd step, centroids pinned at 9 dp — and
     * every distance/dot is computed with FIXED left-to-right HOF
     * folds (Spark `aggregate` ≡ DuckDB `list_reduce`), so the whole

@@ -361,8 +361,9 @@ object TextAnalysisQueries {
     * bounded collect while df/tf stay exact aggregates; the (term,
     * doc) partials combine map-side, and both aggregates share one
     * shuffle of the (term, doc_id, tf) frame. Posting order is pinned
-    * by sorting (−tf, doc_id) structs, so the array is replayable
-    * exactly in SQL. */
+    * by sorting (−tf, doc_id) structs, so the list is replayable
+    * exactly in SQL; it ships comma-joined (scalar result schemas
+    * only — the repo-wide sink convention). */
   def taInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -373,10 +374,10 @@ object TextAnalysisQueries {
     tf.withColumn("rn", row_number().over(w))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
-        transform(
+        array_join(transform(
           array_sort(collect_list(when(col("rn") <= PostingK,
             struct((-col("tf")).as("nt"), col("doc_id").as("d"))))),
-          x => x.getField("d")).as("posting"))
+          x => x.getField("d")), ",").as("posting"))
   }
 
   /** Content-defined chunking over the corpus (kernel rationale in
@@ -456,7 +457,8 @@ object TextAnalysisQueries {
      "tf AS (SELECT term, doc_id, count(*) AS tf FROM u WHERE term <> '' GROUP BY term, doc_id), " +
      "r AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn FROM tf) " +
      "SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf, " +
-     s"list(doc_id ORDER BY tf DESC, doc_id ASC) FILTER (WHERE rn <= $PostingK) AS posting " +
+     "array_to_string(list(doc_id ORDER BY tf DESC, doc_id ASC) " +
+     s"FILTER (WHERE rn <= $PostingK), ',') AS posting " +
      "FROM r GROUP BY term")
 
   private val duckCdc = {

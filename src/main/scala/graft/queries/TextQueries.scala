@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.CleanText
-import graft.expr.functions.normalize_compound
+import graft.expr.functions.{normalize_compound, normalize_nfc, transliterate_ascii}
 
 /** Text-operator pack: regex filters F4/F6/F7, the cleaning chain X1–X8,
   * normalization X9–X13, explode X12, hashing X18 — SURVEY §2.2/§2.7 —
@@ -66,9 +66,33 @@ object TextQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** X5+X8 on a REAL non-ASCII corpus (process_pubmed.sh:120 `uconv -x
+    * Any-NFC`, :135 `iconv -t ASCII//TRANSLIT`): the fixture is derived
+    * deterministically from `part.p_name` — vowels re-spelled as
+    * DECOMPOSED base+combining-mark pairs (so NFC has real work to do)
+    * plus a precomposed/symbol suffix (é – ß … µ ≥ °) exercising the
+    * transliteration table. The DuckDB twin replays NFC through
+    * utf8proc's `nfc_normalize` — a genuine cross-library check against
+    * JVM `Normalizer` — and the translit contract as an explicit
+    * per-codepoint replace chain (exact for this fixture alphabet,
+    * which is the point: the injected set is the only non-ASCII
+    * content). `nfc_len < raw_len` pins that composition actually
+    * happened. Pure scan-side projection, no shuffle. */
+  def x5X8Unicode(spark: SparkSession, dir: String): DataFrame = {
+    val deco = regexp_replace(regexp_replace(regexp_replace(col("p_name"),
+      "a", "a\u0301"), "o", "o\u0308"), "u", "u\u0300")
+    val uText = concat(deco, lit(" \u00e9\u2013\u00df\u2026\u00b5\u2265\u00b0"))
+    Tables.part(spark, dir).select(col("p_partkey"),
+      normalize_nfc(uText).as("nfc_text"),
+      length(normalize_nfc(uText)).cast("long").as("nfc_len"),
+      length(uText).cast("long").as("raw_len"),
+      transliterate_ascii(uText).as("ascii_text"))
+  }
+
   /** X1–X8 chain (process_pubmed.sh:84-135) over documents; the unicode
     * steps (X5 NFC / X8 translit) are identity on this ASCII corpus —
-    * their real behavior is pinned by unit-test vectors (TextNormSpec). */
+    * non-ASCII behavior is driver-checked in [[x5X8Unicode]] and pinned
+    * by unit-test vectors (TextNormSpec). */
   def x1CleanChain(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), CleanText.cleanAll(col("text")).as("clean_text"))
@@ -200,6 +224,7 @@ object TextQueries {
     "f6_aho_corasick"     -> (f6AhoCorasick _),
     "f7_lookahead_filter" -> (f7LookaheadFilter _),
     "x1_clean_chain"      -> (x1CleanChain _),
+    "x5_x8_unicode"       -> (x5X8Unicode _),
     "x2_sentence_concat"  -> (x2SentenceConcat _),
     "x3_year_extract"     -> (x3YearExtract _),
     "x9_compound_norm"    -> (x9CompoundNorm _),
@@ -211,6 +236,20 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // NFC replayed via utf8proc nfc_normalize (vs JVM Normalizer on the
+    // Spark side); translit replayed as an exact per-codepoint replace
+    // chain over the injected alphabet (combining 769/776/768 stripped,
+    // é– ß … µ ≥ ° mapped as the kernel's punct table does)
+    "x5_x8_unicode" ->
+      ("WITH b AS (SELECT p_partkey, " +
+       "replace(replace(replace(p_name, 'a', 'a'||chr(769)), 'o', 'o'||chr(776)), 'u', 'u'||chr(768)) " +
+       "|| ' ' || chr(233) || chr(8211) || chr(223) || chr(8230) || chr(181) || chr(8805) || chr(176) AS u_text FROM part) " +
+       "SELECT p_partkey, nfc_normalize(u_text) AS nfc_text, " +
+       "length(nfc_normalize(u_text))::BIGINT AS nfc_len, length(u_text)::BIGINT AS raw_len, " +
+       "replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(" +
+       "u_text, chr(769),''), chr(776),''), chr(768),''), chr(233),'e'), chr(8211),'-'), " +
+       "chr(223),'ss'), chr(8230),'...'), chr(181),'u'), chr(8805),'>='), chr(176),'deg') AS ascii_text " +
+       "FROM b"),
     "fuzzy_join_jw" ->
       ("WITH typo AS (SELECT p_partkey, " +
        "substr(p_name, 1, p_partkey % length(p_name)) || " +

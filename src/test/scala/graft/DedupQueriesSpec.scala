@@ -69,6 +69,29 @@ class DedupQueriesSpec extends SparkSpecBase {
     } finally pr.unpersist()
   }
 
+  test("pagerank at 25 iterations: lineage checkpointing bounds the plan") {
+    import spark.implicits._
+    // ring of 6 nodes, every one spoked to hub 7 (deg 6 vs ring deg 3)
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(6L,1L),
+                    (1L,7L),(2L,7L),(3L,7L),(4L,7L),(5L,7L),(6L,7L))
+      .toDF("id_a", "id_b")
+    val t0 = System.nanoTime()
+    val pr = DedupQueries.pagerankFrom(edges, iters = 25)
+    // the checkpointed chain keeps the analyzed plan at <= CheckpointEvery
+    // iterations of depth; the unrolled form at 25 iters is ~3x this
+    val nodes = pr.queryExecution.analyzed.collect { case p => p }.size
+    assert(nodes < 60, s"analyzed plan has $nodes nodes — lineage not truncated")
+    val rows = pr.collect()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 60.0, s"25-iteration pagerank took ${elapsed}s")
+    assert(rows.length == 7)
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass=$mass")
+    // hub (deg 5) must outrank every ring-only node (deg 2 or 3)
+    val byNode = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byNode(7L) == byNode.values.max, s"hub not top-ranked: $byNode")
+  }
+
   test("canonical pick: one canonical per component, member of it, max degree") {
     val canon = DedupQueries.dedupCanonical(spark, sfDir).collect()
     val comps = DedupQueries.dedupComponents(spark, sfDir).collect()

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 
 /** Plan lint over the WHOLE registered query surface: sweeps every
   * `SparkEntry.queries` entry and rejects plan shapes that break the
@@ -27,5 +28,22 @@ class PlanLintSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty,
       s"UDF found in: $offenders — use a codegen'd Expression (graft.expr) instead")
+  }
+
+  test("no nested types (array/map/struct) in any registered query's result schema") {
+    // The driver's pandas row-compare hashes every cell; ndarray/dict cells
+    // are unhashable and crash the oracle harness (round-3 ta_inverted_index).
+    // Convention: results ship scalars only — join collections to strings.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] => f.name
+      }
+      spark.catalog.clearCache()
+      if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"nested result columns in: $offenders — array_join/to_json to a scalar before returning")
   }
 }

@@ -13,6 +13,17 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("all-pairs exact baseline fails fast above its row cap") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup_cap").toString
+    spark.range(SimilarityQueries.NearDupExactMaxRows + 1)
+      .selectExpr("id AS vec_id", "array(1.0d, 0.0d) AS embedding", "'a' AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.annNearDupPairs(spark, dir)
+    }
+    assert(ex.getMessage.contains("annLshNearDup"), s"guard must point at the scale path: $ex")
+  }
+
   test("cosine kernel: self-similarity 1, symmetry, [-1,1] range") {
     import spark.implicits._
     val df = Tables.embeddings(spark, sfDir).limit(20)

@@ -97,7 +97,7 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     val rows = TextAnalysisQueries.taInvertedIndex(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (df, posting) = (r.getLong(1), r.getSeq[Long](3))
+      val (df, posting) = (r.getLong(1), r.getString(3).split(",").toSeq)
       assert(posting.nonEmpty && posting.size <= TextAnalysisQueries.PostingK)
       assert(posting.size == math.min(df, TextAnalysisQueries.PostingK.toLong))
       assert(posting.distinct.size == posting.size, s"dup doc in posting: $r")
