@@ -380,6 +380,115 @@ object TextAnalysisQueries {
           x => x.getField("d")), ",").as("posting"))
   }
 
+  val BpeTopWords = 200
+  val BpeMerges = 6
+
+  /** Distributed BPE vocabulary learning (Sennrich et al. 2016,
+    * arXiv:1508.07909 — the tokenizer-training step of an LLM data
+    * pipeline), [[BpeMerges]] pinned merge rounds over the
+    * [[BpeTopWords]] most frequent all-lowercase words. Each round is
+    * the textbook scalable form: one distributed pair-count aggregate
+    * over the (word-repr, freq) table, ONE collected row (the argmax
+    * pair, deterministic (freq desc, pair asc) tiebreak — the same
+    * ≤k-row driver scalar discipline as the k-means centroids), then a
+    * distributed merge applied as a left fold over each word's symbol
+    * sequence. The fold keeps whole-symbol boundaries (space-joined
+    * repr, matched symbol-exactly), so it is greedy-left-to-right
+    * non-overlapping — exactly BPE's merge rule — and the DuckDB twin
+    * replays every round verbatim with `list_reduce` (identical fold
+    * order, pure string/int ops, no FP anywhere).
+    *
+    * Scale shape: the vocab table is corpus-vocabulary-bounded (not
+    * corpus-bounded) and map-side combines; each round shuffles only
+    * (pair → partial count). Result: the learned merge table. */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words0 = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(BpeTopWords)
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("repr"), col("freq"))
+    var words = words0.persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (step <- 1 to BpeMerges) {
+      val sy = split(col("repr"), " ")
+      val top = words
+        .select(col("freq"),
+          explode(zip_with(
+            slice(sy, lit(1), greatest(size(sy) - 1, lit(0))),
+            slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      val (a, b, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((step.toLong, a, b, a + b, pf))
+      val la = a.length
+      val merged = words.select(
+        aggregate(
+          slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
+          element_at(sy, 1),
+          (acc, s) => when(s === lit(b) &&
+              (acc === lit(a) || acc.endsWith(" " + a)),
+            concat(acc.substr(lit(1), length(acc) - la), lit(a + b)))
+            .otherwise(concat(acc, lit(" "), s))).as("repr"),
+        col("freq")).persist()
+      merged.count()
+      words.unpersist()
+      words = merged
+    }
+    words.unpersist()
+    merges.toSeq.toDF("step", "pair_a", "pair_b", "merged", "pair_freq")
+  }
+
+  val SubdupW = 8
+
+  /** Span-level EXACT-substring dedup (the ExactSubstr idea of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — re-shaped from their suffix-array
+    * single-node form to a distributed gram pipeline): any word
+    * [[SubdupW]]-gram occurring ≥2 times anywhere in the corpus marks
+    * its span duplicated; per doc, overlapping/contiguous marked spans
+    * merge into maximal islands (the classic gaps-and-islands window),
+    * yielding the mask a curation pipeline would cut before training.
+    * Output per affected doc: span count, masked word count, masked
+    * fraction, and a lossless poly61 signature of the exact span list
+    * (scalar sink convention).
+    *
+    * Scale shape: gram hashing is the fused scan-side kernel (no gram
+    * strings materialize); the hot-gram set comes from one map-side-
+    * combined count over gram hashes; only DUPLICATED occurrences —
+    * a tiny fraction of corpus grams — reach the doc-keyed window
+    * shuffle. No stage carries unbounded per-key state. */
+  def taSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.hashfunctions.{poly61, word_gram_poly61}
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        posexplode(word_gram_poly61(col("ws"), SubdupW)).as(Seq("pos", "h")))
+    val hot = g.groupBy(col("h")).agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val pe = max(col("pos") + (SubdupW - 1)).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val spans = g.join(hot, "h")
+      .select(col("doc_id"), col("n_words"), col("pos"))
+      .withColumn("pe", pe)
+      .withColumn("island", sum(when(col("pe").isNull || col("pos") > col("pe") + 1, 1)
+        .otherwise(0)).over(w))
+      .groupBy(col("doc_id"), col("n_words"), col("island"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (max(col("pos")) + (SubdupW - 1)).cast("long").as("e"))
+    spans.groupBy(col("doc_id"), col("n_words"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_words"),
+        round(sum(col("e") - col("s") + 1).cast("double") / col("n_words"), 6).as("dup_frac"),
+        poly61(array_join(transform(array_sort(collect_list(struct(col("s"), col("e")))),
+          x => concat_ws("-", x.getField("s"), x.getField("e"))), ",")).as("spans_sig"))
+  }
+
   /** Content-defined chunking over the corpus (kernel rationale in
     * [[graft.expr.Cdc]]): per doc, the boundary count and a poly61
     * fingerprint of the exact cut-position list — the storage-dedup
@@ -423,6 +532,8 @@ object TextAnalysisQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_zipf_fit"           -> (taZipfFit _),
     "ta_cdc_chunks"         -> (taCdcChunks _),
+    "ta_substring_dedup"    -> (taSubstringDedup _),
+    "bpe_learn"             -> (bpeLearn _),
     "ta_inverted_index"     -> (taInvertedIndex _),
     "ta_bm25_topk"          -> (taBm25TopK _),
     "ta_repetition_quality" -> (taRepetitionQuality _),
@@ -461,6 +572,61 @@ object TextAnalysisQueries {
      s"FILTER (WHERE rn <= $PostingK), ',') AS posting " +
      "FROM r GROUP BY term")
 
+  /** Chained-CTE replay of [[bpeLearn]]: w0 (vocab) → per round i:
+    * p_i (pair counts) → m_i (argmax, LIMIT 1) → w_i (merge fold via
+    * list_reduce, identical fold order) — same unrolling discipline as
+    * the pagerank oracle. */
+  private val duckBpe = {
+    val w0 =
+      ("w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr, freq FROM (" +
+       "SELECT w, count(*) AS freq FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+       s"WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w ORDER BY freq DESC, w LIMIT $BpeTopWords))")
+    val steps = (1 to BpeMerges).map { i =>
+      (s"p$i AS (SELECT sy[j] AS a, sy[j+1] AS b, sum(freq)::BIGINT AS pf FROM " +
+       s"(SELECT freq, string_split(repr, ' ') AS sy FROM w${i - 1}), " +
+       "unnest(generate_series(1, len(sy) - 1)) AS u(j) GROUP BY a, b), " +
+       s"m$i AS (SELECT a, b, pf FROM p$i ORDER BY pf DESC, a, b LIMIT 1), " +
+       s"w$i AS (SELECT list_reduce(string_split(w.repr, ' '), (acc, s) -> " +
+       "CASE WHEN s = m.b AND (acc = m.a OR right(acc, length(m.a) + 1) = ' ' || m.a) " +
+       "THEN left(acc, length(acc) - length(m.a)) || m.a || m.b " +
+       s"ELSE acc || ' ' || s END) AS repr, w.freq FROM w${i - 1} w, m$i m)")
+    }.mkString(", ")
+    val out = (1 to BpeMerges).map { i =>
+      s"SELECT $i::BIGINT AS step, a AS pair_a, b AS pair_b, a || b AS merged, pf AS pair_freq FROM m$i"
+    }.mkString(" UNION ALL ")
+    s"WITH $w0, $steps $out"
+  }
+
+  private val duckSubstringDedup = {
+    import graft.expr.hashfunctions.duckPoly61
+    val gram = (0 until SubdupW).map {
+      case 0 => "ws[gi]"
+      case k => s"ws[gi+$k]"
+    }.mkString(" || ' ' || ")
+    val wM1 = SubdupW - 1
+    ("WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+     s"d AS (SELECT doc_id, len(ws)::BIGINT AS n_words, " +
+     s"list_transform(generate_series(1, len(ws) - $wM1), gi -> ${duckPoly61(s"($gram)")}) AS gh " +
+     s"FROM t WHERE len(ws) >= $SubdupW), " +
+     "g AS (SELECT doc_id, n_words, u.gi - 1 AS pos, gh[u.gi] AS h " +
+     "FROM d, unnest(generate_series(1, len(gh))) AS u(gi)), " +
+     "hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2), " +
+     "c AS (SELECT g.doc_id, g.n_words, g.pos FROM g JOIN hot USING (h)), " +
+     s"i AS (SELECT doc_id, n_words, pos, sum(CASE WHEN pe IS NULL OR pos > pe + 1 " +
+     "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM (" +
+     s"SELECT doc_id, n_words, pos, max(pos + $wM1) OVER (PARTITION BY doc_id ORDER BY pos " +
+     "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM c)), " +
+     s"sp AS (SELECT doc_id, n_words, island, min(pos)::BIGINT AS s, (max(pos) + $wM1)::BIGINT AS e " +
+     "FROM i GROUP BY doc_id, n_words, island), " +
+     "agg AS (SELECT doc_id, n_words, count(*)::BIGINT AS n_dup_spans, " +
+     "sum(e - s + 1)::BIGINT AS dup_words, " +
+     "round(sum(e - s + 1)::DOUBLE / n_words, 6) AS dup_frac, " +
+     "array_to_string(list(s::VARCHAR || '-' || e::VARCHAR ORDER BY s), ',') AS sps " +
+     "FROM sp GROUP BY doc_id, n_words) " +
+     "SELECT doc_id, n_words, n_dup_spans, dup_words, dup_frac, " +
+     s"${duckPoly61("sps")} AS spans_sig FROM agg")
+  }
+
   private val duckCdc = {
     import graft.expr.hashfunctions.duckPoly61
     ("WITH b AS (SELECT doc_id, length(text)::BIGINT AS text_len, " +
@@ -480,6 +646,8 @@ object TextAnalysisQueries {
        "SELECT count(*) AS n_terms, round(regr_slope(ln(cnt), ln(r)), 6) AS zipf_slope, " +
        "round(regr_r2(ln(cnt), ln(r)), 6) AS r2 FROM rk"),
     "ta_cdc_chunks" -> duckCdc,
+    "ta_substring_dedup" -> duckSubstringDedup,
+    "bpe_learn" -> duckBpe,
     "ta_inverted_index" -> duckInvertedIndex,
     "ta_bm25_topk" -> duckBm25,
     "ta_tfidf_top_terms" ->

@@ -123,6 +123,43 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     assert(rows.forall(_.getLong(2) <= TextAnalysisQueries.Bm25Terms.size))
   }
 
+  test("bpe learn: monotone merge frequencies, merged = a+b, lowercase alphabet") {
+    val rows = TextAnalysisQueries.bpeLearn(spark, sfDir).orderBy("step").collect()
+    assert(rows.length == TextAnalysisQueries.BpeMerges)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1)
+      assert(r.getString(3) == r.getString(1) + r.getString(2), s"merged != a+b: $r")
+      assert(r.getString(3).matches("[a-z]+"), s"non-alphabet symbol: $r")
+      assert(r.getLong(4) > 0)
+    }
+    // each round picks the global max; merging can only shrink other
+    // pair counts and any newly created pair is capped by the merge
+    // count, so the chosen frequencies are non-increasing
+    val freqs = rows.map(_.getLong(4))
+    assert(freqs.zip(freqs.tail).forall { case (x, y) => x >= y }, freqs.mkString(","))
+  }
+
+  test("substring dedup: spans well-formed, planted near-dups heavily masked") {
+    val rows = TextAnalysisQueries.taSubstringDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nSpans, dupWords, frac) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nSpans >= 1)
+      // each merged island covers at least one full W-gram
+      assert(dupWords >= nSpans * TextAnalysisQueries.SubdupW)
+      assert(dupWords <= nWords, s"mask exceeds doc: $r")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // docs the exact-Jaccard baseline calls near-dups share >=8-word spans,
+    // so both members of every planted pair must be flagged
+    val flagged = rows.map(_.getLong(0)).toSet
+    val nearDup = graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .select("id_a", "id_b").collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(nearDup.subsetOf(flagged),
+      s"near-dup docs missing from mask: ${nearDup.diff(flagged)}")
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprint hashes") {
     val fp = TextAnalysisQueries.winnowFingerprints(spark, sfDir)
       .select("doc_id", "fingerprint").collect()
