@@ -15,6 +15,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same pin as Verify: the events ts normalization (NTZ-layout
+      // parquet → session-TZ timestamp) must be an identity on the
+      // stored micros, and window alignment must match the oracle's
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // 84 queries × several codegen'd stages each overflow the default
       // 100-entry generated-class cache; eviction then causes Janino

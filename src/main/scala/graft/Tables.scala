@@ -51,17 +51,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    * via the nanosAsLong legacy conf. Read it as long nanos, then expose
-    * a microsecond `TimestampType` (floor-truncated — same as DuckDB's
-    * ns→µs read) so downstream window/event-time ops see a real
-    * timestamp. Conversion is a codegen'd projection; pruning/pushdown
+  /** `events.ts` has shipped in two parquet layouts: TIMESTAMP(NANOS)
+    * (read as long nanos via the nanosAsLong legacy conf, then floor-
+    * truncated to µs — same as DuckDB's ns→µs read) and TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Both are normalized
+    * here to a session-TZ `TimestampType` carrying the raw parquet µs as
+    * its internal micros (sessions pin UTC, so the NTZ cast is an
+    * identity on the stored value), giving every downstream window/
+    * event-time op ONE schema regardless of which layout the data
+    * arrived in. Conversion is a codegen'd projection; pruning/pushdown
     * on the other columns is unaffected. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = read(spark, dir, "events")
+    df.withColumn("ts", normalizeTs(df.schema("ts").dataType))
+  }
+
+  /** ts-column normalization shared by the batch loader and the
+    * streaming feed ([[graft.queries.StreamingQueries]]): any shipped
+    * layout → TimestampType whose internal micros equal the raw parquet
+    * value (nanos floor-divided). */
+  def normalizeTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType      => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => col("ts")
+      case _             => col("ts").cast(TimestampType) // TIMESTAMP_NTZ layout
+    }
   }
   /** Events redistributed for CPU-heavy scan consumers (JSON parse) —
     * see `fact` for when this is worth a shuffle. */

@@ -25,9 +25,10 @@ object StreamingQueries {
 
   /** Stage `events.parquet` into a drop-folder (the T1 file feed is a
     * DIRECTORY of arriving files — baseline + updatefiles) and open it
-    * as a streaming source with the batch loader's raw long-nano
-    * schema. `decodeTs` adds the µs timestamp column the event-time
-    * operators need; the stateful op keeps raw nanos instead. */
+    * as a streaming source with the file's raw schema (long nanos OR
+    * µs timestamp — both shipped layouts, see [[Tables.normalizeTs]]).
+    * `decodeTs` normalizes to the µs TimestampType the event-time
+    * operators need. */
   private def stagedEventFeed(spark: SparkSession, dir: String): DataFrame = {
     val feed = java.nio.file.Paths.get(
       graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "events_feed"))
@@ -42,7 +43,7 @@ object StreamingQueries {
   }
 
   private def decodeTs(stream: DataFrame): DataFrame =
-    stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    stream.withColumn("ts", Tables.normalizeTs(stream.schema("ts").dataType))
 
   /** The per-microbatch cost of a stateful query scales with the state
     * store count = shuffle partitions at query start (each partition
@@ -101,11 +102,14 @@ object StreamingQueries {
 
   /** Custom per-key state (north-star `mapGroupsWithState`): running
     * per-user count + latest event (explicit (ts, event_id) tiebreak),
-    * driven through the file-feed source in update mode. The stream
-    * carries RAW long-nano timestamps — state logic compares longs, no
-    * timestamp decode needed on the hot path. */
+    * driven through the file-feed source in update mode. The stream's
+    * ts is normalized to an epoch-µs LONG before the stateful op —
+    * state logic compares plain longs on the hot path, at the same µs
+    * resolution the oracle's `ORDER BY ts DESC` sees, for either
+    * shipped parquet layout. */
   def t4StreamStateful(spark: SparkSession, dir: String): DataFrame = {
-    val stream = stagedEventFeed(spark, dir)
+    val stream = decodeTs(stagedEventFeed(spark, dir))
+      .withColumn("ts", unix_micros(col("ts")))
     val agg = StreamOps.statefulUserAgg(spark, stream.toDF())
       .select(col("user_id"), col("n_events"),
         col("last_event_id"), col("last_type"))
