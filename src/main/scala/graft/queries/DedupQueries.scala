@@ -342,8 +342,22 @@ object DedupQueries {
     var converged = false
     var iters = 0
     while (!converged && iters < 20) {
-      val viaNeighbors = sym.join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("comp"))
+      // pointer-jump (shortcutting) BEFORE the neighbor pass: follow the
+      // persisted previous labels one hop (comp → labels(comp); comp is
+      // always a node id and labels(x) ≤ x, so the left-join coalesce is
+      // monotone). Chains then collapse in ~log(diameter) rounds instead
+      // of diameter rounds — the standard CC shortcut, and the reason the
+      // 20-round cap is comfortable at any data scale. A no-op once
+      // converged, so the fixed point is still the plain min-label one.
+      val jumped = labels
+        .join(labels.select(col("node").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("node"),
+          coalesce(col("comp2"), col("comp")).as("jcomp"),
+          col("comp").as("prev"))
+        .persist()
+      val viaNeighbors = sym.join(jumped, col("dst") === col("node"))
+        .select(col("src").as("node"), col("jcomp").as("comp"))
       // propagate + convergence test in ONE job: the min-neighbor-label
       // result right-joins back to the previous labels (least() skips
       // the NULL minNbr of isolated nodes), so one count() both
@@ -358,13 +372,18 @@ object DedupQueries {
       // bounded without an explicit checkpoint (unlike pagerankFrom, whose
       // un-persisted chain needs localCheckpoint). The iters<20 cap bounds
       // the analyzed-plan depth; raise both together if ever needed.
+      // the node's own JUMPED label joins the least(): the convergence
+      // test still compares against the true previous labels (`prev`),
+      // so termination remains the plain min-label fixed point — if
+      // nothing moved, neither the jump nor the neighbor pass did.
       val next = viaNeighbors
         .groupBy(col("node")).agg(min(col("comp")).as("minNbr"))
-        .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"), "right")
-        .select(col("node"), least(col("minNbr"), col("prev")).as("comp"), col("prev"))
+        .join(jumped, Seq("node"), "right")
+        .select(col("node"), least(col("minNbr"), col("jcomp")).as("comp"), col("prev"))
         .persist()
       converged = next.filter(col("comp") =!= col("prev")).count() == 0
       cached.unpersist()
+      jumped.unpersist()
       cached = next
       labels = next.select(col("node"), col("comp"))
       iters += 1
@@ -399,29 +418,48 @@ object DedupQueries {
     * degree-annotated edge frame is persisted once and reused by all
     * iterations; the final frame is the only consumer-visible output. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankFrom(ngramPairsFrom(shingleTable(spark, dir))
+    pagerankFrom(spark, ngramPairsFrom(shingleTable(spark, dir))
       .select(col("id_a"), col("id_b")))
 
-  private[graft] def pagerankFrom(pairs: DataFrame,
+  /** The iteration loop runs NARROW (8 shuffle partitions) and is fully
+    * materialized inside that setting via a final localCheckpoint: the
+    * edge frame is the near-dup pair set — orders of magnitude smaller
+    * than the corpus — so at the session's fact-tuned width each of the
+    * 10 iterations paid ~3 stages of near-empty-task scheduling (the
+    * same measurement that narrowed [[dedupComponents]]'s loop; this
+    * loop was the suite's #1 standalone cost before). Sizing iterative
+    * graph shuffles to the EDGE volume, not the corpus volume, is the
+    * identical decision at 100 TB. */
+  private[graft] def pagerankFrom(spark: SparkSession, pairs: DataFrame,
                                   iters: Int = PagerankIters): DataFrame = {
-    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
-      .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
-    val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "s").persist()
-    val n = ed.select(col("s")).distinct().count() // one scalar: node count
-    var ranks = ed.select(col("s").as("node")).distinct()
-      .select(col("node"), round(lit(1.0) / n, 9).as("pr"))
-    for (i <- 1 to iters) {
-      ranks = ed.join(ranks.withColumnRenamed("node", "s"), "s")
-        .groupBy(col("d").as("node"))
-        .agg(round(lit(0.15) / n + lit(0.85) * sum(col("pr") / col("deg")), 9).as("pr"))
-      // bound the unrolled lineage (see [[PagerankCheckpointEvery]]);
-      // values are identical — checkpointing only cuts the plan
-      if (i % PagerankCheckpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
-    }
-    ranks.select(col("node").as("doc_id"), col("pr"))
-    // `ed` stays persisted until the consumer drains the result
+    val pKey = "spark.sql.shuffle.partitions"
+    val pOld = spark.conf.get(pKey)
+    spark.conf.set(pKey, "8")
+    try {
+      val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+        .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      // hash-partition the persisted edge frame on the join key: each
+      // iteration then joins against it in place (only the 1-row-per-node
+      // rank frame moves) and the groupBy(d) is the iteration's one shuffle
+      val ed = edges.join(deg, "s").repartition(col("s")).persist()
+      val n = ed.select(col("s")).distinct().count() // one scalar: node count
+      var ranks = ed.select(col("s").as("node")).distinct()
+        .select(col("node"), round(lit(1.0) / n, 9).as("pr"))
+      for (i <- 1 to iters) {
+        ranks = ed.join(ranks.withColumnRenamed("node", "s"), "s")
+          .groupBy(col("d").as("node"))
+          .agg(round(lit(0.15) / n + lit(0.85) * sum(col("pr") / col("deg")), 9).as("pr"))
+        // bound the unrolled lineage (see [[PagerankCheckpointEvery]]);
+        // values are identical — checkpointing only cuts the plan
+        if (i % PagerankCheckpointEvery == 0 && i < iters)
+          ranks = ranks.localCheckpoint()
+      }
+      // materialize the LAST iterations under the narrow setting too —
+      // the caller sees a checkpoint leaf, not a tail of wide shuffles
+      ranks.select(col("node").as("doc_id"), col("pr")).localCheckpoint()
+      // `ed` stays persisted until the consumer drains the result
+    } finally spark.conf.set(pKey, pOld)
   }
 
   /** Canonical-copy selection (net-new): the step that CLOSES the

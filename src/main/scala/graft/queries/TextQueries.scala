@@ -158,27 +158,22 @@ object TextQueries {
     * reference's typos.txt repair table): corrupted names — one
     * character deleted at a key-derived position — matched back to the
     * clean dictionary by minimum levenshtein. The join is BLOCKED
-    * before the distance kernel runs: dictionary side broadcast (it's a
-    * dimension), candidates restricted to a ±2 length band, so the
-    * quadratic levenshtein only touches a sliver of the cross product —
-    * the 100 TB shape is block + verify, never distance-on-cross-join.
-    * Best match per input via min(struct): one hash aggregate, no
-    * window sort, deterministic (distance, name) tiebreak. */
+    * before the distance kernel runs via [[fuzzyCandidates]]'s
+    * prefix/deletion-neighborhood EQUI-join keys — candidates per input
+    * are bounded by prefix-bucket occupancy, independent of dictionary
+    * size (the ±2 length band this replaced admitted most of the
+    * dict×typo cross product on length-clustered names: quadratic at
+    * scale) — and the kernel is the thresholded levenshtein (banded
+    * O(k·n) DP with early abandon, -1 past the bound) instead of the
+    * full O(n·m) form: the distance is only ever compared against 2, so
+    * the band form is semantically identical and ~6x cheaper on
+    * ~30-char names. Best match per input via min(struct): one hash
+    * aggregate, no window sort, deterministic (distance, name)
+    * tiebreak. */
   def fuzzyJoinLevenshtein(spark: SparkSession, dir: String): DataFrame = {
-    val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
-    // delete the char at 0-based position (p_partkey % length)
-    val pos = pmod(col("p_partkey"), length(col("p_name")))
-    val typo = parts.select(col("p_partkey"),
-      concat(substring(col("p_name"), lit(1), pos),
-        substring(col("p_name"), pos + lit(2), lit(1000000))).as("typo"))
-    val dict = parts.select(col("p_name")).distinct()
-    // thresholded levenshtein (banded O(k·n) DP with early abandon,
-    // -1 past the bound) instead of the full O(n·m) kernel — the
-    // distance is only ever compared against 2, so the band form is
-    // semantically identical and ~6x cheaper on ~30-char names
-    typo.join(broadcast(dict),
-        abs(length(col("typo")) - length(col("p_name"))) <= 2 &&
-          levenshtein(col("typo"), col("p_name"), 2) >= 0)
+    val (typo, dict) = typoCorpus(spark, dir)
+    fuzzyCandidates(typo, dict)
+      .filter(levenshtein(col("typo"), col("p_name"), 2) >= 0)
       .groupBy(col("p_partkey"), col("typo"))
       .agg(min(struct(levenshtein(col("typo"), col("p_name"), 2).as("dist"),
         col("p_name").as("matched"))).as("best"))
@@ -186,28 +181,78 @@ object TextQueries {
         col("best.matched").as("matched"), col("best.dist").cast("long").as("dist"))
   }
 
-  val JwThreshold = 0.9
-
-  /** Fuzzy join on the custom codegen'd [[graft.expr.JaroWinklerSim]]
-    * expression (kernel parity with DuckDB's builtin pinned in
-    * KernelProps): same typo corpus and length-band blocking as
-    * [[fuzzyJoinLevenshtein]], but scored by Jaro–Winkler — the
-    * record-linkage metric that rewards shared prefixes, which is what
-    * entity-resolution blocking actually ranks by. Scores are rounded
-    * to 6 dp BEFORE the threshold and the argmax on BOTH engines, so
-    * candidate survival and tie-breaks are comparison-exact. Dict is
-    * broadcast; the length band bounds candidates exactly like the
-    * levenshtein twin. */
-  def fuzzyJoinJw(spark: SparkSession, dir: String): DataFrame = {
-    import graft.expr.stringfunctions.jaro_winkler
+  /** Shared typo corpus: delete the char at 0-based position
+    * (p_partkey % length) from each part name; dict = distinct names. */
+  private def typoCorpus(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val parts = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
     val pos = pmod(col("p_partkey"), length(col("p_name")))
     val typo = parts.select(col("p_partkey"),
       concat(substring(col("p_name"), lit(1), pos),
         substring(col("p_name"), pos + lit(2), lit(1000000))).as("typo"))
-    val dict = parts.select(col("p_name")).distinct()
-    typo.join(broadcast(dict),
-        abs(length(col("typo")) - length(col("p_name"))) <= 2)
+    (typo, parts.select(col("p_name")).distinct())
+  }
+
+  /** Record-linkage blocking for both fuzzy joins: EQUI-join on
+    * complementary prefix keys instead of a θ-band. Key `p:` pairs
+    * strings sharing their first-[[FuzzyPrefixK]] chars (covers any
+    * corruption at position ≥ k); key `d:` pairs the input's k-prefix
+    * with the k-prefixes of each single-deletion variant of the dict
+    * name's (k+1)-prefix (covers a deletion at position < k) — so the
+    * one-deletion corruption model is covered COMPLETELY, by pigeonhole
+    * on where the deletion lands. Candidates per input are bounded by
+    * prefix-bucket occupancy — independent of dictionary size, the
+    * property the length band lacked. Dict-side fan-out is k+1 keyed
+    * rows per name (broadcast — it's a dimension); a pair matching
+    * several keys just duplicates rows, which the min/max(struct)
+    * argmax downstream absorbs without a distinct shuffle. */
+  private val FuzzyPrefixK = 8
+
+  private def fuzzyCandidates(typo: DataFrame, dict: DataFrame): DataFrame = {
+    val k = FuzzyPrefixK
+    val typoKeys = typo.withColumn("bk", explode(array(
+      concat(lit("p:"), substring(col("typo"), 1, k)),
+      concat(lit("d:"), substring(col("typo"), 1, k)))))
+    val dictKeys = dict.withColumn("bk", explode(array(
+      concat(lit("p:"), substring(col("p_name"), 1, k)) +:
+        (0 until k).map(i => concat(lit("d:"),
+          substring(col("p_name"), 1, i),
+          substring(col("p_name"), i + 2, k - i))): _*)))
+    typoKeys.join(broadcast(dictKeys), "bk")
+      .select(col("p_partkey"), col("typo"), col("p_name"))
+  }
+
+  /** DuckDB twin of [[fuzzyCandidates]] — the identical key fan-out as
+    * a CTE ending in a DISTINCT candidate set (SQL replays need the
+    * dedup explicitly; the Spark side folds it into the argmax). */
+  private def fuzzyCandidateCte: String = {
+    val k = FuzzyPrefixK
+    ("typo AS (SELECT p_partkey, " +
+     "substr(p_name, 1, p_partkey % length(p_name)) || " +
+     "substr(p_name, (p_partkey % length(p_name)) + 2) AS typo FROM part), " +
+     "dict AS (SELECT DISTINCT p_name FROM part), " +
+     s"tk AS (SELECT p_partkey, typo, unnest(['p:' || substr(typo, 1, $k), " +
+     s"'d:' || substr(typo, 1, $k)]) AS bk FROM typo), " +
+     s"dk AS (SELECT p_name, unnest(['p:' || substr(p_name, 1, $k)] || " +
+     s"list_transform(generate_series(0, ${k - 1}), i -> " +
+     s"'d:' || substr(p_name, 1, i) || substr(p_name, i + 2, $k - i))) AS bk FROM dict), " +
+     "cand0 AS (SELECT DISTINCT t.p_partkey, t.typo, d.p_name FROM tk t JOIN dk d USING (bk))")
+  }
+
+  val JwThreshold = 0.9
+
+  /** Fuzzy join on the custom codegen'd [[graft.expr.JaroWinklerSim]]
+    * expression (kernel parity with DuckDB's builtin pinned in
+    * KernelProps): same typo corpus and [[fuzzyCandidates]]
+    * prefix-blocking as [[fuzzyJoinLevenshtein]], but scored by
+    * Jaro–Winkler — the record-linkage metric that rewards shared
+    * prefixes, which is what prefix blocking pairs naturally with.
+    * Scores are rounded to 6 dp BEFORE the threshold and the argmax on
+    * BOTH engines, so candidate survival and tie-breaks are
+    * comparison-exact. */
+  def fuzzyJoinJw(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.stringfunctions.jaro_winkler
+    val (typo, dict) = typoCorpus(spark, dir)
+    fuzzyCandidates(typo, dict)
       .withColumn("jw", round(jaro_winkler(col("typo"), col("p_name")), 6))
       .filter(col("jw") >= JwThreshold)
       .groupBy(col("p_partkey"), col("typo"))
@@ -251,24 +296,16 @@ object TextQueries {
        "chr(223),'ss'), chr(8230),'...'), chr(181),'u'), chr(8805),'>='), chr(176),'deg') AS ascii_text " +
        "FROM b"),
     "fuzzy_join_jw" ->
-      ("WITH typo AS (SELECT p_partkey, " +
-       "substr(p_name, 1, p_partkey % length(p_name)) || " +
-       "substr(p_name, (p_partkey % length(p_name)) + 2) AS typo FROM part), " +
-       "dict AS (SELECT DISTINCT p_name FROM part), " +
-       "cand AS (SELECT t.p_partkey, t.typo, d.p_name, " +
-       "round(jaro_winkler_similarity(t.typo, d.p_name), 6) AS jw " +
-       "FROM typo t JOIN dict d ON abs(length(t.typo) - length(d.p_name)) <= 2) " +
+      (s"WITH $fuzzyCandidateCte, " +
+       "cand AS (SELECT p_partkey, typo, p_name, " +
+       "round(jaro_winkler_similarity(typo, p_name), 6) AS jw FROM cand0) " +
        s"SELECT p_partkey, typo, p_name AS matched, jw FROM (" +
        "SELECT *, row_number() OVER (PARTITION BY p_partkey, typo ORDER BY jw DESC, p_name DESC) AS rn " +
        s"FROM cand WHERE jw >= $JwThreshold) WHERE rn = 1"),
     "fuzzy_join_levenshtein" ->
-      ("WITH typo AS (SELECT p_partkey, " +
-       "substr(p_name, 1, p_partkey % length(p_name)) || " +
-       "substr(p_name, (p_partkey % length(p_name)) + 2) AS typo FROM part), " +
-       "dict AS (SELECT DISTINCT p_name FROM part), " +
-       "cand AS (SELECT t.p_partkey, t.typo, d.p_name, levenshtein(t.typo, d.p_name) AS dist " +
-       "FROM typo t JOIN dict d ON abs(length(t.typo) - length(d.p_name)) <= 2 " +
-       "AND levenshtein(t.typo, d.p_name) <= 2) " +
+      (s"WITH $fuzzyCandidateCte, " +
+       "cand AS (SELECT p_partkey, typo, p_name, levenshtein(typo, p_name) AS dist " +
+       "FROM cand0 WHERE levenshtein(typo, p_name) <= 2) " +
        "SELECT p_partkey, typo, p_name AS matched, dist FROM (" +
        "SELECT *, row_number() OVER (PARTITION BY p_partkey, typo ORDER BY dist, p_name) AS rn " +
        "FROM cand) WHERE rn = 1"),

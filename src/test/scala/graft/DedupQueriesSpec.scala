@@ -76,7 +76,7 @@ class DedupQueriesSpec extends SparkSpecBase {
                     (1L,7L),(2L,7L),(3L,7L),(4L,7L),(5L,7L),(6L,7L))
       .toDF("id_a", "id_b")
     val t0 = System.nanoTime()
-    val pr = DedupQueries.pagerankFrom(edges, iters = 25)
+    val pr = DedupQueries.pagerankFrom(spark, edges, iters = 25)
     // the checkpointed chain keeps the analyzed plan at <= CheckpointEvery
     // iterations of depth; the unrolled form at 25 iters is ~3x this
     val nodes = pr.queryExecution.analyzed.collect { case p => p }.size
