@@ -342,22 +342,14 @@ object DedupQueries {
     var converged = false
     var iters = 0
     while (!converged && iters < 20) {
-      // pointer-jump (shortcutting) BEFORE the neighbor pass: follow the
-      // persisted previous labels one hop (comp → labels(comp); comp is
-      // always a node id and labels(x) ≤ x, so the left-join coalesce is
-      // monotone). Chains then collapse in ~log(diameter) rounds instead
-      // of diameter rounds — the standard CC shortcut, and the reason the
-      // 20-round cap is comfortable at any data scale. A no-op once
-      // converged, so the fixed point is still the plain min-label one.
-      val jumped = labels
-        .join(labels.select(col("node").as("comp"), col("comp").as("comp2")),
-          Seq("comp"), "left")
-        .select(col("node"),
-          coalesce(col("comp2"), col("comp")).as("jcomp"),
-          col("comp").as("prev"))
-        .persist()
-      val viaNeighbors = sym.join(jumped, col("dst") === col("node"))
-        .select(col("src").as("node"), col("jcomp").as("comp"))
+      // (measured: a pointer-jumping variant — labels(labels(x)) per
+      // round — LOST here: the near-dup graph's diameter is tiny (the
+      // loop converges in 2-4 rounds at every SF, see the [cc] stderr
+      // line), so the extra self-join per round cost more than the
+      // rounds it could save. Revisit only if [cc] ever shows the
+      // 20-round cap being approached.)
+      val viaNeighbors = sym.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("comp"))
       // propagate + convergence test in ONE job: the min-neighbor-label
       // result right-joins back to the previous labels (least() skips
       // the NULL minNbr of isolated nodes), so one count() both
@@ -372,18 +364,16 @@ object DedupQueries {
       // bounded without an explicit checkpoint (unlike pagerankFrom, whose
       // un-persisted chain needs localCheckpoint). The iters<20 cap bounds
       // the analyzed-plan depth; raise both together if ever needed.
-      // the node's own JUMPED label joins the least(): the convergence
-      // test still compares against the true previous labels (`prev`),
-      // so termination remains the plain min-label fixed point — if
-      // nothing moved, neither the jump nor the neighbor pass did.
       val next = viaNeighbors
         .groupBy(col("node")).agg(min(col("comp")).as("minNbr"))
-        .join(jumped, Seq("node"), "right")
-        .select(col("node"), least(col("minNbr"), col("jcomp")).as("comp"), col("prev"))
+        .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"), "right")
+        .select(col("node"), least(col("minNbr"), col("prev")).as("comp"), col("prev"))
         .persist()
-      converged = next.filter(col("comp") =!= col("prev")).count() == 0
+      val t0 = System.nanoTime()
+      val changed = next.filter(col("comp") =!= col("prev")).count()
+      converged = changed == 0
+      System.err.println(f"[cc] iter=$iters changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
       cached.unpersist()
-      jumped.unpersist()
       cached = next
       labels = next.select(col("node"), col("comp"))
       iters += 1
