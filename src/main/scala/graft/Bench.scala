@@ -73,7 +73,8 @@ object Bench {
     var errors = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), qIdx) =>
       System.err.println(s"[bench-start] $name ${System.currentTimeMillis()}")
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -84,11 +85,20 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted frames (Verify does the same): cached
-        // blocks accumulating across 77 queries age the session and skew
+        // blocks accumulating across 182 queries age the session and skew
         // the later queries' times
         spark.catalog.clearCache()
+        // RDD-level blocks (localCheckpoint) survive catalog.clearCache —
+        // drop them explicitly
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         dt
       }
+      // shuffle files on the RAM-backed scratch dir are only reclaimed
+      // when the ContextCleaner sees their references die in a DRIVER
+      // GC — across a 182-query session that backlog is the measured
+      // 2-7x late-query inflation. A periodic explicit GC keeps the
+      // scratch tmpfs (and the executor block manager) near-empty.
+      if (qIdx % 8 == 7) System.gc()
       if (repeat > 1)
         System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
       name -> times.last
