@@ -307,7 +307,35 @@ object SourceQueries {
         sum(col("len")).as("sum_len"))
   }
 
+  /** K2: Excel sink → read-back verification (closes the one sink the
+    * pack had documented out-of-engine). The distributed plan shrinks
+    * `part` to a per-brand report (the reference's final Excel emit is
+    * exactly such a report, finalize_realease.py:584-587), the
+    * [[graft.sources.Xlsx]] writer ships it as a real OOXML .xlsx —
+    * including the X17 HYPERLINK column as true formula cells — and
+    * the read-back must equal the oracle's direct replay, proving the
+    * sink round-trips values, types, unicode, and formulas. */
+  def k2ExcelRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Xlsx
+    val report = Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 3).as("avg_price"))
+      .withColumn("link", concat(
+        lit("=HYPERLINK(\"https://example.org/brand/"), col("p_brand"),
+        lit("\",\""), col("p_brand"), lit("\")")))
+      .orderBy(col("p_brand"))
+    val out = tmp(dir, "k2_excel") + "/report.xlsx"
+    Xlsx.write(report, out)
+    Xlsx.read(spark, out).select(
+      col("p_brand"),
+      col("n_parts").cast("long").as("n_parts"),
+      col("avg_price").cast("double").as("avg_price"),
+      col("link"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k2_excel_roundtrip" -> (k2ExcelRoundtrip _),
     "s13_custom_sink" -> (s13CustomSink _),
     "s12_custom_source" -> (s12CustomSource _),
     "s11_schema_evolution" -> (s11SchemaEvolution _),
@@ -324,6 +352,10 @@ object SourceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "k2_excel_roundtrip" ->
+      ("SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 3) AS avg_price, " +
+       "'=HYPERLINK(\"https://example.org/brand/' || p_brand || '\",\"' || p_brand || '\")' AS link " +
+       "FROM part GROUP BY p_brand"),
     "s13_custom_sink" ->
       ("SELECT count(*) AS n_terms, min(value) AS first_term, max(value) AS last_term, " +
        "sum(length(value))::BIGINT AS sum_len " +
