@@ -447,8 +447,12 @@ object DedupQueries {
       }
       // materialize the LAST iterations under the narrow setting too —
       // the caller sees a checkpoint leaf, not a tail of wide shuffles
-      ranks.select(col("node").as("doc_id"), col("pr")).localCheckpoint()
-      // `ed` stays persisted until the consumer drains the result
+      val out = ranks.select(col("node").as("doc_id"), col("pr")).localCheckpoint()
+      // the checkpoint leaf no longer reads through `ed` — drop it now
+      // (leaving it persisted leaked the edge frame for the session
+      // lifetime in suites that call this repeatedly)
+      ed.unpersist()
+      out
     } finally spark.conf.set(pKey, pOld)
   }
 

@@ -326,7 +326,7 @@ object SourceQueries {
         lit("\",\""), col("p_brand"), lit("\")")))
       .orderBy(col("p_brand"))
     val out = tmp(dir, "k2_excel") + "/report.xlsx"
-    Xlsx.write(report, out)
+    Xlsx.write(report, out, formulaColumns = Set("link"))
     Xlsx.read(spark, out).select(
       col("p_brand"),
       col("n_parts").cast("long").as("n_parts"),

@@ -200,8 +200,15 @@ object TextQueries {
     * name's (k+1)-prefix (covers a deletion at position < k) — so the
     * one-deletion corruption model is covered COMPLETELY, by pigeonhole
     * on where the deletion lands. Candidates per input are bounded by
-    * prefix-bucket occupancy — independent of dictionary size, the
-    * property the length band lacked. Dict-side fan-out is k+1 keyed
+    * prefix-bucket occupancy — on this corpus the part-name prefix
+    * vocabulary is narrow (~60-90 distinct 8-char prefixes), so this
+    * is a large constant-factor reduction over the length band (which
+    * admitted nearly the whole dict), not an asymptotic guarantee: a
+    * dictionary that keeps growing inside the same prefix vocabulary
+    * grows bucket occupancy linearly. The scale lever is k — longer
+    * prefixes sharpen buckets at the cost of more dict-side keys; a
+    * skew-heavy dictionary would pair this with a salted join on the
+    * hot keys. Dict-side fan-out is k+1 keyed
     * rows per name (broadcast — it's a dimension); a pair matching
     * several keys just duplicates rows, which the min/max(struct)
     * argmax downstream absorbs without a distinct shuffle. */

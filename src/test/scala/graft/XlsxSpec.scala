@@ -44,7 +44,7 @@ class XlsxSpec extends SparkSpecBase {
       (2L, None, "é <&> \"q\" 中", "=HYPERLINK(\"https://example.org/x\",\"x\")"),
       (3L, Some(-0.001), "", "not a formula")
     ).toDF("id", "score", "txt", "form")
-    Xlsx.write(df, path)
+    Xlsx.write(df, path, formulaColumns = Set("form"))
     val back = Xlsx.read(spark, path)
       .select(col("id").cast("long"), col("score").cast("double"),
         col("txt"), col("form"))
@@ -67,6 +67,56 @@ class XlsxSpec extends SparkSpecBase {
       finally zf.close()
     }
     assert(sheet.contains("""t="b""""), sheet)
+  }
+
+  test("a data string starting with '=' stays inert unless its column is declared a formula") {
+    val path = tmpFile("inert.xlsx")
+    // no formulaColumns: the '='-leading value must be a plain string cell
+    Xlsx.write(Seq((1, "=2+2")).toDF("id", "v"), path)
+    val sheet = {
+      val zf = new java.util.zip.ZipFile(path)
+      try new String(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes, "UTF-8")
+      finally zf.close()
+    }
+    assert(!sheet.contains("<f>"), sheet)
+    val back = Xlsx.read(spark, path).collect()
+    assert(back(0).getString(1) == "=2+2")
+  }
+
+  test("control characters and literal _xHHHH_ sequences round-trip via OOXML escapes") {
+    val path = tmpFile("ctrl.xlsx")
+    val tricky = "a\u0001b\u001Fc"     // XML-1.0-invalid controls
+    val literal = "see _x0041_ and _x005F_" // looks like the escape itself
+    Xlsx.write(Seq((1, tricky), (2, literal)).toDF("id", "s"), path)
+    val back = Xlsx.read(spark, path).collect().sortBy(_.getString(0))
+    assert(back(0).getString(1) == tricky)
+    assert(back(1).getString(1) == literal)
+  }
+
+  test("non-finite doubles fall back to string cells, not invalid number cells") {
+    val path = tmpFile("nan.xlsx")
+    Xlsx.write(Seq((1, Double.NaN), (2, Double.PositiveInfinity), (3, 1.5))
+      .toDF("id", "x"), path)
+    val sheet = {
+      val zf = new java.util.zip.ZipFile(path)
+      try new String(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes, "UTF-8")
+      finally zf.close()
+    }
+    assert(!sheet.contains("<v>NaN</v>") && !sheet.contains("<v>Infinity</v>"), sheet)
+    val back = Xlsx.read(spark, path)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("x").cast("double"))
+      .collect().sortBy(_.getString(0))
+    assert(back(0).getDouble(1).isNaN)
+    assert(back(1).getDouble(1).isPosInfinity)
+    assert(back(2).getDouble(1) == 1.5)
+  }
+
+  test("maxRows can never clear the OOXML sheet cap (header occupies a row)") {
+    intercept[IllegalArgumentException] {
+      Xlsx.write(Seq((1, "a")).toDF("n", "s"), tmpFile("cap.xlsx"),
+        maxRows = Xlsx.SheetRowLimit)
+    }
   }
 
   test("the bounded-report guard refuses oversized input instead of truncating") {
