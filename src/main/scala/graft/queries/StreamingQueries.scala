@@ -391,7 +391,46 @@ object StreamingQueries {
       col("last.event_type").as("last_type"))
   }
 
+  /** T11: the `transformWithState` arbitrary-state API (the successor
+    * of t4's `flatMapGroupsWithState`) driven end-to-end against the
+    * RocksDB state store — see [[StreamOps.userProfiles]]. The feed is
+    * staged as FOUR user-hashed files drained one per microbatch, so
+    * every profile provably carries typed state ACROSS batches (one
+    * batch would never exercise state reads). Update mode emits a row
+    * per touched key per batch; because each field is monotone, the
+    * final state is recovered with one max(struct) — the same relation
+    * the oracle computes directly. */
+  def t11TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    val feed = graft.ScratchDirs.dir("stream",
+      dir.replaceAll("[^a-zA-Z0-9]", "_"), "tws_feed")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    ev.repartition(4, col("user_id")).write.mode("overwrite").parquet(feed)
+    val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provOld = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qname = "t11_tws_" + java.lang.Integer.toHexString(dir.hashCode)
+    try withStatePartitions(spark, 8) {
+      val q = StreamOps.userProfiles(spark, stream).toDF()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally provOld match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+    spark.table(qname)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_types"), col("max_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.n_types").as("n_types"),
+        round(col("s.max_value"), 6).as("max_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_transform_with_state" -> (t11TransformWithState _),
     "t8_stream_merge_upsert" -> (t8StreamMergeUpsert _),
     "t1_stream_tumbling" -> (t1StreamTumbling _),
     "t1_stream_tumbling_append" -> (t1StreamTumblingAppend _),
@@ -407,6 +446,12 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // batching-independent by construction (monotone fields + final
+    // max), so the replay is the direct per-user aggregate
+    "t11_transform_with_state" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+       "count(DISTINCT event_type) AS n_types, " +
+       "round(max(value), 6) AS max_value FROM events GROUP BY user_id"),
     // the materialized upsert table must equal the batch "latest state
     // per key": counts add across batches, (ts, event_id) argmax is
     // associative, so the replay ignores batching entirely

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamReader, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamReader, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Incremental layer (SURVEY §2.9): the reference's file-feed ingestion
   * (T1: baseline + daily updatefiles), key-level resume/dedup (T2), and
@@ -90,6 +90,27 @@ object StreamOps {
           Iterator.single(acc)
         })
   }
+  /** T11 (north-star: `transformWithState`, the arbitrary-state API that
+    * supersedes `flatMapGroupsWithState`): a per-user profile kept in
+    * TYPED state primitives — a `ValueState` event counter, a
+    * `MapState` of event types seen (a distributed distinct-set per
+    * key), a `ValueState` running max — against the RocksDB state store
+    * the API requires, which is also the store a 100 TB deployment
+    * wants: state lives off-heap with changelog checkpointing, so
+    * per-executor state is bounded by disk, not heap. Every emitted
+    * field is MONOTONE across microbatches, so the drained update-mode
+    * rows reduce to the final state with one max(struct) downstream —
+    * batching-independent, hence exactly replayable by the SQL oracle. */
+  def userProfiles(spark: SparkSession, events: DataFrame): Dataset[UserProfile] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"))
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserProfileProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming LSH bucket state: per band-bucket, remember the doc ids
     * seen so far and emit each (earlier, later) CANDIDATE pair exactly
     * once, as later docs arrive — the incremental form of the batch
@@ -124,3 +145,40 @@ object StreamOps {
 case class UserEvent(user_id: Long, event_id: Long, ts: Long, event_type: String)
 case class UserRunning(user_id: Long, n_events: Long, last_ts: Long,
                        last_event_id: Long, last_type: String)
+case class TwsEvent(user_id: Long, event_type: String, value: Double)
+case class UserProfile(user_id: Long, n_events: Long, n_types: Long, max_value: Double)
+
+/** The [[StreamOps.userProfiles]] processor: three independently-named
+  * state variables per key, registered in `init` against the handle
+  * (the API's contract — state schemas are declared up front so the
+  * store can validate/evolve them across restarts). `TimeMode.None`:
+  * no timers — the profile never expires here; production would pass a
+  * `TTLConfig` per state to bound the keyspace. */
+class UserProfileProcessor extends StatefulProcessor[Long, TwsEvent, UserProfile] {
+  @transient private var nEvents: ValueState[Long] = _
+  @transient private var types: MapState[String, Boolean] = _
+  @transient private var maxVal: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nEvents = getHandle.getValueState[Long]("n_events", Encoders.scalaLong, TTLConfig.NONE)
+    types = getHandle.getMapState[String, Boolean]("types",
+      Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+    maxVal = getHandle.getValueState[Double]("max_val", Encoders.scalaDouble, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                               timerValues: TimerValues): Iterator[UserProfile] = {
+    var n = if (nEvents.exists()) nEvents.get() else 0L
+    var mx = if (maxVal.exists()) maxVal.get() else Double.NegativeInfinity
+    rows.foreach { e =>
+      n += 1
+      if (e.value > mx) mx = e.value
+      if (!types.containsKey(e.event_type)) types.updateValue(e.event_type, true)
+    }
+    nEvents.update(n)
+    maxVal.update(mx)
+    // raw max here; the 6-dp pinning happens once, in the DataFrame
+    // projection, with Spark's round — same rounding the oracle applies
+    Iterator.single(UserProfile(key, n, types.keys().size.toLong, mx))
+  }
+}
