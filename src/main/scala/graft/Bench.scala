@@ -125,7 +125,9 @@ object Bench {
       // round-3 session-2 flagships (~150 B more; ~1.1 KB per copy —
       // still < half the ~3 KB tail window for both copies together)
       "sem_dedup", "ta_bm25_topk", "lm_bigram_score", "fuzzy_join_jw",
-      "q9_product_type_profit", "dedup_canonical")
+      "q9_product_type_profit", "dedup_canonical",
+      // round-5 additions (~70 B; both copies still fit the tail window)
+      "t11_transform_with_state", "k2_excel_roundtrip")
     // explicit root locale: the default f"" interpolator is
     // locale-sensitive, and a comma-decimal locale would make the
     // machine-parsed metric line invalid JSON
