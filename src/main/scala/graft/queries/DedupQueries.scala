@@ -312,11 +312,7 @@ object DedupQueries {
     // (measured: disabling AQE for the loop doubles its time — the
     // coalesced-partition replanning outweighs its per-stage barriers
     // even on tiny frames, so only the partition count is tuned)
-    val pKey = "spark.sql.shuffle.partitions"
-    val pOld = spark.conf.get(pKey)
-    spark.conf.set(pKey, "8")
-    try dedupComponentsLoop(edges)
-    finally spark.conf.set(pKey, pOld)
+    graft.Confs.withShufflePartitions(spark, 8) { dedupComponentsLoop(edges) }
   }
 
   private def dedupComponentsLoop(edges: DataFrame): DataFrame = {
@@ -421,11 +417,8 @@ object DedupQueries {
     * graph shuffles to the EDGE volume, not the corpus volume, is the
     * identical decision at 100 TB. */
   private[graft] def pagerankFrom(spark: SparkSession, pairs: DataFrame,
-                                  iters: Int = PagerankIters): DataFrame = {
-    val pKey = "spark.sql.shuffle.partitions"
-    val pOld = spark.conf.get(pKey)
-    spark.conf.set(pKey, "8")
-    try {
+                                  iters: Int = PagerankIters): DataFrame =
+    graft.Confs.withShufflePartitions(spark, 8) {
       val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
         .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
@@ -453,8 +446,7 @@ object DedupQueries {
       // lifetime in suites that call this repeatedly)
       ed.unpersist()
       out
-    } finally spark.conf.set(pKey, pOld)
-  }
+    }
 
   /** Canonical-copy selection (net-new): the step that CLOSES the
     * near-dup story — cluster the pair graph (connected components),
@@ -470,13 +462,11 @@ object DedupQueries {
     val pairs = ngramPairsFrom(shingleTable(spark, dir))
       .select(col("id_a"), col("id_b")).persist()
     pairs.count()
-    val pKey = "spark.sql.shuffle.partitions"
-    val pOld = spark.conf.get(pKey)
-    spark.conf.set(pKey, "8")
     // detached projection: the loop unpersists ITS edge frame; the
     // shared pair cache must survive for the degree pass
-    val labels = try componentLabels(pairs.select(col("id_a"), col("id_b")))
-      finally spark.conf.set(pKey, pOld)
+    val labels = graft.Confs.withShufflePartitions(spark, 8) {
+      componentLabels(pairs.select(col("id_a"), col("id_b")))
+    }
     val deg = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
       .groupBy(col("s").as("doc_id")).agg(count(lit(1)).as("degree"))

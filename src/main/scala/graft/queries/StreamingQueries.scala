@@ -53,12 +53,8 @@ object StreamingQueries {
     * drains run at 8; the setting is restored afterwards. At 100 TB the
     * knob goes the other way — state partitioning is sized at FIRST
     * start and pinned by the checkpoint. */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
-  }
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    graft.Confs.withShufflePartitions(spark, n)(body)
 
   def t1StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val stream = decodeTs(stagedEventFeed(spark, dir))
@@ -407,19 +403,14 @@ object StreamingQueries {
       .select(col("user_id"), col("event_type"), col("value"))
     ev.repartition(4, col("user_id")).write.mode("overwrite").parquet(feed)
     val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val provOld = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val qname = "t11_tws_" + java.lang.Integer.toHexString(dir.hashCode)
-    try withStatePartitions(spark, 8) {
-      val q = StreamOps.userProfiles(spark, stream).toDF()
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally provOld match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None    => spark.conf.unset(provKey)
+    StreamOps.withRocksDBStateStore(spark) {
+      withStatePartitions(spark, 8) {
+        val q = StreamOps.userProfiles(spark, stream).toDF()
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
     }
     spark.table(qname)
       .groupBy(col("user_id"))

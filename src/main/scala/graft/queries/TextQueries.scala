@@ -160,10 +160,10 @@ object TextQueries {
     * clean dictionary by minimum levenshtein. The join is BLOCKED
     * before the distance kernel runs via [[fuzzyCandidates]]'s
     * prefix/deletion-neighborhood EQUI-join keys — candidates per input
-    * are bounded by prefix-bucket occupancy, independent of dictionary
-    * size (the ±2 length band this replaced admitted most of the
-    * dict×typo cross product on length-clustered names: quadratic at
-    * scale) — and the kernel is the thresholded levenshtein (banded
+    * are bounded by prefix-bucket occupancy (see [[fuzzyCandidates]]
+    * for the exact guarantee; the ±2 length band this replaced
+    * admitted most of the dict×typo cross product on length-clustered
+    * names) — and the kernel is the thresholded levenshtein (banded
     * O(k·n) DP with early abandon, -1 past the bound) instead of the
     * full O(n·m) form: the distance is only ever compared against 2, so
     * the band form is semantically identical and ~6x cheaper on

@@ -90,6 +90,13 @@ object StreamOps {
           Iterator.single(acc)
         })
   }
+  /** Scoped RocksDB state-store provider — the store
+    * `transformWithState` requires; shared by the t11 query and its
+    * spec so neither hand-rolls the conf save/restore. */
+  def withRocksDBStateStore[T](spark: SparkSession)(body: => T): T =
+    graft.Confs.withSessionConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")(body)
+
   /** T11 (north-star: `transformWithState`, the arbitrary-state API that
     * supersedes `flatMapGroupsWithState`): a per-user profile kept in
     * TYPED state primitives — a `ValueState` event counter, a

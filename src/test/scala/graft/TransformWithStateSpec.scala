@@ -28,19 +28,12 @@ class TransformWithStateSpec extends SparkSpecBase {
       java.nio.file.Files.copy(f.toPath, feedDir.resolve(n))
     }
     stage("f1", "a.parquet"); stage("f2", "b.parquet")
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val provOld = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StreamOps.withRocksDBStateStore(spark) {
       val stream = StreamOps.fileFeed(spark, feedDir.toString, batch1, maxFilesPerTrigger = 1)
       val q = StreamOps.userProfiles(spark, stream).toDF()
         .writeStream.format("memory").queryName("tws_spec")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally provOld match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None    => spark.conf.unset(provKey)
     }
     val rows = spark.table("tws_spec").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
