@@ -420,7 +420,47 @@ object StreamingQueries {
         round(col("s.max_value"), 6).as("max_value"))
   }
 
+  /** T12: warm-started streaming state (`StatefulProcessorWithInitial
+    * State`) — the backfill + incremental migration pattern. The
+    * bootstrap is a deterministic per-user offset derived from the
+    * SAME event set the stream drains (so every warm key provably
+    * streams, see [[StreamOps.warmStartTotals]]), and the oracle
+    * replays bootstrap + stream as one closed-form aggregate: count
+    * plus the offset formula, max against the offset's floor value.
+    * Batching-independent like t11 (monotone count picks the final
+    * emission). */
+  def t12WarmStartState(spark: SparkSession, dir: String): DataFrame = {
+    val feed = graft.ScratchDirs.dir("stream",
+      dir.replaceAll("[^a-zA-Z0-9]", "_"), "warm_feed")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    ev.repartition(4, col("user_id")).write.mode("overwrite").parquet(feed)
+    val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
+    // the "historical backfill": a deterministic per-user bootstrap the
+    // oracle can replay in closed form (1000·(uid mod 3) + uid events
+    // seen "before" the stream; running max floored at uid mod 7)
+    val initial = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        (lit(1000) * pmod(col("user_id"), lit(3)) + col("user_id")).as("n_events"),
+        pmod(col("user_id"), lit(7)).cast("double").as("max_value"))
+    val qname = "t12_warm_" + java.lang.Integer.toHexString(dir.hashCode)
+    StreamOps.withRocksDBStateStore(spark) {
+      withStatePartitions(spark, 8) {
+        val q = StreamOps.warmStartTotals(spark, stream, initial).toDF()
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+    spark.table(qname)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("max_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        round(col("s.max_value"), 6).as("max_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_warm_start_state" -> (t12WarmStartState _),
     "t11_transform_with_state" -> (t11TransformWithState _),
     "t8_stream_merge_upsert" -> (t8StreamMergeUpsert _),
     "t1_stream_tumbling" -> (t1StreamTumbling _),
@@ -443,6 +483,12 @@ object StreamingQueries {
       ("SELECT user_id, count(*) AS n_events, " +
        "count(DISTINCT event_type) AS n_types, " +
        "round(max(value), 6) AS max_value FROM events GROUP BY user_id"),
+    // warm start replayed in closed form: streamed count on top of the
+    // bootstrap offset; running max floored at the bootstrap value
+    "t12_warm_start_state" ->
+      ("SELECT user_id, count(*) + 1000 * (user_id % 3) + user_id AS n_events, " +
+       "round(greatest(max(value), CAST(user_id % 7 AS DOUBLE)), 6) AS max_value " +
+       "FROM events GROUP BY user_id"),
     // the materialized upsert table must equal the batch "latest state
     // per key": counts add across batches, (ts, event_id) argmax is
     // associative, so the replay ignores batching entirely

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamReader, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamReader, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Incremental layer (SURVEY §2.9): the reference's file-feed ingestion
   * (T1: baseline + daily updatefiles), key-level resume/dedup (T2), and
@@ -118,6 +118,33 @@ object StreamOps {
       .transformWithState(new UserProfileProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** T12 (north-star: `StatefulProcessorWithInitialState`): the
+    * BACKFILL + INCREMENTAL pattern — a batch-computed per-key state is
+    * handed to the streaming job at first start via
+    * `handleInitialState`, and the stream continues accumulating from
+    * there. This is how a 100 TB pipeline migrates: bootstrap state
+    * from the historical batch aggregate once, then run incrementally
+    * forever, instead of reprocessing history inside the stream.
+    * `handleInitialState` cannot emit, so correctness requires every
+    * warm-started key to also stream at least one row — the caller
+    * derives the initial keys from the same event set it streams. */
+  def warmStartTotals(spark: SparkSession, events: DataFrame,
+                      initial: DataFrame): Dataset[WarmTotals] = {
+    import spark.implicits._
+    val initKV = initial
+      .select(col("user_id").cast("long").as("user_id"),
+        col("n_events").cast("long").as("n_events"),
+        col("max_value").cast("double").as("max_value"))
+      .as[WarmTotals].groupByKey(_.user_id)
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"))
+      .as[TwsEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new WarmStartProcessor, TimeMode.None(),
+        OutputMode.Update(), initKV)
+  }
+
   /** Streaming LSH bucket state: per band-bucket, remember the doc ids
     * seen so far and emit each (earlier, later) CANDIDATE pair exactly
     * once, as later docs arrive — the incremental form of the batch
@@ -154,6 +181,44 @@ case class UserRunning(user_id: Long, n_events: Long, last_ts: Long,
                        last_event_id: Long, last_type: String)
 case class TwsEvent(user_id: Long, event_type: String, value: Double)
 case class UserProfile(user_id: Long, n_events: Long, n_types: Long, max_value: Double)
+case class WarmTotals(user_id: Long, n_events: Long, max_value: Double)
+
+/** The [[StreamOps.warmStartTotals]] processor: `handleInitialState`
+  * seeds the two state variables from the batch bootstrap row (invoked
+  * once per key at first start, before any input rows); the input path
+  * then accumulates on top. Count is exact-integer; the running max is
+  * exact under comparison — both deliberately order-insensitive so the
+  * warm-start relation is replayable by a SQL oracle regardless of how
+  * the stream was batched. */
+class WarmStartProcessor
+  extends StatefulProcessorWithInitialState[Long, TwsEvent, WarmTotals, WarmTotals] {
+  @transient private var nEvents: ValueState[Long] = _
+  @transient private var maxVal: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nEvents = getHandle.getValueState[Long]("n_events", Encoders.scalaLong, TTLConfig.NONE)
+    maxVal = getHandle.getValueState[Double]("max_val", Encoders.scalaDouble, TTLConfig.NONE)
+  }
+
+  override def handleInitialState(key: Long, initial: WarmTotals,
+                                  timerValues: TimerValues): Unit = {
+    nEvents.update(initial.n_events)
+    maxVal.update(initial.max_value)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                               timerValues: TimerValues): Iterator[WarmTotals] = {
+    var n = if (nEvents.exists()) nEvents.get() else 0L
+    var mx = if (maxVal.exists()) maxVal.get() else Double.NegativeInfinity
+    rows.foreach { e =>
+      n += 1
+      if (e.value > mx) mx = e.value
+    }
+    nEvents.update(n)
+    maxVal.update(mx)
+    Iterator.single(WarmTotals(key, n, mx))
+  }
+}
 
 /** The [[StreamOps.userProfiles]] processor: three independently-named
   * state variables per key, registered in `init` against the handle

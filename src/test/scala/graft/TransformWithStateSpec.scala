@@ -54,6 +54,27 @@ class TransformWithStateSpec extends SparkSpecBase {
     assert(u2.map(t => (t._2, t._3)).toSeq == Seq((1L, 1L), (2L, 2L)), u2.toSeq.toString)
   }
 
+  test("initial state seeds the processor before the first input row") {
+    val feedDir = java.nio.file.Files.createTempDirectory("warm_feed")
+    Seq((1L, "click", 3.0), (1L, "view", 7.0), (9L, "click", 2.0))
+      .toDF("user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(feedDir.toString + "/b")
+    val schemaFrom = spark.read.parquet(feedDir.toString + "/b")
+    // user 1 warm-starts at 100 events / max 50; user 9 has NO bootstrap
+    val initial = Seq((1L, 100L, 50.0)).toDF("user_id", "n_events", "max_value")
+    StreamOps.withRocksDBStateStore(spark) {
+      val stream = StreamOps.fileFeed(spark, feedDir.toString + "/b", schemaFrom)
+      val q = StreamOps.warmStartTotals(spark, stream, initial).toDF()
+        .writeStream.format("memory").queryName("warm_spec")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val byUser = spark.table("warm_spec").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byUser(1L) == ((102L, 50.0)), s"warm state must pre-seed: $byUser")
+    assert(byUser(9L) == ((1L, 2.0)), s"cold key starts from zero: $byUser")
+  }
+
   test("t11 query equals the direct batch aggregate") {
     val got = graft.queries.StreamingQueries.t11TransformWithState(spark, sfDir)
       .orderBy("user_id").collect()
