@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
   * key was never set). Used wherever a query tunes a setting for one
   * bounded phase — loop shuffle width sized to edge volume, stateful
   * drains' state-store count, the RocksDB provider for
-  * transformWithState — so the session the driver shares across 184
-  * queries always comes back as it was. */
+  * transformWithState — so the session the driver shares across every
+  * registered query always comes back as it was. */
 object Confs {
   def withSessionConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
     val old = spark.conf.getOption(key)

@@ -352,7 +352,10 @@ object StreamingQueries {
     rmrf(new java.io.File(state)) // idempotent re-run
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    ev.repartition(4, col("user_id")).write.mode("overwrite").parquet(feed)
+    // ROUND-ROBIN staging (not user-hashed): keys must span batches or
+    // the read-modify-write merge below would never see an existing row
+    // for a key and the cross-batch path would go untested
+    ev.repartition(4).write.mode("overwrite").parquet(feed)
     val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
     withStatePartitions(spark, 8) {
       val q = stream.writeStream
@@ -390,27 +393,19 @@ object StreamingQueries {
   /** T11: the `transformWithState` arbitrary-state API (the successor
     * of t4's `flatMapGroupsWithState`) driven end-to-end against the
     * RocksDB state store — see [[StreamOps.userProfiles]]. The feed is
-    * staged as FOUR user-hashed files drained one per microbatch, so
-    * every profile provably carries typed state ACROSS batches (one
-    * batch would never exercise state reads). Update mode emits a row
-    * per touched key per batch; because each field is monotone, the
-    * final state is recovered with one max(struct) — the same relation
-    * the oracle computes directly. */
+    * staged ROUND-ROBIN across four files drained one per microbatch —
+    * deliberately NOT hashed by user, so every key's rows are spread
+    * over several batches and the profile provably carries typed state
+    * ACROSS batches (a user-hashed staging would give each key exactly
+    * one batch and never read persisted state). Update mode emits a
+    * row per touched key per batch; because each field is monotone,
+    * the final state is recovered with one max(struct) — the same
+    * relation the oracle computes directly. */
   def t11TransformWithState(spark: SparkSession, dir: String): DataFrame = {
-    val feed = graft.ScratchDirs.dir("stream",
-      dir.replaceAll("[^a-zA-Z0-9]", "_"), "tws_feed")
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("value"))
-    ev.repartition(4, col("user_id")).write.mode("overwrite").parquet(feed)
-    val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
+    val stream = stagedTwsFeed(spark, dir)
     val qname = "t11_tws_" + java.lang.Integer.toHexString(dir.hashCode)
-    StreamOps.withRocksDBStateStore(spark) {
-      withStatePartitions(spark, 8) {
-        val q = StreamOps.userProfiles(spark, stream).toDF()
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("update").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+    drainUpdateToMemory(spark, qname) {
+      StreamOps.userProfiles(spark, stream).toDF()
     }
     spark.table(qname)
       .groupBy(col("user_id"))
@@ -420,6 +415,34 @@ object StreamingQueries {
         round(col("s.max_value"), 6).as("max_value"))
   }
 
+  /** One shared staged feed for the transformWithState pair (t11/t12):
+    * the (user_id, event_type, value) projection of events, written
+    * ROUND-ROBIN into four files so every key spans multiple
+    * microbatches under `maxFilesPerTrigger=1`. Staged once per dir
+    * per invocation (idempotent overwrite); both consumers read the
+    * same files. */
+  private def stagedTwsFeed(spark: SparkSession, dir: String): DataFrame = {
+    val feed = graft.ScratchDirs.dir("stream",
+      dir.replaceAll("[^a-zA-Z0-9]", "_"), "tws_feed")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    ev.repartition(4).write.mode("overwrite").parquet(feed)
+    StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
+  }
+
+  /** Shared drain scaffold for the typed-state queries: RocksDB
+    * provider + narrow state partitioning + update-mode memory sink,
+    * AvailableNow backlog drain. */
+  private def drainUpdateToMemory(spark: SparkSession, qname: String)
+                                 (frame: => DataFrame): Unit =
+    StreamOps.withRocksDBStateStore(spark) {
+      withStatePartitions(spark, 8) {
+        val q = frame.writeStream.format("memory").queryName(qname)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+
   /** T12: warm-started streaming state (`StatefulProcessorWithInitial
     * State`) — the backfill + incremental migration pattern. The
     * bootstrap is a deterministic per-user offset derived from the
@@ -427,30 +450,23 @@ object StreamingQueries {
     * streams, see [[StreamOps.warmStartTotals]]), and the oracle
     * replays bootstrap + stream as one closed-form aggregate: count
     * plus the offset formula, max against the offset's floor value.
-    * Batching-independent like t11 (monotone count picks the final
-    * emission). */
+    * The round-robin staged feed (shared with t11) spreads every key
+    * over several microbatches, so the INCREMENTAL path — state read
+    * back from a prior input batch, not just from the initial seeding
+    * — is exercised end-to-end, and the monotone count picks the
+    * final emission. */
   def t12WarmStartState(spark: SparkSession, dir: String): DataFrame = {
-    val feed = graft.ScratchDirs.dir("stream",
-      dir.replaceAll("[^a-zA-Z0-9]", "_"), "warm_feed")
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("value"))
-    ev.repartition(4, col("user_id")).write.mode("overwrite").parquet(feed)
-    val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
+    val stream = stagedTwsFeed(spark, dir)
     // the "historical backfill": a deterministic per-user bootstrap the
     // oracle can replay in closed form (1000·(uid mod 3) + uid events
     // seen "before" the stream; running max floored at uid mod 7)
-    val initial = ev.select(col("user_id")).distinct()
+    val initial = Tables.events(spark, dir).select(col("user_id")).distinct()
       .select(col("user_id"),
         (lit(1000) * pmod(col("user_id"), lit(3)) + col("user_id")).as("n_events"),
         pmod(col("user_id"), lit(7)).cast("double").as("max_value"))
     val qname = "t12_warm_" + java.lang.Integer.toHexString(dir.hashCode)
-    StreamOps.withRocksDBStateStore(spark) {
-      withStatePartitions(spark, 8) {
-        val q = StreamOps.warmStartTotals(spark, stream, initial).toDF()
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("update").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+    drainUpdateToMemory(spark, qname) {
+      StreamOps.warmStartTotals(spark, stream, initial).toDF()
     }
     spark.table(qname)
       .groupBy(col("user_id"))

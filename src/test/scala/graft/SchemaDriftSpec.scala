@@ -46,9 +46,11 @@ class SchemaDriftSpec extends SparkSpecBase {
   )
 
   test("every testdata table is inside the engine's schema envelope") {
-    // the events read needs the legacy conf in case the NANOS layout returns
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val drifts = envelope.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+    // the events read needs the legacy conf in case the NANOS layout
+    // returns; scoped so the shared test session is not polluted
+    val drifts = Confs.withSessionConf(spark,
+        "spark.sql.legacy.parquet.nanosAsLong", "true") {
+      envelope.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
       val nameDrift =
         if (schema.fieldNames.toSeq != cols.map(_._1))
@@ -63,7 +65,8 @@ class SchemaDriftSpec extends SparkSpecBase {
           case _    => None
         }
       }
-      nameDrift ++ typeDrifts
+        nameDrift ++ typeDrifts
+      }
     }
     assert(drifts.isEmpty,
       "TESTDATA REGEN DRIFT — extend the adaptive loaders (Tables.normalizeTs pattern), " +
