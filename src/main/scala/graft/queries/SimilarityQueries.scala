@@ -464,7 +464,70 @@ object SimilarityQueries {
         (col("n_pq") === col("n_true")).as("k_ok"))
   }
 
+  val JlK = 8
+  val JlDim = 64
+
+  /** Deterministic ±1 sign for (input dim `i`, output dim `j`) — an
+    * integer formula both engines evaluate verbatim (Achlioptas 2003:
+    * ±1 entries satisfy the JL lemma; a pseudo-random but DETERMINISTIC
+    * sign pattern keeps the projection oracle-replayable, where a
+    * seeded-RNG matrix would not be). */
+  private def jlSign(i: Int, j: Int): Double =
+    if (((i.toLong * 1315423911L + j.toLong * 2654435761L) % 97L) % 2L == 0L) 1.0
+    else -1.0
+
+  private def jlPlane(j: Int): Seq[Double] = (0 until JlDim).map(jlSign(_, j))
+
+  /** Johnson–Lindenstrauss random projection: 64-dim float embeddings
+    * down to [[JlK]] dims via the ±1 sign matrix — the standard cheap
+    * pre-filter in front of exact rescoring. Each output dim is one
+    * fused-loop [[graft.expr.DotProduct]] against a constant plane
+    * (literal array, no per-row rebuild), so the whole projection is a
+    * single codegen'd scan stage with NO shuffle and NO UDF.
+    *
+    * Scale shape (100 TB): projection is embarrassingly parallel
+    * map-side work; the win is downstream — candidate generation and
+    * shuffles carry k=8 doubles instead of d=64 floats (4× the bytes),
+    * and a brute-force rescore only touches the full vectors for
+    * surviving candidates. */
+  def embJlProject(spark: SparkSession, dir: String): DataFrame = {
+    val cols = (0 until JlK).map { j =>
+      round(dot(col("embedding"), typedlit(jlPlane(j))), 6).as(s"p$j")
+    }
+    Tables.embeddings(spark, dir).select(col("vec_id") +: cols: _*)
+  }
+
+  /** JL distance-preservation audit over consecutive-id pairs: the
+    * per-label mean of (projected²-distance / k) / (true²-distance) —
+    * expectation exactly 1 under sign projections — plus a generous
+    * [0.5, 2.0] contract boolean the oracle expects TRUE (measured
+    * envelope at k=8: 0.79–1.36 across labels and SFs). Exact replay:
+    * both engines fold the same index order, so the ratio itself is
+    * compared at 6 dp, not just the contract. */
+  def embJlDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("pid"), col("label"), col("embedding").as("va"))
+    val b = e.select((col("vec_id") - 1).as("pid"), col("embedding").as("vb"))
+    val diff = zip_with(col("va"), col("vb"),
+      (x, y) => x.cast("double") - y.cast("double"))
+    val p2 = (0 until JlK).map { j =>
+      val d = dot(col("va"), typedlit(jlPlane(j))) - dot(col("vb"), typedlit(jlPlane(j)))
+      d * d
+    }.reduce(_ + _)
+    a.join(b, "pid")
+      .withColumn("d2", dot(diff, diff))
+      .withColumn("p2", p2)
+      .filter(col("d2") > 0)
+      .withColumn("r", col("p2") / (col("d2") * JlK))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"), avg(col("r")).as("ar"))
+      .select(col("label"), col("n_pairs"), round(col("ar"), 6).as("avg_ratio"),
+        (col("ar") > 0.5 && col("ar") < 2.0).as("jl_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_jl_project"         -> (embJlProject _),
+    "emb_jl_distortion"      -> (embJlDistortion _),
     "ann_pq_recall"          -> (annPqRecall _),
     "ann_pq_topk"            -> (annPqTopk _),
     "ann_ivf_topk"           -> (annIvfTopk _),
@@ -585,7 +648,30 @@ object SimilarityQueries {
      "JOIN q ON q.query_id = c.query_id) WHERE rnk <= 5")
   }
 
+  /** SQL twin of [[jlPlane]] — the same integer sign formula. */
+  private def duckJlPlane(j: Int): String =
+    ("list_transform(generate_series(1, 64), i -> " +
+     s"CASE WHEN ((i-1)*1315423911 + $j*2654435761) % 97 % 2 = 0 " +
+     "THEN 1.0 ELSE -1.0 END)")
+
+  private val duckJlDiff =
+    "list_transform(generate_series(1, 64), i -> va[i] - vb[i])"
+
   val oracle: Map[String, String] = Map(
+    "emb_jl_project" ->
+      ("SELECT vec_id, " + (0 until JlK).map { j =>
+        s"round(list_dot_product(embedding::DOUBLE[], ${duckJlPlane(j)}), 6) AS p$j"
+      }.mkString(", ") + " FROM embeddings"),
+    "emb_jl_distortion" ->
+      ("WITH pr AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+       "pairs AS (SELECT a.label, a.v AS va, b.v AS vb FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1), " +
+       s"d AS (SELECT label, list_dot_product($duckJlDiff, $duckJlDiff) AS d2, " +
+       (0 until JlK).map { j =>
+         s"((list_dot_product(va, ${duckJlPlane(j)}) - list_dot_product(vb, ${duckJlPlane(j)})) ** 2)"
+       }.mkString(" + ") + " AS p2 FROM pairs) " +
+       s"SELECT label, count(*)::BIGINT AS n_pairs, round(avg(p2/(d2*$JlK)), 6) AS avg_ratio, " +
+       s"(avg(p2/(d2*$JlK)) > 0.5 AND avg(p2/(d2*$JlK)) < 2.0) AS jl_ok " +
+       "FROM d WHERE d2 > 0 GROUP BY label"),
     "ann_pq_topk" -> pqTopkSql,
     "ann_ivf_topk" -> ivfTopkSql,
     "ann_ivf_partitioned" -> ivfTopkSql,

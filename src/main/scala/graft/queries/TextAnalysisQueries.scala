@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -401,6 +401,20 @@ object TextAnalysisQueries {
     * Scale shape: the vocab table is corpus-vocabulary-bounded (not
     * corpus-bounded) and map-side combines; each round shuffles only
     * (pair → partial count). Result: the learned merge table. */
+  /** One BPE merge (a,b)→ab applied to a space-joined symbol repr as a
+    * left fold — greedy left-to-right non-overlapping, whole-symbol
+    * boundaries. Shared by [[bpeLearn]] (per round, on the training
+    * vocab) and [[bpeApply]] (in rank order, on the corpus vocab); the
+    * DuckDB twins replay it verbatim with `list_reduce`. */
+  private def bpeMergeFold(sy: Column, a: String, b: String): Column =
+    aggregate(
+      slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
+      element_at(sy, 1),
+      (acc, s) => when(s === lit(b) &&
+          (acc === lit(a) || acc.endsWith(" " + a)),
+        concat(acc.substr(lit(1), length(acc) - a.length), lit(a + b)))
+        .otherwise(concat(acc, lit(" "), s)))
+
   def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val words0 = Tables.documents(spark, dir)
@@ -426,22 +440,50 @@ object TextAnalysisQueries {
         .limit(1).collect()
       val (a, b, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((step.toLong, a, b, a + b, pf))
-      val la = a.length
       val merged = words.select(
-        aggregate(
-          slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
-          element_at(sy, 1),
-          (acc, s) => when(s === lit(b) &&
-              (acc === lit(a) || acc.endsWith(" " + a)),
-            concat(acc.substr(lit(1), length(acc) - la), lit(a + b)))
-            .otherwise(concat(acc, lit(" "), s))).as("repr"),
-        col("freq")).persist()
+        bpeMergeFold(sy, a, b).as("repr"), col("freq")).persist()
       merged.count()
       words.unpersist()
       words = merged
     }
     words.unpersist()
     merges.toSeq.toDF("step", "pair_a", "pair_b", "merged", "pair_freq")
+  }
+
+  /** BPE tokenization (the APPLY side of [[bpeLearn]] — together they
+    * are the full tokenizer-train/tokenize pair of an LLM data
+    * pipeline): the learned merges, replayed in rank order over every
+    * all-lowercase corpus word, yield per-language token statistics
+    * (words, tokens, tokens-per-char — the fertility numbers a corpus
+    * report quotes).
+    *
+    * Scale shape: BPE is context-free per word, so tokenization runs on
+    * the DISTINCT-word table (corpus-vocabulary-bounded, not
+    * corpus-bounded) with corpus frequencies aggregated first —
+    * at 100 TB the vocab table is millions of rows where the corpus is
+    * trillions of words, and the per-word fold cost is paid once per
+    * distinct word, then weighted back by frequency in the same
+    * aggregate. The merge table itself is driver-bounded ([[BpeMerges]]
+    * rows) and enters the plan as literals — no join, no shuffle beyond
+    * the two vocab aggregates. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(spark, dir).orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+    var tok = words.withColumn("repr",
+      trim(regexp_replace(col("w"), "(.)", "$1 ")))
+    for ((a, b) <- merges)
+      tok = tok.withColumn("repr", bpeMergeFold(split(col("repr"), " "), a, b))
+    tok.groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * size(split(col("repr"), " "))).as("n_tokens"),
+        sum(col("freq") * length(col("w"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_chars"), 6)
+          .as("tokens_per_char"))
   }
 
   val SubdupW = 8
@@ -534,6 +576,7 @@ object TextAnalysisQueries {
     "ta_cdc_chunks"         -> (taCdcChunks _),
     "ta_substring_dedup"    -> (taSubstringDedup _),
     "bpe_learn"             -> (bpeLearn _),
+    "bpe_apply"             -> (bpeApply _),
     "ta_inverted_index"     -> (taInvertedIndex _),
     "ta_bm25_topk"          -> (taBm25TopK _),
     "ta_repetition_quality" -> (taRepetitionQuality _),
@@ -576,7 +619,18 @@ object TextAnalysisQueries {
     * p_i (pair counts) → m_i (argmax, LIMIT 1) → w_i (merge fold via
     * list_reduce, identical fold order) — same unrolling discipline as
     * the pagerank oracle. */
-  private val duckBpe = {
+  /** The one-merge `list_reduce` fold, the SQL twin of [[bpeMergeFold]]
+    * (`$in`: source CTE exposing `repr`; `$m`: the merge CTE exposing
+    * a/b). */
+  private def duckMergeFold(in: String, m: String): String =
+    (s"list_reduce(string_split($in.repr, ' '), (acc, s) -> " +
+     s"CASE WHEN s = $m.b AND (acc = $m.a OR right(acc, length($m.a) + 1) = ' ' || $m.a) " +
+     s"THEN left(acc, length(acc) - length($m.a)) || $m.a || $m.b " +
+     s"ELSE acc || ' ' || s END)")
+
+  /** Shared learn-loop CTEs: w0 (training vocab) → per round i: pair
+    * counts p_i, argmax merge m_i, merged vocab w_i. */
+  private val duckBpeCtes = {
     val w0 =
       ("w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr, freq FROM (" +
        "SELECT w, count(*) AS freq FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
@@ -586,15 +640,35 @@ object TextAnalysisQueries {
        s"(SELECT freq, string_split(repr, ' ') AS sy FROM w${i - 1}), " +
        "unnest(generate_series(1, len(sy) - 1)) AS u(j) GROUP BY a, b), " +
        s"m$i AS (SELECT a, b, pf FROM p$i ORDER BY pf DESC, a, b LIMIT 1), " +
-       s"w$i AS (SELECT list_reduce(string_split(w.repr, ' '), (acc, s) -> " +
-       "CASE WHEN s = m.b AND (acc = m.a OR right(acc, length(m.a) + 1) = ' ' || m.a) " +
-       "THEN left(acc, length(acc) - length(m.a)) || m.a || m.b " +
-       s"ELSE acc || ' ' || s END) AS repr, w.freq FROM w${i - 1} w, m$i m)")
+       s"w$i AS (SELECT ${duckMergeFold("w", "m")} AS repr, w.freq FROM w${i - 1} w, m$i m)")
     }.mkString(", ")
+    s"$w0, $steps"
+  }
+
+  private val duckBpe = {
     val out = (1 to BpeMerges).map { i =>
       s"SELECT $i::BIGINT AS step, a AS pair_a, b AS pair_b, a || b AS merged, pf AS pair_freq FROM m$i"
     }.mkString(" UNION ALL ")
-    s"WITH $w0, $steps $out"
+    s"WITH $duckBpeCtes $out"
+  }
+
+  /** Replay of [[bpeApply]]: the learn CTEs, then the corpus vocab
+    * cw0 folded through m_1..m_BpeMerges in rank order, then the
+    * frequency-weighted per-language rollup. */
+  private val duckBpeApply = {
+    val cw0 =
+      ("cw0 AS (SELECT lang, w, count(*) AS freq, " +
+       "trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr FROM " +
+       "(SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) " +
+       "WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY lang, w)")
+    val applies = (1 to BpeMerges).map { i =>
+      s"cw$i AS (SELECT c.lang, c.w, c.freq, ${duckMergeFold("c", "m")} AS repr FROM cw${i - 1} c, m$i m)"
+    }.mkString(", ")
+    (s"WITH $duckBpeCtes, $cw0, $applies " +
+     s"SELECT lang, sum(freq)::BIGINT AS n_words, " +
+     s"sum(freq * len(string_split(repr, ' ')))::BIGINT AS n_tokens, " +
+     s"round(sum(freq * len(string_split(repr, ' ')))::DOUBLE / sum(freq * length(w)), 6) AS tokens_per_char " +
+     s"FROM cw$BpeMerges GROUP BY lang")
   }
 
   private val duckSubstringDedup = {
@@ -648,6 +722,7 @@ object TextAnalysisQueries {
     "ta_cdc_chunks" -> duckCdc,
     "ta_substring_dedup" -> duckSubstringDedup,
     "bpe_learn" -> duckBpe,
+    "bpe_apply" -> duckBpeApply,
     "ta_inverted_index" -> duckInvertedIndex,
     "ta_bm25_topk" -> duckBm25,
     "ta_tfidf_top_terms" ->

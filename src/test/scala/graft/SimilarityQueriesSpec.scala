@@ -13,6 +13,24 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("jl projection: 8 dims, matches a hand-computed row, preserves distances") {
+    val proj = SimilarityQueries.embJlProject(spark, sfDir)
+    assert(proj.columns.toSeq == ("vec_id" +: (0 until SimilarityQueries.JlK).map(j => s"p$j")))
+    // hand-replay one row: p0 = sum_i sign(i,0) * v[i]
+    val v = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val sign0 = (0 until 64).map(i =>
+      if (((i.toLong * 1315423911L + 0L) % 97L) % 2L == 0L) 1.0 else -1.0)
+    val expect = v.zip(sign0).foldLeft(0.0) { case (acc, (x, s)) => acc + x.toDouble * s }
+    val got = proj.filter(col("vec_id") === 0).collect()(0).getDouble(1)
+    assert(math.abs(got - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"p0 mismatch: $got vs $expect")
+    // distance preservation holds on every label
+    val dist = SimilarityQueries.embJlDistortion(spark, sfDir).collect()
+    assert(dist.nonEmpty)
+    dist.foreach { r => assert(r.getBoolean(3), s"jl_ok false: $r") }
+  }
+
   test("all-pairs exact baseline fails fast above its row cap") {
     val dir = java.nio.file.Files.createTempDirectory("neardup_cap").toString
     spark.range(SimilarityQueries.NearDupExactMaxRows + 1)

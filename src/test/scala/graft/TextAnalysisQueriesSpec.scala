@@ -139,6 +139,23 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     assert(freqs.zip(freqs.tail).forall { case (x, y) => x >= y }, freqs.mkString(","))
   }
 
+  test("bpe apply: token counts bounded by chars and words, merges compress") {
+    val rows = TextAnalysisQueries.bpeApply(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, tokens) = (r.getLong(1), r.getLong(2))
+      val tpc = r.getDouble(3)
+      // every word is >=1 token; no token can be shorter than a char
+      assert(tokens >= words, s"tokens < words: $r")
+      assert(tpc > 0.0 && tpc <= 1.0, s"tokens_per_char out of (0,1]: $r")
+    }
+    // the learned merges MUST compress: strictly fewer tokens than
+    // chars overall (chars = tokens iff no merge ever applied)
+    val totTok = rows.map(_.getLong(2)).sum
+    val totChars = rows.map(r => (r.getLong(2) / r.getDouble(3)).round).sum
+    assert(totTok < totChars, s"merges never applied: tok=$totTok chars=$totChars")
+  }
+
   test("substring dedup: spans well-formed, planted near-dups heavily masked") {
     val rows = TextAnalysisQueries.taSubstringDedup(spark, sfDir).collect()
     assert(rows.nonEmpty)
