@@ -286,6 +286,28 @@ object SourceQueries {
         max(col("len")).cast("long").as("max_len"))
   }
 
+  /** S14: aggregation pushed INTO the custom connector
+    * ([[graft.sources.LineListSource]] `SupportsPushDownAggregates`):
+    * the ungrouped COUNT/MIN/MAX — composed with the pushed `s`-prefix
+    * filter — collapses to one partial-stats row per staged file
+    * computed inside the reader, and Spark's final aggregate merges
+    * those. The spec asserts `pushedAggs` off the BatchScan; the
+    * oracle replays the stats from `documents` directly. At 100 TB
+    * this is the parquet-footer-stats shape for a footerless format:
+    * the scan moves file-count rows, not line-count rows. */
+  def s14AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp(dir, "linelist_aggpush")
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("value"))
+      .filter(col("value") =!= "").distinct().orderBy(col("value"))
+      .coalesce(2).write.mode("overwrite").text(out)
+    spark.read.format("graft.sources.LineListSource").option("path", out).load()
+      .filter(col("value").startsWith("s"))
+      .agg(count(col("value")).as("n_terms"),
+        min(col("value")).as("first_term"), max(col("value")).as("last_term"),
+        max(col("len")).cast("long").as("max_len"))
+  }
+
   /** S13: round-trip through the connector's WRITE side — the distinct
     * term list goes out via the custom `BatchWrite` (per-task temp
     * files, driver-side rename commit — the real two-phase protocol)
@@ -338,6 +360,7 @@ object SourceQueries {
     "k2_excel_roundtrip" -> (k2ExcelRoundtrip _),
     "s13_custom_sink" -> (s13CustomSink _),
     "s12_custom_source" -> (s12CustomSource _),
+    "s14_agg_pushdown" -> (s14AggPushdown _),
     "s11_schema_evolution" -> (s11SchemaEvolution _),
     "s1_tsv_roundtrip"       -> (s1TsvRoundtrip _),
     "s2_xml_extract"         -> (s2XmlExtract _),
@@ -361,6 +384,11 @@ object SourceQueries {
        "sum(length(value))::BIGINT AS sum_len " +
        "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS value FROM documents) " +
        "WHERE value <> ''"),
+    "s14_agg_pushdown" ->
+      ("SELECT count(*)::BIGINT AS n_terms, min(value) AS first_term, " +
+       "max(value) AS last_term, max(length(value))::BIGINT AS max_len " +
+       "FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS value FROM documents) " +
+       "WHERE value <> '' AND starts_with(value, 's')"),
     "s12_custom_source" ->
       ("SELECT substr(value, 1, 2) AS pfx, count(*) AS n_terms, " +
        "min(value) AS first_term, max(length(value))::BIGINT AS max_len " +

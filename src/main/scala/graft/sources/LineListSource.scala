@@ -6,7 +6,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{Filter, StringStartsWith}
@@ -29,6 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     per column).
   *   - One `InputPartition` per file: split-level parallelism with no
   *     shuffle, the same granularity Spark's own file sources use.
+  *   - `SupportsPushDownAggregates`: ungrouped COUNT/MIN/MAX collapse
+  *     to one partial-stats row per file computed inside the reader
+  *     ([[LineListAggScan]]) — the parquet-footer-stats idea for a
+  *     format with no footer.
   *
   * The scan's `description()` reports the pushed prefix and surviving
   * columns, and the spec asserts both off the physical plan. */
@@ -59,12 +64,31 @@ class LineListTable(path: String) extends Table with SupportsRead with SupportsW
     new LineListWriteBuilder(path, info.schema())
 }
 
+/** The aggregate shapes the reader can serve per file: COUNT(*) /
+  * COUNT(col) (both columns are non-null, so they coincide), and
+  * MIN/MAX over either column. Emitted as one PARTIAL row per file
+  * partition; Spark's final aggregate merges them. */
+sealed trait LineListAgg { def name: String; def dataType: DataType }
+case object AggCountStar extends LineListAgg {
+  val name = "count_star"; val dataType: DataType = LongType
+}
+case class AggMin(col: String) extends LineListAgg {
+  val name = s"min_$col"
+  val dataType: DataType = if (col == "value") StringType else IntegerType
+}
+case class AggMax(col: String) extends LineListAgg {
+  val name = s"max_$col"
+  val dataType: DataType = if (col == "value") StringType else IntegerType
+}
+
 class LineListScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var prefix: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = LineListSource.Schema
+  private var aggs: Option[Seq[LineListAgg]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -77,7 +101,115 @@ class LineListScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new LineListScan(path, prefix, required, maxFilesPerTrigger)
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+        LineListSource.Schema.fieldNames.contains(nr.fieldNames()(0)) =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Partial aggregate pushdown (`supportCompletePushDown` stays
+    * false): the scan emits one stats row PER FILE and Spark's final
+    * aggregate merges them — at 100 TB a COUNT/MIN/MAX over the
+    * artifact moves one row per file instead of materializing every
+    * line into rows for an engine-side aggregate. Rejecting any
+    * non-translatable shape (grouping, DISTINCT, other functions)
+    * falls back to the plain row scan. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions().nonEmpty) return false
+    val translated: Seq[Option[LineListAgg]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(AggCountStar)
+      // both columns are non-null by schema, so COUNT(col) == COUNT(*)
+      case c: Count if !c.isDistinct => colName(c.column()).map(_ => AggCountStar)
+      case m: Min => colName(m.column()).map(AggMin)
+      case m: Max => colName(m.column()).map(AggMax)
+      case _ => None
+    }
+    if (translated.nonEmpty && translated.forall(_.isDefined)) {
+      aggs = Some(translated.map(_.get)); true
+    } else false
+  }
+
+  override def build(): Scan = aggs match {
+    case Some(a) => new LineListAggScan(path, prefix, a)
+    case None    => new LineListScan(path, prefix, required, maxFilesPerTrigger)
+  }
+}
+
+/** Batch scan serving a PUSHED aggregation: schema is the aggregate
+  * columns (in `Aggregation.aggregateExpressions()` order, no grouping
+  * columns), one partial-stats row per file. */
+class LineListAggScan(path: String, prefix: Option[String], aggs: Seq[LineListAgg])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggs.map(a => StructField(a.name, a.dataType, nullable = true)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"LineListAggScan path=$path pushedPrefix=${prefix.getOrElse("-")} " +
+      s"pushedAggs=${aggs.map(_.name).mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getLen > 0 &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+      .map(f => LineListPartition(f): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LineListAggReaderFactory(prefix, aggs)
+}
+
+/** Computes the per-file stats in one streamed pass — min/max on
+  * `value` compare UTF8String bytes (Spark's own StringType ordering,
+  * so the engine-side final merge sees consistent partials). */
+class LineListAggReaderFactory(prefix: Option[String], aggs: Seq[LineListAgg])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val file = partition.asInstanceOf[LineListPartition].file
+      private var emitted = false
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        if (emitted) return false
+        val p = new Path(file)
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          p.getFileSystem(new Configuration()).open(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        var n = 0L
+        var minV: UTF8String = null; var maxV: UTF8String = null
+        var minL = Int.MaxValue; var maxL = Int.MinValue
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (prefix.forall(line.startsWith)) {
+              n += 1
+              val u = UTF8String.fromString(line)
+              if (minV == null || u.compareTo(minV) < 0) minV = u
+              if (maxV == null || u.compareTo(maxV) > 0) maxV = u
+              val l = line.codePointCount(0, line.length)
+              if (l < minL) minL = l
+              if (l > maxL) maxL = l
+            }
+            line = in.readLine()
+          }
+        } finally in.close()
+        row = InternalRow.fromSeq(aggs.map {
+          case AggCountStar    => n
+          case AggMin("value") => minV
+          case AggMax("value") => maxV
+          case AggMin(_)       => if (n == 0) null else minL
+          case AggMax(_)       => if (n == 0) null else maxL
+        })
+        emitted = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 class LineListScan(path: String, prefix: Option[String], required: StructType,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.{ScaleQueries, SourceQueries, StreamingQueries}
+import org.apache.spark.sql.functions.{col, count, length, max, min}
 import org.apache.spark.sql.types._
 
 class SourcesSpec extends SparkSpecBase {
@@ -55,6 +56,28 @@ class SourcesSpec extends SparkSpecBase {
     val dropped = spark.read.option("sep", "\t").option("header", "true")
       .option("mode", "DROPMALFORMED").schema(schema).csv(dir)
     assert(dropped.collect().length == 2)
+  }
+
+  test("s14 ungrouped count/min/max is pushed into the DSv2 reader") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scansOf(plan: SparkPlan): Seq[String] = {
+      val root = plan match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+      root.collect { case b: BatchScanExec => b.scan.description() }
+    }
+    val df = graft.queries.SourceQueries.s14AggPushdown(spark, sfDir)
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.exists(s => s.contains("pushedAggs=count_star,min_value,max_value,max_len")
+        && s.contains("pushedPrefix=s")),
+      s"aggregation (with composed prefix filter) did not reach the reader: $scans")
+    // the pushed result must equal the unpushed replay over the same files
+    val staged = spark.read.text(graft.ScratchDirs.dir("sources",
+        sfDir.replaceAll("[^a-zA-Z0-9]", "_"), "linelist_aggpush"))
+      .filter(col("value").startsWith("s"))
+    val expect = staged.agg(count(col("value")), min(col("value")), max(col("value")),
+      max(length(col("value"))).cast("long")).collect()(0)
+    assert(df.collect()(0) == expect, "pushed aggregate diverges from row-scan replay")
   }
 
   test("s12 custom DSv2 source pushes the prefix filter and prunes columns") {
