@@ -331,10 +331,19 @@ object DedupQueries {
     // sym carries everything the loop needs — drop the edge cache now so
     // repeated invocations (the bench) don't accumulate dead blocks
     edges.unpersist()
-    var cached = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).persist()
-    cached.count()
-    var labels = cached
+    // localCheckpoint, NOT persist: each iteration references `labels`
+    // TWICE (neighbor join + right-join back), so the un-truncated
+    // analyzed plan doubles per round and the FINAL consumer's plan hit
+    // ~32k nodes after convergence — at which point the driver spent
+    // ~60 s (!) canonicalizing that tree for cache lookup before
+    // executing a join over a few thousand cached rows. persist() only
+    // caches EXECUTION; localCheckpoint truncates the LOGICAL lineage
+    // to a LogicalRDD leaf (same cure as pagerankFrom), so every
+    // downstream plan — including dedupCanonical's degree join — stays
+    // node-count-bounded. Label frames are one row per pair-graph node,
+    // so the executor-memory cost is trivial.
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
     var converged = false
     var iters = 0
     while (!converged && iters < 20) {
@@ -346,36 +355,23 @@ object DedupQueries {
       // 20-round cap being approached.)
       val viaNeighbors = sym.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("comp"))
-      // propagate + convergence test in ONE job: the min-neighbor-label
-      // result right-joins back to the previous labels (least() skips
-      // the NULL minNbr of isolated nodes), so one count() both
-      // materializes the persisted frame and tests label movement — the
-      // earlier count-then-isEmpty form paid a second full pass per
-      // iteration. count(), NOT isEmpty: isEmpty is take(1) and can
-      // short-circuit before every partition of the cache fills, leaving
-      // the next iteration to recompute the whole lineage chain.
-      // Lineage growth note: each iteration's frame is persisted AND fully
-      // materialized by the count() below, so cache substitution hands the
-      // optimizer an InMemoryRelation leaf per iteration — plan cost stays
-      // bounded without an explicit checkpoint (unlike pagerankFrom, whose
-      // un-persisted chain needs localCheckpoint). The iters<20 cap bounds
-      // the analyzed-plan depth; raise both together if ever needed.
+      // least() skips the NULL minNbr of isolated nodes; the eager
+      // localCheckpoint materializes the round, and the count() after
+      // it is the convergence test over the checkpointed blocks.
       val next = viaNeighbors
         .groupBy(col("node")).agg(min(col("comp")).as("minNbr"))
         .join(labels.select(col("node"), col("comp").as("prev")), Seq("node"), "right")
         .select(col("node"), least(col("minNbr"), col("prev")).as("comp"), col("prev"))
-        .persist()
+        .localCheckpoint()
       val t0 = System.nanoTime()
       val changed = next.filter(col("comp") =!= col("prev")).count()
       converged = changed == 0
       System.err.println(f"[cc] iter=$iters changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      cached.unpersist()
-      cached = next
       labels = next.select(col("node"), col("comp"))
       iters += 1
     }
     sym.unpersist()
-    labels // backing `cached` stays persisted until the consumer drains it
+    labels // checkpointed blocks are reclaimed by the harness's per-query RDD sweep
   }
 
   val PagerankIters = 10

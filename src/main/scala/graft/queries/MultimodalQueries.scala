@@ -103,31 +103,45 @@ object MultimodalQueries {
   /** Column profiling (the Deequ/Glue-profiler artifact: per-column
     * null count, exact distinct cardinality, numeric/string min-max)
     * over a pinned lineitem column set, emitted as one row per column.
-    * ONE corpus pass computes every stat (the multi-countDistinct
-    * plans a single Expand — ×4 row amplification map-side, still one
-    * shuffle); the per-column rows come from exploding a 4-struct
-    * literal array over the 1-row aggregate. At 100 TB the exact
-    * distincts swap for HLL sketches ([[SketchQueries]] has the
-    * mergeable form); exact is kept here so the oracle can replay
-    * values bit-for-bit. Numeric and string extrema ride in separate
-    * typed columns — no cross-type casts to string, whose formatting
-    * differs between engines. */
+    * Two passes, both hash aggregates:
+    *   1. counts + min/max for every column in ONE plain agg (no
+    *      distinct, so no Expand — pure codegen'd partial-merge);
+    *   2. distinct cardinalities via unpivot → (column, value) pairs →
+    *      two-level groupBy, where the map-side partial collapses each
+    *      partition to its distinct pairs BEFORE the shuffle.
+    * This replaces the natural multi-countDistinct single agg, whose
+    * Expand amplifies every row ×4 through a SORT aggregate — measured
+    * 3× slower at sf0.1 and strictly worse at 100 TB (the shuffle would
+    * carry amplified rows, vs. per-partition distinct pairs here). The
+    * unpivot casts values to string ONLY for distinct-counting (an
+    * injective mapping, so the counts are identical); the published
+    * extrema ride the typed pass — no cross-type formatting in results.
+    * At 100 TB the exact distincts swap for HLL sketches
+    * ([[SketchQueries]] has the mergeable form); exact is kept here so
+    * the oracle can replay values bit-for-bit. */
   def p4ProfileColumns(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     def num(c: String) = Seq(
-      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+      count(col(c)).as(s"nn_$c"),
       round(min(col(c)), 6).as(s"mn_$c"), round(max(col(c)), 6).as(s"mx_$c"))
     def str(c: String) = Seq(
-      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
-      min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+      count(col(c)).as(s"nn_$c"), min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
     val aggs = Seq(count(lit(1)).as("n_rows")) ++
       num("l_quantity") ++ num("l_discount") ++
       str("l_returnflag") ++ str("l_linestatus")
     val a = l.agg(aggs.head, aggs.tail: _*)
+    val nd = l.select(explode(array(
+        struct(lit("l_quantity").as("c"), col("l_quantity").cast("string").as("v")),
+        struct(lit("l_discount").as("c"), col("l_discount").cast("string").as("v")),
+        struct(lit("l_returnflag").as("c"), col("l_returnflag").as("v")),
+        struct(lit("l_linestatus").as("c"), col("l_linestatus").as("v")))).as("p"))
+      .filter(col("p.v").isNotNull)
+      .groupBy(col("p.c").as("column_name"), col("p.v"))
+      .agg(count(lit(1)))
+      .groupBy(col("column_name")).agg(count(lit(1)).as("n_distinct"))
     def rowOf(c: String, numeric: Boolean) = struct(
       lit(c).as("column_name"),
       (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
-      col(s"nd_$c").as("n_distinct"),
       (if (numeric) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
       (if (numeric) col(s"mx_$c") else lit(null).cast("double")).as("max_num"),
       (if (numeric) lit(null).cast("string") else col(s"mn_$c")).as("min_str"),
@@ -137,8 +151,11 @@ object MultimodalQueries {
         rowOf("l_returnflag", numeric = false), rowOf("l_linestatus", numeric = false)))
       .as("p"))
       .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
-        col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
-        col("p.min_str"), col("p.max_str"))
+        col("p.min_num"), col("p.max_num"), col("p.min_str"), col("p.max_str"))
+      .join(broadcast(nd), "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
