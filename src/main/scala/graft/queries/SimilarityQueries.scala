@@ -525,6 +525,16 @@ object SimilarityQueries {
         (col("ar") > 0.5 && col("ar") < 2.0).as("jl_ok"))
   }
 
+  // NOTE (evaluated and rejected): a JL-prefiltered top-k
+  // (candidates by projected L2, exact-cosine rescore) was built and
+  // oracle-replayed exactly, but its recall vs the exact baseline is
+  // ~30% AT ANY projected k (8..32) on this corpus — the top-5 cosine
+  // margins are ~100× smaller than the JL noise floor, and no honest
+  // contract holds. JL here is a distance-SKETCH (thresholded dedup,
+  // clustering, shuffle-byte reduction — what [[embJlDistortion]]
+  // certifies), not a top-k index; the LSH/IVF/PQ/SQ8 paths remain the
+  // ANN candidates of record.
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_jl_project"         -> (embJlProject _),
     "emb_jl_distortion"      -> (embJlDistortion _),
