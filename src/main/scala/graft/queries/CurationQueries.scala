@@ -569,7 +569,61 @@ object CurationQueries {
         (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
   }
 
+  // ------------------------------------------- DSIR importance weights
+
+  /** Hashed-feature buckets for the DSIR distributions. 512 keeps both
+    * count tables broadcast-sized at ANY corpus scale (the table is
+    * bucket-indexed, not vocab-indexed — that boundedness is the
+    * method's point). */
+  val DsirBuckets = 512
+  /** Additive smoothing (exactly representable in binary, so the
+    * engines' (c+α)/(T+αB) operands are bit-identical). */
+  val DsirAlpha = 0.5
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): fit hashed
+    * unigram distributions over a TARGET slice (here `lang = 'en'` —
+    * the paper's "formal text" stand-in) and the RAW corpus, then
+    * score every document by the mean log importance ratio
+    * ln(p_target(b)/p_raw(b)) of its tokens; documents scoring > 0
+    * look more target-like than corpus-like and get selected. Two
+    * corpus passes (count fit, then scoring), both scan-stage until a
+    * bucket/doc-keyed aggregate: the two count tables are
+    * [[DsirBuckets]] rows — broadcast to the scoring stream, so the
+    * fact side shuffles ONCE (the per-doc mean). That is the 100 TB
+    * shape: distribution tables bounded by construction, corpus never
+    * joined to corpus. Selection is a pure per-doc threshold — no
+    * global sort; resampling quotas compose downstream via
+    * x_sample_quota. Both engines compute the identical doubles (same
+    * smoothing literals, same bucket hash) and round at 6 dp. */
+  def taDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(poly61(col("tok")), lit(DsirBuckets.toLong)).as("b"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    // token totals as two 1-row aggregates over the bucket-sized counts
+    val totals = raw.agg(sum(col("c_raw")).as("t_raw"))
+      .crossJoin(tgt.agg(sum(col("c_tgt")).as("t_tgt")))
+    val denom = lit(DsirAlpha * DsirBuckets)
+    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(totals)
+      .select(col("b"),
+        (log((coalesce(col("c_tgt"), lit(0L)) + lit(DsirAlpha)) /
+             (col("t_tgt") + denom)) -
+         log((col("c_raw") + lit(DsirAlpha)) /
+             (col("t_raw") + denom))).as("lr"))
+    toks.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lr")), 6).as("avg_logratio"))
+      .withColumn("selected", col("avg_logratio") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_dsir_weights"       -> (taDsirWeights _),
     "ta_pii_redact"         -> (taPiiRedact _),
     "ta_url_dedup"          -> (taUrlDedup _),
     "ta_boilerplate_grams"  -> (taBoilerplateGrams _),
@@ -746,6 +800,17 @@ object CurationQueries {
        "sum((fo.first_doc = gr.doc_id)::BIGINT)::BIGINT AS n_novel, " +
        "round(sum((fo.first_doc = gr.doc_id)::BIGINT)::DOUBLE / count(*)::DOUBLE, 6) AS novelty " +
        "FROM gr JOIN fo USING (gh) GROUP BY gr.doc_id"),
+    "ta_dsir_weights" ->
+      (s"WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "tb AS (SELECT doc_id, lang, " + duckPoly61("tok") + s" % $DsirBuckets AS b FROM tk), " +
+       "raw AS (SELECT b, count(*) AS c_raw FROM tb GROUP BY b), " +
+       "tgt AS (SELECT b, count(*) AS c_tgt FROM tb WHERE lang = 'en' GROUP BY b), " +
+       "tot AS (SELECT (SELECT sum(c_raw) FROM raw) AS t_raw, (SELECT sum(c_tgt) FROM tgt) AS t_tgt), " +
+       s"lr AS (SELECT r.b, ln((coalesce(g.c_tgt, 0) + $DsirAlpha) / (t.t_tgt + ${DsirAlpha * DsirBuckets})) - " +
+       s"ln((r.c_raw + $DsirAlpha) / (t.t_raw + ${DsirAlpha * DsirBuckets})) AS lr " +
+       "FROM raw r LEFT JOIN tgt g USING (b), tot t) " +
+       "SELECT tb.doc_id, count(*)::BIGINT AS n_tokens, round(avg(l.lr), 6) AS avg_logratio, " +
+       "round(avg(l.lr), 6) > 0 AS selected FROM tb JOIN lr l USING (b) GROUP BY tb.doc_id"),
     "e2e_train_manifest" -> duckManifest,
     "x_mix_epochs" -> duckMixEpochs,
     "agg_robust_zscore" -> duckRobustZscore,

@@ -444,6 +444,46 @@ object DedupQueries {
       out
     }
 
+  val KcoreK = 2
+
+  /** Peel rounds both engines run (fixed, so the oracle can unroll the
+    * identical chain); DedupQueriesSpec asserts one MORE peel is a
+    * no-op at harness SFs, i.e. the loop has actually reached the
+    * k-core fixpoint and the fixed count is not truncating. */
+  val KcorePeels = 4
+
+  /** k-core decomposition (k = [[KcoreK]]) of the near-dup pair graph
+    * (net-new): iteratively peel nodes of degree < k until the
+    * remaining subgraph is the k-core — the standard "dense duplicate
+    * neighborhoods" extractor (Seidman 1983; template-farm and mirror
+    * clusters survive, incidental one-off pairs peel away). Each round
+    * is one degree aggregate + two semi-join filters over the EDGE
+    * set; like the other graph loops the shuffle width is sized to
+    * edge volume, not corpus volume, and `localCheckpoint` keeps the
+    * per-round plan a leaf. At 100 TB the peel is iterations ×
+    * O(|E|) with |E| the near-dup pairs only — orders of magnitude
+    * under the corpus — and every join is an equi-join on node id. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairsFrom(shingleTable(spark, dir))
+      .select(col("id_a"), col("id_b")).persist()
+    pairs.count()
+    graft.Confs.withShufflePartitions(spark, 8) {
+      var ed = pairs.union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("s", "d").localCheckpoint()
+      for (_ <- 1 to KcorePeels) {
+        val keep = ed.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KcoreK).select(col("s"))
+        ed = ed.join(keep, "s")
+          .join(keep.select(col("s").as("d")), "d")
+          .select(col("s"), col("d")).localCheckpoint()
+      }
+      val out = ed.groupBy(col("s").as("doc_id"))
+        .agg(count(lit(1)).as("deg_core")).localCheckpoint()
+      pairs.unpersist()
+      out
+    }
+  }
+
   /** Canonical-copy selection (net-new): the step that CLOSES the
     * near-dup story — cluster the pair graph (connected components),
     * rank members by DEGREE centrality, keep the most-connected doc of
@@ -507,6 +547,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles"      -> (graphTriangles _),
+    "graph_kcore"          -> (graphKcore _),
     "dedup_canonical"      -> (dedupCanonical _),
     "graph_pagerank"       -> (graphPagerank _),
     "dedup_exact"          -> (dedupExact _),
@@ -618,6 +659,17 @@ object DedupQueries {
      "FROM comp c JOIN dg g ON g.doc_id = c.node) " +
      "SELECT comp_id, n_docs, node AS canonical_doc, degree FROM x WHERE rn = 1")
 
+  /** DuckDB twin of [[graphKcore]]: the fixed peel rounds unrolled as
+    * chained CTEs over the identical symmetric edge replay. */
+  private val kcoreSql = {
+    val peels = (1 to KcorePeels).map { i =>
+      s"k$i AS (SELECT s FROM e${i - 1} GROUP BY s HAVING count(*) >= $KcoreK), " +
+      s"e$i AS (SELECT e.s, e.d FROM e${i - 1} e JOIN k$i a ON e.s = a.s JOIN k$i b ON e.d = b.s)"
+    }.mkString(", ")
+    (s"WITH $duckEdgesCte, e0 AS (SELECT s, d FROM edges), $peels " +
+     s"SELECT s AS doc_id, count(*)::BIGINT AS deg_core FROM e$KcorePeels GROUP BY s")
+  }
+
   private val trianglesSql =
     (s"WITH $duckEdgesCte, " +
      "deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s), " +
@@ -630,6 +682,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "graph_triangles" -> trianglesSql,
+    "graph_kcore" -> kcoreSql,
     "graph_pagerank" -> pagerankSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,

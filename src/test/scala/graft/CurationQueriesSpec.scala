@@ -269,4 +269,28 @@ class CurationQueriesSpec extends SparkSpecBase {
     val total = bySplit.values.sum.toDouble
     assert(bySplit("train") / total > 0.5, s"train share off: $bySplit")
   }
+
+  test("ta_dsir_weights separates the target slice and broadcasts the ratio table") {
+    val df = CurationQueries.taDsirWeights(spark, sfDir)
+    // the scoring join's build side is the 512-bucket log-ratio table —
+    // must be a broadcast, never a corpus-wide shuffle
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "bucket ratio table should broadcast-join onto the token stream")
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    // selected is defined off the ROUNDED score (oracle parity)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getDouble(2) > 0), s"selected flag inconsistent: $r")
+    }
+    // the importance weights must actually rank target-language docs
+    // above the rest on average — the method's entire point
+    val lang = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, rest) = rows.partition(r => lang(r.getLong(0)) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enMean = en.map(_.getDouble(2)).sum / en.length
+    val restMean = rest.map(_.getDouble(2)).sum / rest.length
+    assert(enMean > restMean,
+      f"target slice should outscore the rest: en=$enMean%.4f rest=$restMean%.4f")
+  }
 }

@@ -125,4 +125,30 @@ class DedupQueriesSpec extends SparkSpecBase {
     // FNV-1a 64 of "abc" — published constant
     assert(TextHash.fnv64(UTF8String.fromString("abc")) == 0xe71fa2190541574bL)
   }
+
+  test("k-core: fixed peel count reaches the fixpoint and matches brute force") {
+    val core = DedupQueries.graphKcore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.nonEmpty, "2-core is empty — the planted dup clusters should survive")
+    // every surviving node keeps degree >= k inside the core
+    assert(core.values.forall(_ >= DedupQueries.KcoreK))
+    // brute-force peel over the collected pair set until convergence;
+    // also proves KcorePeels rounds suffice (fixed count isn't truncating)
+    var edges = pairs(DedupQueries.dedupNgramJaccard(spark, sfDir))
+      .flatMap(p => Seq(p, p.swap))
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= DedupQueries.KcoreK).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      if (changed) rounds += 1
+      edges = next
+    }
+    assert(rounds <= DedupQueries.KcorePeels,
+      s"brute peel needed $rounds rounds > fixed ${DedupQueries.KcorePeels}")
+    val brute = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(core == brute)
+  }
 }
