@@ -131,39 +131,74 @@ object DedupQueries {
     minhashPairsFrom(shingleTable(spark, dir))
 
   private def minhashPairsFrom(sh: DataFrame): DataFrame = {
-    val rows = MinhashPerms / Bands
-    // one base hash per (doc, shingle) row; the 32 "permutations" are
-    // affine maps a*h+b (odd a) min-aggregated in a SINGLE shuffle on
-    // doc_id — avoids re-evaluating the shingle transform per
-    // permutation (a 32x expression-inlining blow-up in the naive
-    // array-expression form).
-    // poly61 gives 60 bits; >> 29 keeps 31 — a 31-bit hash x 31-bit odd
-    // multiplier stays within Long (ANSI mode forbids overflow), and 31
-    // bits of min-hash resolution is ample.
-    val ex = sh.select(col("doc_id"), explode(col("hs")).as("shash"))
-      .withColumn("h", shiftrightunsigned(col("shash"), 29))
-    val sigCols = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
-      min(col("h") * lit(a) + lit(b)).as(s"s_$i")
-    }
-    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    // one folded long per band (band index is the fold seed) instead of
-    // a concat_ws string: the candidate join shuffles and compares a
-    // single long, and the modular fold — unlike xxhash64 — is
-    // expressible in the DuckDB oracle. A cross-band fold collision can
-    // only ADD a candidate pair, which the exact verify below rejects —
-    // and the oracle replays the identical fold, so parity is exact.
-    val bandCols = (0 until Bands).map { bi =>
-      (0 until rows).foldLeft(lit(bi.toLong): org.apache.spark.sql.Column) { (acc, r) =>
-        (acc * 131L + (col(s"s_${bi * rows + r}") % BandMod)) % BandMod
-      }
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_val"))
+    val banded = bandedDocs(sh)
     val a = banded.select(col("band_val"), col("doc_id").as("id_a"))
     val b = banded.select(col("band_val"), col("doc_id").as("id_b"))
     val cand = a.join(b, Seq("band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     verifyAgainst(cand, sh)
+  }
+
+  /** (doc_id, band_val) LSH bucket keys for every doc of a shingle
+    * table — the shared index layer under the batch pair join and the
+    * incremental delta-vs-index join.
+    *
+    * One base hash per (doc, shingle) row; the 32 "permutations" are
+    * affine maps a*h+b (odd a) min-aggregated in a SINGLE shuffle on
+    * doc_id — avoids re-evaluating the shingle transform per
+    * permutation (a 32x expression-inlining blow-up in the naive
+    * array-expression form).
+    * poly61 gives 60 bits; >> 29 keeps 31 — a 31-bit hash x 31-bit odd
+    * multiplier stays within Long (ANSI mode forbids overflow), and 31
+    * bits of min-hash resolution is ample.
+    *
+    * One folded long per band (band index is the fold seed) instead of
+    * a concat_ws string: the candidate join shuffles and compares a
+    * single long, and the modular fold — unlike xxhash64 — is
+    * expressible in the DuckDB oracle. A cross-band fold collision can
+    * only ADD a candidate pair, which the exact verify rejects — and
+    * the oracle replays the identical fold, so parity is exact. */
+  private def bandedDocs(sh: DataFrame): DataFrame = {
+    val rows = MinhashPerms / Bands
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("shash"))
+      .withColumn("h", shiftrightunsigned(col("shash"), 29))
+    val sigCols = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * lit(a) + lit(b)).as(s"s_$i")
+    }
+    val sig = ex.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until Bands).map { bi =>
+      (0 until rows).foldLeft(lit(bi.toLong): org.apache.spark.sql.Column) { (acc, r) =>
+        (acc * 131L + (col(s"s_${bi * rows + r}") % BandMod)) % BandMod
+      }
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_val"))
+  }
+
+  /** Incremental dedup (net-new): check only a DELTA of new documents
+    * against an existing INDEX — the shape a production pipeline runs
+    * on every ingest batch, where re-deduplicating the whole corpus
+    * (index × index) would redo quadratically-growing work for
+    * nothing. Here the corpus splits deterministically by doc_id
+    * parity (odd = delta, even = index); both sides band through the
+    * identical MinHash layer ([[bandedDocs]]) and the candidate join
+    * is DELTA bands × INDEX bands only. At 100 TB the index side's
+    * (doc, band) keys are a stored table partitioned by band — each
+    * ingest batch shuffles only its own bands against it, never
+    * index × index. Exact verify on candidates, same as the batch
+    * pipeline; the streaming twin (cross-batch bucket state) is
+    * t7_stream_lsh_dedup. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val banded = bandedDocs(sh)
+    val delta = banded.filter(col("doc_id") % 2 === 1)
+      .select(col("band_val"), col("doc_id").as("id_a"))
+    val index = banded.filter(col("doc_id") % 2 === 0)
+      .select(col("band_val"), col("doc_id").as("id_b"))
+    val cand = delta.join(index, Seq("band_val"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyAgainst(cand, sh)
+      .select(col("id_a").as("new_doc"), col("id_b").as("index_doc"), col("jaccard"))
   }
 
   /** Exact verify on candidate pairs only — shuffle joins keyed on
@@ -444,6 +479,42 @@ object DedupQueries {
       out
     }
 
+  /** Asymmetric-containment threshold (measured FP gap at the oracle
+    * SFs: nearest non-qualifying pair ≤ 0.28, nearest qualifying
+    * ≥ 0.88 — comparison-exact on both engines). */
+  val ContainmentThreshold = 0.8
+
+  /** Containment join (net-new): find documents whose shingle set is
+    * ≥ [[ContainmentThreshold]] CONTAINED in another document's —
+    * C(A→B) = |A∩B|/|A| — the asymmetric cousin of the Jaccard join
+    * that catches quotes, excerpts, and boilerplate-wrapped copies
+    * symmetric dedup misses (B may be much larger than A, so J(A,B)
+    * stays low while A is still a near-subset). Candidate generation
+    * keeps the PPJoin prefix bound on the CONTAINED side only: overlap
+    * must reach ceil(t·|A|), so a qualifying pair collides within A's
+    * first |A|−ceil(t·|A|)+1 sorted shingles; the container side has
+    * no size bound, so it contributes its full postings — the standard
+    * set-containment-join shape (prefix × full inverted index), linear
+    * in corpus shingle volume, never all-pairs. Exact verify on
+    * candidates only. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val withSz = sh.select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    val plen = (col("sz") - ceil(col("sz") * lit(ContainmentThreshold)).cast("int")) + 1
+    val a = withSz.select(col("doc_id").as("id_a"), explode(slice(col("hs"), lit(1), plen)).as("shingle"))
+    val b = withSz.select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle"))
+    val cand = a.join(b, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand.join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("id_a").as("contained_doc"), col("id_b").as("container_doc"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   val KcoreK = 2
 
   /** Peel rounds both engines run (fixed, so the oracle can unroll the
@@ -548,6 +619,8 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles"      -> (graphTriangles _),
     "graph_kcore"          -> (graphKcore _),
+    "dedup_containment"    -> (dedupContainment _),
+    "dedup_incremental"    -> (dedupIncremental _),
     "dedup_canonical"      -> (dedupCanonical _),
     "graph_pagerank"       -> (graphPagerank _),
     "dedup_exact"          -> (dedupExact _),
@@ -578,26 +651,43 @@ object DedupQueries {
     }
   }
 
-  /** Full DuckDB replay of [[dedupMinhashLsh]]: same shingle hashes,
-    * same 32 affine perms (coefficients inlined from [[MinhashCoefs]]),
-    * same folded band keys, same bucket join + exact verify — so even
-    * LSH's recall misses reproduce exactly and the result hash-matches. */
-  private[graft] val minhashLshSql: String = {
+  /** Shared DuckDB replay of the MinHash band layer ([[bandedDocs]]):
+    * same shingle hashes, same 32 affine perms (coefficients inlined
+    * from [[MinhashCoefs]]), same folded band keys. */
+  private val lshBandsCtes: String = {
     val sigCols = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h >> 29) * $a + $b)) AS s_$i"
     }.mkString(", ")
     val bandArr = (0 until Bands).map(duckBand).mkString("[", ", ", "]")
     (hashedShingleCte +
      s", sig AS (SELECT doc_id, $sigCols FROM sh)" +
-     s", bands AS (SELECT doc_id, unnest($bandArr) AS band_val FROM sig)" +
-     ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
-     "JOIN bands b USING (band_val) WHERE a.doc_id < b.doc_id) " +
-     "SELECT id_a, id_b, round(j, 6) AS jaccard FROM (" +
+     s", bands AS (SELECT doc_id, unnest($bandArr) AS band_val FROM sig)")
+  }
+
+  /** Exact-verify tail shared by the LSH oracles. */
+  private def duckVerify(aName: String, bName: String): String =
+    (s"SELECT id_a AS $aName, id_b AS $bName, round(j, 6) AS jaccard FROM (" +
      "SELECT c.id_a, c.id_b, len(list_intersect(x.hs, y.hs))::DOUBLE / " +
      "(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS j " +
      "FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id) " +
      s"WHERE j >= $JaccardThreshold")
-  }
+
+  /** Full DuckDB replay of [[dedupMinhashLsh]] — bucket join + exact
+    * verify over the shared band layer, so even LSH's recall misses
+    * reproduce exactly and the result hash-matches. */
+  private[graft] val minhashLshSql: String =
+    (lshBandsCtes +
+     ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
+     "JOIN bands b USING (band_val) WHERE a.doc_id < b.doc_id) " +
+     duckVerify("id_a", "id_b"))
+
+  /** DuckDB replay of [[dedupIncremental]]: the same band layer, with
+    * the candidate join restricted to delta (odd) × index (even). */
+  private val incrementalSql: String =
+    (lshBandsCtes +
+     ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
+     "JOIN bands b USING (band_val) WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) " +
+     duckVerify("new_doc", "index_doc"))
 
   /** DuckDB twin of [[graft.expr.TextHash.simhash64]] (60 voting bits
     * over poly61 token hashes) + all-pairs hamming — equal to the
@@ -683,8 +773,16 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "graph_triangles" -> trianglesSql,
     "graph_kcore" -> kcoreSql,
+    "dedup_containment" ->
+      (hashedShingleCte +
+       " SELECT contained_doc, container_doc, round(containment, 6) AS containment FROM (" +
+       "SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc, " +
+       "len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs) AS containment " +
+       "FROM sh a, sh b WHERE a.doc_id != b.doc_id) " +
+       s"WHERE containment >= $ContainmentThreshold"),
     "graph_pagerank" -> pagerankSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_incremental" -> incrementalSql,
     "dedup_simhash" -> simhashSql,
     "dedup_exact" ->
       ("SELECT sha256(text) AS digest, min(doc_id) AS keeper_id, count(*) AS n_copies " +

@@ -196,7 +196,13 @@ object SimilarityQueries {
     val e = Tables.embeddings(spark, dir)
     val (assigned, cents) = ivfIndex(e, "vec_id", "embedding", k = 8, iters = 1)
     val out = graft.ScratchDirs.dir("ivf_index", java.lang.Integer.toHexString(dir.hashCode))
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(out)
+    // cluster-align the write tasks: without this every scan task emits
+    // a file into every cluster dir (tasks × k files + as many commit
+    // renames); aligned, the build is k files for k partitions. At real
+    // index scale the same line becomes repartition(n·k, ...) to keep
+    // n-way parallelism per partition dir without the all-to-all blowup.
+    assigned.repartition(8, col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(out)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster").asc)

@@ -126,6 +126,39 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(TextHash.fnv64(UTF8String.fromString("abc")) == 0xe71fa2190541574bL)
   }
 
+  test("incremental dedup equals the mixed-parity slice of the batch LSH result") {
+    val incr = DedupQueries.dedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical band layer => the delta-vs-index join must find exactly
+    // the batch pairs whose endpoints straddle the parity split
+    val batchMixed = pairs(DedupQueries.dedupMinhashLsh(spark, sfDir))
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) } // orient (new, index)
+    assert(incr == batchMixed, s"diff=${incr.diff(batchMixed) ++ batchMixed.diff(incr)}")
+    assert(incr.forall { case (n, i) => n % 2 == 1 && i % 2 == 0 })
+  }
+
+  test("containment join matches brute force over collected shingle sets") {
+    val got = DedupQueries.dedupContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force from the same shingle definition (3-gram strings)
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= DedupQueries.ContainmentThreshold
+    } yield (ia, ib) -> c).toMap
+    assert(brute.nonEmpty, "no containment pairs planted")
+    assert(got.keySet == brute.keySet,
+      s"prefix-filtered candidates missed pairs: ${brute.keySet.diff(got.keySet)}")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - brute(k)) < 1e-6, s"containment value drift at $k")
+    }
+  }
+
   test("k-core: fixed peel count reaches the fixpoint and matches brute force") {
     val core = DedupQueries.graphKcore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
