@@ -541,7 +541,87 @@ object SimilarityQueries {
   // certifies), not a top-k index; the LSH/IVF/PQ/SQ8 paths remain the
   // ANN candidates of record.
 
+  /** RRF constant (Cormack et al. 2009, SIGIR — k=60 is the published
+    * default), per-leg candidate depth, and fused output size. */
+  val RrfK = 60
+  val RrfLegDepth = 20
+  val RrfTopK = 10
+
+  /** Hybrid retrieval with reciprocal-rank fusion: fuse a LEXICAL
+    * ranking (idf-weighted distinct-term overlap, the sparse leg) with
+    * a DENSE ranking (embedding cosine) per query doc, via
+    * score = Σ_legs 1/(RrfK + rank) over each leg's top-[[RrfLegDepth]]
+    * — the standard hybrid-search shape behind retrieval-augmented
+    * dedup/contamination tooling. Queries are the doc_id < 5 docs
+    * (embeddings are 1:1 with documents in the harness corpus:
+    * vec_id = doc_id).
+    *
+    * Scale shape (100 TB): the sparse leg is an inverted-index probe —
+    * the corpus token stream is semi-joined to the (broadcast) query
+    * vocabulary BEFORE the df aggregate and the per-(query, doc) score
+    * shuffle, so only postings of query terms move; the dense leg
+    * broadcasts the query vectors and streams the corpus through one
+    * codegen stage (same as [[annBruteTopk]]; at larger query sets the
+    * IVF/LSH paths replace it). Fusion itself joins two
+    * O(queries · depth) rank lists — negligible. Ranks are computed on
+    * 6-dp-rounded scores (comparison-exact across engines, the pack
+    * convention); RRF scores are sums of two small-integer reciprocals,
+    * bit-identical everywhere. A leg miss contributes 0 (standard RRF
+    * over truncated lists); surfaced as rank 0 in the output. */
+  def hybridRrfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val qtoks = toks.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("term"))
+    // df over query terms only: global df values, but aggregated from
+    // the semi-joined posting stream (inverted-index probe shape)
+    val dfreq = toks
+      .join(broadcast(qtoks.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("lex_score").desc, col("doc_id").asc)
+    val lexr = toks
+      .join(broadcast(qtoks), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(idf), 6).as("lex_score"))
+      .withColumn("r_lex", row_number().over(wl).cast("long"))
+      .filter(col("r_lex") <= RrfLegDepth)
+      .select(col("query_id"), col("doc_id"), col("r_lex"))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val vecr = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
+      .withColumn("r_vec", row_number().over(wv).cast("long"))
+      .filter(col("r_vec") <= RrfLegDepth)
+      .select(col("query_id"), col("doc_id"), col("r_vec"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lexr.join(vecr, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_vec")), lit(0.0)))
+      .withColumn("rrf_rank", row_number().over(wf).cast("long"))
+      .filter(col("rrf_rank") <= RrfTopK)
+      .select(col("query_id"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf_score"), col("rrf_rank"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0L)).as("r_vec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_rrf_topk"        -> (hybridRrfTopk _),
     "emb_jl_project"         -> (embJlProject _),
     "emb_jl_distortion"      -> (embJlDistortion _),
     "ann_pq_recall"          -> (annPqRecall _),
@@ -674,6 +754,37 @@ object SimilarityQueries {
     "list_transform(generate_series(1, 64), i -> va[i] - vb[i])"
 
   val oracle: Map[String, String] = Map(
+    "hybrid_rrf_topk" ->
+      ("WITH toks AS (SELECT DISTINCT doc_id, term FROM (" +
+       "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+       "WHERE term <> ''), " +
+       "q AS (SELECT doc_id AS query_id, term FROM toks WHERE doc_id < 5), " +
+       "dfreq AS (SELECT term, count(*) AS df FROM toks " +
+       "WHERE term IN (SELECT term FROM q) GROUP BY term), " +
+       "n AS (SELECT count(*) AS n_docs FROM documents), " +
+       "lex AS (SELECT q.query_id, t.doc_id, " +
+       "round(sum(ln((n.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)), 6) AS lex_score " +
+       "FROM toks t JOIN q ON t.term = q.term JOIN dfreq f ON t.term = f.term, n " +
+       "WHERE t.doc_id != q.query_id GROUP BY 1, 2), " +
+       s"lexr AS (SELECT query_id, doc_id, r_lex FROM (SELECT query_id, doc_id, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY lex_score DESC, doc_id ASC) AS r_lex " +
+       s"FROM lex) WHERE r_lex <= $RrfLegDepth), " +
+       "vecr AS (SELECT query_id, doc_id, r_vec FROM (" +
+       "SELECT qe.vec_id AS query_id, e.vec_id AS doc_id, " +
+       "row_number() OVER (PARTITION BY qe.vec_id ORDER BY " +
+       s"round(${cos("e.embedding", "qe.embedding")}, 6) DESC, e.vec_id ASC) AS r_vec " +
+       "FROM embeddings qe, embeddings e WHERE qe.vec_id < 5 AND e.vec_id != qe.vec_id) " +
+       s"WHERE r_vec <= $RrfLegDepth), " +
+       "fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id, " +
+       "coalesce(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec, " +
+       s"coalesce(1.0::DOUBLE / ($RrfK + l.r_lex), 0) + " +
+       s"coalesce(1.0::DOUBLE / ($RrfK + v.r_vec), 0) AS rrf " +
+       "FROM lexr l FULL OUTER JOIN vecr v " +
+       "ON l.query_id = v.query_id AND l.doc_id = v.doc_id) " +
+       "SELECT query_id, doc_id, round(rrf, 6) AS rrf_score, rrf_rank, " +
+       "coalesce(r_lex, 0) AS r_lex, coalesce(r_vec, 0) AS r_vec FROM (" +
+       "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rrf_rank " +
+       s"FROM fused) WHERE rrf_rank <= $RrfTopK"),
     "emb_jl_project" ->
       ("SELECT vec_id, " + (0 until JlK).map { j =>
         s"round(list_dot_product(embedding::DOUBLE[], ${duckJlPlane(j)}), 6) AS p$j"

@@ -139,6 +139,35 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(total == Tables.embeddings(spark, sfDir).count())
   }
 
+  test("hybrid RRF: complete per-query lists, scores replay from ranks, legs agree with their sources") {
+    val df = SimilarityQueries.hybridRrfTopk(spark, sfDir).collect()
+    val k = SimilarityQueries.RrfTopK
+    // 5 queries x RrfTopK rows, ranks 1..k per query
+    val byQ = df.groupBy(_.getLong(0))
+    assert(byQ.size == 5, s"expected 5 queries, got ${byQ.keySet}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rrf_rank")).sorted.toSeq == (1L to k), s"ranks broken for query $q")
+    }
+    // rrf_score must equal the RRF formula applied to the emitted leg ranks
+    df.foreach { r =>
+      val (rl, rv) = (r.getAs[Long]("r_lex"), r.getAs[Long]("r_vec"))
+      val expect = (if (rl > 0) 1.0 / (SimilarityQueries.RrfK + rl) else 0.0) +
+        (if (rv > 0) 1.0 / (SimilarityQueries.RrfK + rv) else 0.0)
+      val got = r.getAs[Double]("rrf_score")
+      assert(math.abs(got - expect) < 1e-6, s"rrf mismatch: $r vs $expect")
+      assert(rl > 0 || rv > 0, s"row in neither leg: $r")
+    }
+    // dense-leg ranks agree with the exact brute-force top-5 neighbors
+    val brute = SimilarityQueries.annBruteTopk(spark, sfDir)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecLeg = df.collect { case r if r.getAs[Long]("r_vec") > 0 =>
+      (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("r_vec") }.toMap
+    brute.foreach { case (key, rnk) =>
+      vecLeg.get(key).foreach(rv => assert(rv == rnk, s"dense rank disagrees for $key: $rv vs $rnk"))
+    }
+  }
+
   test("PQ top-k achieves >=50% recall and returns exact k per query") {
     def nbrs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
