@@ -108,9 +108,68 @@ object SketchQueries {
           col("est_n") <= col("exact_n") + ceil(col("n_total") * Eps)).as("cms_ok"))
   }
 
+  /** KMV signature size: σ(Jaccard) ≈ sqrt(J(1-J)/k) ≤ 0.0625 at
+    * k=64; the contract margin is ~5σ. */
+  val KmvK = 64
+  val KmvMargin = 0.3
+
+  /** KMV (k-minimum-values) set-similarity sketch: per event_type, the
+    * [[KmvK]] smallest md5 hashes of its distinct user set; pairwise
+    * Jaccard between types is then estimated from signatures alone
+    * (|{x ∈ k-min of A∪B : x ∈ A ∩ B}| / |k-min of A∪B| — Beyer et
+    * al. 2007, "On synopses for distinct-value estimation under
+    * multiset operations", SIGMOD). Unlike HLL (union-only) this
+    * sketch supports INTERSECTION estimates, and unlike seeded
+    * sketches it is a PURE FUNCTION of the data (md5 order), so the
+    * DuckDB oracle replays the estimate itself bit-exactly — plus the
+    * exact Jaccard and a ±[[KmvMargin]] contract boolean.
+    *
+    * Scale shape: the signature build runs on the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator — O(types·k) state, no
+    * per-group sort — over the distinct (type, user-hash) stream; the
+    * estimator then works on tiny k-row signatures (no re-touch of the
+    * fact table), which is the point: set overlaps between 100 TB
+    * partitions get estimated from kilobyte synopses. The exact
+    * Jaccard here is the verification baseline (distinct-pair
+    * self-join), harness-scale only. */
+  def sketchKmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val sig = graft.plans.TopKPerKeyOp(du, Seq(col("event_type")), Seq(col("h").asc), KmvK)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(col("h"))).as("sig"))
+    val cnt = du.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = du.as("a").join(du.as("b"),
+        col("a.h") === col("b.h") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("ni"))
+    val sa = col("sa"); val sb = col("sb")
+    val merged = slice(array_sort(array_union(sa, sb)), 1, KmvK)
+    val estExpr = size(filter(merged, x => array_contains(sa, x) && array_contains(sb, x)))
+      .cast("double") / size(merged)
+    val pairs = sig.as("s1").join(sig.as("s2"),
+        col("s1.event_type") < col("s2.event_type"))
+      .select(col("s1.event_type").as("type_a"), col("s2.event_type").as("type_b"),
+        col("s1.sig").as("sa"), col("s2.sig").as("sb"))
+    pairs
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .join(broadcast(cnt.select(col("event_type").as("type_a"), col("n").as("na"))), "type_a")
+      .join(broadcast(cnt.select(col("event_type").as("type_b"), col("n").as("nb"))), "type_b")
+      .withColumn("est", estExpr)
+      .withColumn("exact",
+        coalesce(col("ni"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("ni"), lit(0L))))
+      .select(col("type_a"), col("type_b"),
+        round(col("est"), 6).as("est_jaccard"),
+        round(col("exact"), 6).as("exact_jaccard"),
+        (abs(col("est") - col("exact")) <= KmvMargin).as("kmv_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cardinality_quantiles" -> (sketchCardinalityQuantiles _),
     "sketch_heavy_hitters"         -> (sketchHeavyHitters _),
+    "sketch_kmv_jaccard"           -> (sketchKmvJaccard _),
   )
 
   /** The oracle checks the exact count and expects every bound
@@ -124,5 +183,26 @@ object SketchQueries {
     "sketch_heavy_hitters" ->
       ("SELECT event_type, count(*) AS exact_n, TRUE AS cms_ok " +
        "FROM events GROUP BY event_type"),
+    // full replay: the KMV estimate is a pure function of the data
+    // (k smallest md5 hex strings — lexicographic = numeric order),
+    // so DuckDB recomputes the ESTIMATE, not just the contract
+    "sketch_kmv_jaccard" ->
+      ("WITH du AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h FROM events), " +
+       "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM du), " +
+       s"sig AS (SELECT event_type, list(h ORDER BY h) AS sig FROM r WHERE rn <= $KmvK GROUP BY event_type), " +
+       "cnt AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type), " +
+       "inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS ni " +
+       "FROM du a JOIN du b ON a.h = b.h AND a.event_type < b.event_type GROUP BY 1, 2), " +
+       "pairs AS (SELECT s1.event_type AS type_a, s2.event_type AS type_b, " +
+       s"list_sort(list_distinct(s1.sig || s2.sig))[1:$KmvK] AS merged, " +
+       "s1.sig AS sa, s2.sig AS sb FROM sig s1 JOIN sig s2 ON s1.event_type < s2.event_type), " +
+       "est AS (SELECT type_a, type_b, " +
+       "len(list_filter(merged, x -> list_contains(sa, x) AND list_contains(sb, x)))::DOUBLE " +
+       "/ len(merged) AS est, sa, sb FROM pairs) " +
+       "SELECT p.type_a, p.type_b, round(p.est, 6) AS est_jaccard, " +
+       "round(coalesce(i.ni, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.ni, 0)), 6) AS exact_jaccard, " +
+       "TRUE AS kmv_ok " +
+       "FROM est p LEFT JOIN inter i ON p.type_a = i.type_a AND p.type_b = i.type_b " +
+       "JOIN cnt ca ON ca.event_type = p.type_a JOIN cnt cb ON cb.event_type = p.type_b"),
   )
 }

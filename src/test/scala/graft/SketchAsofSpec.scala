@@ -23,6 +23,33 @@ class SketchAsofSpec extends SparkSpecBase {
     }
   }
 
+  test("KMV jaccard: every pair covered, contract holds, estimate replays from a window-form signature") {
+    val rows = SketchQueries.sketchKmvJaccard(spark, sfDir).collect()
+    val types = Tables.events(spark, sfDir)
+      .select(col("event_type")).distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2, s"expected all pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("kmv_ok"),
+        s"KMV estimate outside ±${SketchQueries.KmvMargin}: $r")
+      val (est, exact) = (r.getAs[Double]("est_jaccard"), r.getAs[Double]("exact_jaccard"))
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+    }
+    // signature independence from the physical operator: the bounded-heap
+    // TopKPerKey signatures must equal a row_number window replay
+    import org.apache.spark.sql.expressions.Window
+    val du = Tables.events(spark, sfDir)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h")).distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val windowSig = du.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SketchQueries.KmvK)
+      .groupBy(col("event_type")).agg(sort_array(collect_list(col("h"))).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val opSig = graft.plans.TopKPerKeyOp(du, Seq(col("event_type")), Seq(col("h").asc), SketchQueries.KmvK)
+      .groupBy(col("event_type")).agg(sort_array(collect_list(col("h"))).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(opSig == windowSig)
+  }
+
   test("as-of join matches the brute-force greatest-earlier-click per purchase") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
