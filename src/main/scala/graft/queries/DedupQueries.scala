@@ -461,9 +461,21 @@ object DedupQueries {
       var ranks = ed.select(col("s").as("node")).distinct()
         .select(col("node"), round(lit(1.0) / n, 9).as("pr"))
       for (i <- 1 to iters) {
+        // ORDERED fold, not sum(): a hash aggregate accumulates
+        // contributions in partial-merge arrival order, which drifts
+        // the last ulp across runs AND engines — normally invisible,
+        // but a sum landing exactly on a 9-dp rounding boundary would
+        // flip the pinned value (the one residual flake class VERDICT
+        // r4 flagged in the iterative FP pipelines). Sorting the
+        // (degree-bounded) contribution list and left-folding it makes
+        // the summation order identical everywhere; the oracle runs
+        // the same list_sort + list_reduce. State per node is its
+        // degree — bounded, so the 100 TB shape is unchanged.
         ranks = ed.join(ranks.withColumnRenamed("node", "s"), "s")
           .groupBy(col("d").as("node"))
-          .agg(round(lit(0.15) / n + lit(0.85) * sum(col("pr") / col("deg")), 9).as("pr"))
+          .agg(round(lit(0.15) / n + lit(0.85) * aggregate(
+            array_sort(collect_list(col("pr") / col("deg"))), lit(0.0),
+            (a, x) => a + x), 9).as("pr"))
         // bound the unrolled lineage (see [[PagerankCheckpointEvery]]);
         // values are identical — checkpointing only cuts the plan
         if (i % PagerankCheckpointEvery == 0 && i < iters)
@@ -720,7 +732,11 @@ object DedupQueries {
   private val pagerankCtes = {
     val iters = (1 to PagerankIters).map { i =>
       s"r$i AS (SELECT e.d AS node, " +
-      "round(0.15::DOUBLE / (SELECT n FROM nn) + 0.85::DOUBLE * sum(r.pr / e.deg), 9) AS pr " +
+      // ordered fold twin: list_sort + sequential list_reduce mirrors
+      // the Spark side's array_sort + aggregate (0.0 + x == x for the
+      // positive contributions, so the missing fold init is immaterial)
+      "round(0.15::DOUBLE / (SELECT n FROM nn) + 0.85::DOUBLE * " +
+      "list_reduce(list_sort(list(r.pr / e.deg)), (a, b) -> a + b), 9) AS pr " +
       s"FROM dge e JOIN r${i - 1} r ON e.s = r.node GROUP BY e.d)"
     }.mkString(", ")
     ("deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s), " +
