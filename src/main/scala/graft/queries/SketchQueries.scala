@@ -166,10 +166,50 @@ object SketchQueries {
         (abs(col("est") - col("exact")) <= KmvMargin).as("kmv_ok"))
   }
 
+  /** MG counter budget: the corpus has 30 tokens above the n/(m+1)
+    * threshold at m=64 across all SFs — comfortably under m. */
+  val MgM = 64
+
+  /** Misra–Gries heavy tokens: a [[MgM]]-counter mergeable
+    * frequent-items summary over the corpus token stream
+    * ([[graft.expr.MisraGries]]), verified against exact counts. The
+    * emitted rows are the GUARANTEED-heavy tokens (exact frequency
+    * > n/(m+1), a deterministic set) with two contract booleans the
+    * oracle expects TRUE: the token is tracked by the sketch
+    * (membership guarantee) and its estimate is inside
+    * [true − n/(m+1), true]. Estimates themselves are merge-order-
+    * dependent and deliberately NOT emitted.
+    *
+    * Scale shape: unlike the CMS query (driver-probed sketch), the MG
+    * summary is a plain algebraic aggregate — partials combine
+    * map-side, one O(m) summary per partition crosses the wire, and
+    * the result needs no second pass over the keys. The exact-count
+    * side here is the verification baseline. */
+  def sketchMgHeavyTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.mgfunctions.misra_gries
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val mg = toks.agg(misra_gries(col("w"), MgM).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("w"), col("e.est").as("est"))
+    val stats = toks.agg(count(lit(1)).as("n_tokens"))
+    val bound = col("n_tokens").cast("double") / (MgM + 1)
+    toks.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+      .crossJoin(broadcast(stats))
+      .filter(col("exact_n") > bound)
+      .join(broadcast(mg), Seq("w"), "left")
+      .select(col("w").as("token"), col("exact_n"),
+        col("est").isNotNull.as("in_sketch"),
+        (col("est").isNotNull && col("est") <= col("exact_n") &&
+          (col("exact_n") - col("est")).cast("double") <= bound).as("mg_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cardinality_quantiles" -> (sketchCardinalityQuantiles _),
     "sketch_heavy_hitters"         -> (sketchHeavyHitters _),
     "sketch_kmv_jaccard"           -> (sketchKmvJaccard _),
+    "sketch_mg_heavy_tokens"       -> (sketchMgHeavyTokens _),
   )
 
   /** The oracle checks the exact count and expects every bound
@@ -204,5 +244,14 @@ object SketchQueries {
        "TRUE AS kmv_ok " +
        "FROM est p LEFT JOIN inter i ON p.type_a = i.type_a AND p.type_b = i.type_b " +
        "JOIN cnt ca ON ca.event_type = p.type_a JOIN cnt cb ON cb.event_type = p.type_b"),
+    // the guaranteed-heavy set is exact-count-determined; the sketch
+    // claims are the booleans (MG membership + error bound)
+    "sketch_mg_heavy_tokens" ->
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+       "tt AS (SELECT w FROM t WHERE w <> ''), " +
+       "n AS (SELECT count(*) AS n_tokens FROM tt), " +
+       "c AS (SELECT w, count(*) AS exact_n FROM tt GROUP BY w) " +
+       "SELECT w AS token, exact_n, TRUE AS in_sketch, TRUE AS mg_ok " +
+       s"FROM c, n WHERE exact_n > n_tokens::DOUBLE / ${MgM + 1}"),
   )
 }

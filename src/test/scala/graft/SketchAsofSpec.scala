@@ -50,6 +50,39 @@ class SketchAsofSpec extends SparkSpecBase {
     assert(opSig == windowSig)
   }
 
+  test("Misra-Gries: guarantees hold under different merge shapes, summary stays bounded") {
+    import graft.expr.mgfunctions.misra_gries
+    val rows = SketchQueries.sketchMgHeavyTokens(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no guaranteed-heavy tokens — threshold tuned wrong for the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_sketch"), s"guaranteed-heavy token missing from sketch: $r")
+      assert(r.getAs[Boolean]("mg_ok"), s"MG estimate outside its error bound: $r")
+    }
+    // merge-order robustness: radically different partitionings (many
+    // tiny partials vs one) must both satisfy the bound; summary <= m
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+    val n = toks.count()
+    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 17)) {
+      val sk = toks.repartition(parts)
+        .agg(misra_gries(col("w"), SketchQueries.MgM).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term"), col("e.est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sk.size <= SketchQueries.MgM)
+      val bound = n.toDouble / (SketchQueries.MgM + 1)
+      sk.foreach { case (w, est) =>
+        assert(est <= exact(w), s"overestimate for $w at parts=$parts")
+        assert(exact(w) - est <= bound, s"error bound broken for $w at parts=$parts")
+      }
+      exact.filter(_._2 > bound).keys.foreach { w =>
+        assert(sk.contains(w), s"guaranteed-heavy $w absent at parts=$parts")
+      }
+    }
+  }
+
   test("as-of join matches the brute-force greatest-earlier-click per purchase") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
