@@ -156,4 +156,33 @@ object TextHash {
     }
     out
   }
+
+  /** Block-average perceptual hash over a binary payload (the aHash
+    * idea — Zauner 2010, "Implementation and benchmarking of
+    * perceptual image hash functions" — applied to the engine's opaque
+    * media bytes): split the payload into 60 equal byte blocks, set
+    * bit i iff block i's mean byte value exceeds the payload-wide
+    * mean. 60 bits so the signature (and every hamming distance over
+    * it) fits a signed BIGINT in the DuckDB twin. One pass over the
+    * bytes; caller guarantees length ≥ 60. */
+  def blockHash60(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < len) { total += (bytes(i) & 0xFF); i += 1 }
+    val gavg = total.toDouble / len
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      val lo = b * len / 60
+      val hi = (b + 1) * len / 60
+      var s = 0L
+      var j = lo
+      while (j < hi) { s += (bytes(j) & 0xFF); j += 1 }
+      val n = math.max(hi - lo, 1)
+      if (s.toDouble / n > gavg) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }

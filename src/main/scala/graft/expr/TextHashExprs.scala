@@ -75,8 +75,30 @@ case class WordGramPoly61(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_gram_poly61"
 }
 
+/** `block_hash60(payload)` — block-average perceptual hash of a binary
+  * payload (kernel and rationale in [[TextHash.blockHash60]]). */
+case class BlockHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"block_hash60 requires binary, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.blockHash60(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.blockHash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BlockHash60 = copy(newChild)
+  override def prettyName: String = "block_hash60"
+}
+
 object hashfunctions {
   def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+  def block_hash60(c: Column): Column = Bridge.column(BlockHash60(Bridge.expression(c)))
   def poly61(c: Column): Column = Bridge.column(PolyHash61(Bridge.expression(c)))
   def word_gram_poly61(c: Column, n: Int): Column =
     Bridge.column(WordGramPoly61(Bridge.expression(c), n))

@@ -158,11 +158,53 @@ object MultimodalQueries {
         col("min_str"), col("max_str"))
   }
 
+  /** 12 chunks × 5 bits over the 60-bit signature: pairs at hamming
+    * ≤ [[MmPhashMaxHamming]] = chunks − 1 agree on ≥ 1 whole chunk
+    * (pigeonhole), so the bucketed candidate set is complete. */
+  val MmPhashChunks = 12
+  val MmPhashMaxHamming = 11
+
+  /** Multimodal near-dup via a block-average perceptual hash — the
+    * media-dedup stage of a multimodal training pipeline (aHash over
+    * the opaque payload bytes; a real image pipeline swaps the byte
+    * stream for decoded luma through the same plumbing). Signature:
+    * [[graft.expr.BlockHash60]], one codegen'd pass per payload.
+    * Candidate generation is the pigeonhole chunk bucketing proven by
+    * [[DedupQueries.dedupSimhash]] — equi-join on (chunk_idx,
+    * chunk_val), then the exact hamming verify on candidates only —
+    * never the N²/2 cross product. The oracle replays signature,
+    * bucketing shortcut and hamming from the text side (ASCII-corpus
+    * assumption, as mm_resize). */
+  def mmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.hashfunctions.block_hash60
+    val s = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 60)
+      .select(col("doc_id"), block_hash60(col("text").cast("binary")).as("h"))
+      .persist()
+    s.count() // materialize before the candidate and verify branches fan out
+    val chunkExprs = (0 until MmPhashChunks).map(i =>
+      shiftrightunsigned(col("h"), i * 5).bitwiseAND(lit(0x1FL)))
+    val chunks = s.select(col("doc_id"),
+      posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val a = chunks.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(s.select(col("doc_id").as("id_a"), col("h").as("h_a")), "id_a")
+      .join(s.select(col("doc_id").as("id_b"), col("h").as("h_b")), "id_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= MmPhashMaxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p4_profile_columns" -> (p4ProfileColumns _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_frame_sample"    -> (mmFrameSample _),
     "mm_resize"          -> (mmResize _),
+    "mm_phash_neardup"   -> (mmPhashNeardup _),
     "p1_provenance"      -> (p1Provenance _),
     "p3_constraint_check" -> (p3ConstraintCheck _),
   )
@@ -183,6 +225,23 @@ object MultimodalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // all-pairs replay of the perceptual-hash signature (byte = unicode
+    // code point under the ASCII-corpus assumption): block slice
+    // [i·L/60+1 .. (i+1)·L/60] 1-based inclusive == the kernel's
+    // [i·L/60, (i+1)·L/60) 0-based half-open
+    "mm_phash_neardup" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) >= 60), " +
+       "codes AS (SELECT doc_id, L, list_transform(range(1, L+1), j -> unicode(text[j])) AS cs FROM d), " +
+       "blocks AS (SELECT doc_id, list_sum(cs)::DOUBLE / L AS gavg, " +
+       "list_transform(range(0, 60), i -> " +
+       "list_sum(cs[(i*L//60 + 1):((i+1)*L//60)])::DOUBLE / greatest((i+1)*L//60 - i*L//60, 1)) AS bavgs " +
+       "FROM codes), " +
+       "sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i -> " +
+       "CASE WHEN bavgs[i+1] > gavg THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS h FROM blocks) " +
+       "SELECT id_a, id_b, hamming FROM (" +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "bit_count(xor(a.h, b.h))::BIGINT AS hamming FROM sig a, sig b WHERE a.doc_id < b.doc_id) " +
+       s"WHERE hamming <= $MmPhashMaxHamming"),
     "p4_profile_columns" -> duckProfile,
     "mm_decode_features" ->
       ("SELECT doc_id, length(text)::BIGINT AS f_len, " +

@@ -66,6 +66,28 @@ class ProvenanceMultimodalSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("perceptual-hash near-dup: bucketed candidates find exactly the all-pairs result") {
+    import graft.expr.hashfunctions.block_hash60
+    import graft.queries.MultimodalQueries
+    val bucketed = MultimodalQueries.mmPhashNeardup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 60)
+      .select(col("doc_id"), block_hash60(col("text").cast("binary")).as("h"))
+    val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("d"))
+      .filter(col("d") <= MultimodalQueries.MmPhashMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed == brute, s"bucketed ${bucketed.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "no near-dup payloads at this SF — threshold tuned wrong")
+    // kernel sanity on a hand-checkable payload: first half zeros,
+    // second half high bytes -> low blocks 0, high blocks 1
+    val bytes = (Array.fill(60)(0.toByte) ++ Array.fill(60)(100.toByte))
+    val got = graft.expr.TextHash.blockHash60(bytes)
+    assert(got == (0x3FFFFFFFL << 30), f"kernel bits wrong: $got%x")
+  }
+
   test("topk_mean aggregate matches the sort-based form") {
     val a = graft.queries.WindowQueries.a5TopkMean(spark, sfDir)
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
