@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{AhoCorasick, TextHash, TextNorm, TopKBuffer, TopKPairsBuffer}
+import graft.expr.{AhoCorasick, MGBuffer, TextHash, TextNorm, TopKBuffer, TopKPairsBuffer}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
@@ -38,6 +38,48 @@ object KernelProps extends Properties("kernels") {
     val n = TextNorm.normalizeCompound(s)
     !n.exists(c => c.isWhitespace || c == '-')
   }
+
+  private val payloadGen: Gen[Array[Byte]] =
+    Gen.chooseNum(60, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray))
+
+  property("blockHash60 uses only the low 60 bits") = forAll(payloadGen) { bytes =>
+    (TextHash.blockHash60(bytes) >>> 60) == 0L
+  }
+
+  property("blockHash60 of a constant payload is zero") =
+    forAll(Gen.chooseNum(60, 300), Gen.chooseNum(0, 255)) { (n, b) =>
+      TextHash.blockHash60(Array.fill(n)(b.toByte)) == 0L
+    }
+
+  property("blockHash60 bit i == (block i mean > global mean)") = forAll(payloadGen) { bytes =>
+    val len = bytes.length
+    val gavg = bytes.map(_ & 0xFF).map(_.toLong).sum.toDouble / len
+    val h = TextHash.blockHash60(bytes)
+    (0 until 60).forall { b =>
+      val lo = b * len / 60; val hi = (b + 1) * len / 60
+      val blk = bytes.slice(lo, hi).map(_ & 0xFF)
+      val bit = blk.nonEmpty && blk.map(_.toLong).sum.toDouble / blk.length > gavg
+      ((h >>> b) & 1L) == (if (bit) 1L else 0L)
+    }
+  }
+
+  private val mgStream: Gen[List[String]] = Gen.listOf(Gen.oneOf(
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+
+  property("misra-gries error bound and no-overestimate hold under any merge split") =
+    forAll(mgStream, Gen.chooseNum(2, 6), Gen.chooseNum(0, 1000)) { (xs, m, cutSeed) =>
+      val cut = if (xs.isEmpty) 0 else cutSeed % (xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val b1 = new MGBuffer(m); l.foreach(b1.add(_))
+      val b2 = new MGBuffer(m); r.foreach(b2.add(_))
+      b1.mergeIn(b2)
+      val exact = xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val bound = xs.size.toDouble / (m + 1)
+      b1.counts.size <= m &&
+        b1.counts.forall { case (k, est) => est <= exact(k) } &&
+        exact.forall { case (k, c) => c - b1.counts.getOrElse(k, 0L) <= bound }
+    }
 
   private val patternGen = Gen.nonEmptyListOf(
     Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)).map(_.take(8))
