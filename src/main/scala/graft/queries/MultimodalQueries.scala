@@ -199,7 +199,38 @@ object MultimodalQueries {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** P5 (net-new): join/partition-key SKEW profile — the diagnostic a
+    * pipeline runs BEFORE choosing salting keys (the remediation the
+    * engine's `salted_skew_agg`/`salted_skew_join` queries implement).
+    * Per candidate key column: row count, key cardinality, and the
+    * row-share of the heaviest key and heaviest 10 keys. One
+    * (column, key) partial-aggregated shuffle per profiled stream;
+    * the top-10 mass comes from the bounded-heap `topk_pairs`
+    * aggregate — O(columns·10) state, never a per-column sort, and no
+    * driver-side pass. Shares are exact (integer-valued doubles), so
+    * the oracle replays them bit-for-bit. */
+  def p5SkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.topkpairs.topk_pairs
+    def keyed(df: DataFrame, name: String, c: org.apache.spark.sql.Column) =
+      df.select(lit(name).as("column_name"), c.cast("string").as("k"))
+    val u = keyed(Tables.lineitem(spark, dir), "lineitem.l_suppkey", col("l_suppkey"))
+      .unionAll(keyed(Tables.lineitem(spark, dir), "lineitem.l_returnflag", col("l_returnflag")))
+      .unionAll(keyed(Tables.orders(spark, dir), "orders.o_custkey", col("o_custkey")))
+      .unionAll(keyed(Tables.events(spark, dir), "events.user_id", col("user_id")))
+      .unionAll(keyed(Tables.events(spark, dir), "events.event_type", col("event_type")))
+    u.groupBy(col("column_name"), col("k")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("column_name"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("top1_n"),
+        topk_pairs(col("cnt").cast("double"), xxhash64(col("k")), 10).as("top"))
+      .select(col("column_name"), col("n_rows"), col("n_keys"),
+        round(col("top1_n").cast("double") / col("n_rows"), 6).as("top1_share"),
+        round(aggregate(transform(col("top"), p => p.getField("score")),
+          lit(0.0), (a, x) => a + x) / col("n_rows"), 6).as("top10_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p5_skew_profile"    -> (p5SkewProfile _),
     "p4_profile_columns" -> (p4ProfileColumns _),
     "mm_decode_features" -> (mmDecodeFeatures _),
     "mm_frame_sample"    -> (mmFrameSample _),
@@ -225,6 +256,23 @@ object MultimodalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "p5_skew_profile" ->
+      ("WITH u AS (" +
+       "SELECT 'lineitem.l_suppkey' AS column_name, l_suppkey::VARCHAR AS k FROM lineitem " +
+       "UNION ALL SELECT 'lineitem.l_returnflag', l_returnflag FROM lineitem " +
+       "UNION ALL SELECT 'orders.o_custkey', o_custkey::VARCHAR FROM orders " +
+       "UNION ALL SELECT 'events.user_id', user_id::VARCHAR FROM events " +
+       "UNION ALL SELECT 'events.event_type', event_type FROM events), " +
+       "c AS (SELECT column_name, k, count(*) AS cnt FROM u GROUP BY 1, 2), " +
+       "r AS (SELECT column_name, cnt, row_number() OVER (" +
+       "PARTITION BY column_name ORDER BY cnt DESC) AS rn FROM c), " +
+       "a AS (SELECT column_name, sum(cnt)::BIGINT AS n_rows, count(*) AS n_keys, " +
+       "max(cnt) AS top1_n FROM c GROUP BY 1), " +
+       "t AS (SELECT column_name, sum(cnt)::BIGINT AS top10_n FROM r WHERE rn <= 10 GROUP BY 1) " +
+       "SELECT a.column_name, a.n_rows, a.n_keys, " +
+       "round(a.top1_n::DOUBLE / a.n_rows, 6) AS top1_share, " +
+       "round(t.top10_n::DOUBLE / a.n_rows, 6) AS top10_share " +
+       "FROM a JOIN t USING (column_name)"),
     // all-pairs replay of the perceptual-hash signature (byte = unicode
     // code point under the ASCII-corpus assumption): block slice
     // [i·L/60+1 .. (i+1)·L/60] 1-based inclusive == the kernel's

@@ -66,6 +66,31 @@ class ProvenanceMultimodalSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("P5 skew profile: all columns covered, shares consistent, agrees with a window recompute") {
+    import graft.queries.MultimodalQueries
+    val rows = MultimodalQueries.p5SkewProfile(spark, sfDir).collect()
+    assert(rows.length == 5, s"expected 5 profiled columns, got ${rows.length}")
+    rows.foreach { r =>
+      val (nRows, nKeys) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"))
+      val (t1, t10) = (r.getAs[Double]("top1_share"), r.getAs[Double]("top10_share"))
+      assert(t1 >= 1.0 / nKeys - 1e-9 && t1 <= 1.0, s"top1 out of range: $r")
+      assert(t10 >= t1 - 1e-9 && t10 <= 1.0, s"top10 < top1: $r")
+      assert(nRows > 0 && nKeys > 0)
+    }
+    // brute-force recompute of one column via a window
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = c.agg(sum("cnt")).collect().head.getLong(0)
+    val top10 = c.withColumn("rn",
+        row_number().over(Window.orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rn") <= 10).agg(sum("cnt")).collect().head.getLong(0)
+    val got = rows.find(_.getString(0) == "events.event_type").get
+    assert(got.getAs[Double]("top10_share") ==
+      BigDecimal(top10.toDouble / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+      math.abs(got.getAs[Double]("top10_share") - top10.toDouble / total) < 1e-6)
+  }
+
   test("perceptual-hash near-dup: bucketed candidates find exactly the all-pairs result") {
     import graft.expr.hashfunctions.block_hash60
     import graft.queries.MultimodalQueries
