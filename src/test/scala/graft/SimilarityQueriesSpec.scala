@@ -168,6 +168,17 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("hybrid RRF plan: lexical probe and dense leg both broadcast the query side") {
+    val plan = SimilarityQueries.hybridRrfTopk(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // sparse leg: semi-join + term joins against broadcast query vocab
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(30).mkString("\n"))
+    // dense leg: corpus streams against the broadcast query vectors
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
+    // no unfenced cartesian product anywhere
+    assert(!plan.contains("CartesianProduct"), "hybrid RRF plan contains a CartesianProduct")
+  }
+
   test("PQ top-k achieves >=50% recall and returns exact k per query") {
     def nbrs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
