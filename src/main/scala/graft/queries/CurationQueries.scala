@@ -622,7 +622,40 @@ object CurationQueries {
       .withColumn("selected", col("avg_logratio") > 0)
   }
 
+  /** ≈80/20 boundary inside the events table's January span. */
+  val TimeSplitCutoff = "2024-01-24 00:00:00"
+
+  /** Temporal train/test split + leakage audit (net-new): split events
+    * at a pinned event-time cutoff — the correct split for
+    * time-ordered data, where the hash split ([[xSplitAssign]]) would
+    * leak future information into train — and audit the one leak a
+    * time split does NOT prevent: entities straddling the boundary.
+    * Emits per split the event/user counts plus the count of users
+    * appearing on BOTH sides (the cross-split contamination a
+    * user-level generalization eval must de-overlap first).
+    *
+    * Scale shape: the straddle audit is one user-keyed aggregate of
+    * two boolean maxima (map-side combined), reduced to a single
+    * scalar — no user set materializes; the split stats are one
+    * scan-side conditional projection + groupBy. */
+  def xTimeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit(TimeSplitCutoff))
+    val ev = Tables.events(spark, dir)
+    val shared = ev.groupBy(col("user_id"))
+      .agg(max((col("ts") < cutoff).cast("int")).as("in_train"),
+        max((col("ts") >= cutoff).cast("int")).as("in_test"))
+      .agg(sum((col("in_train") === 1 && col("in_test") === 1).cast("long"))
+        .as("n_shared_users"))
+    ev.select(when(col("ts") < cutoff, "train").otherwise("test").as("split"),
+        col("user_id"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(shared))
+      .select(col("split"), col("n_events"), col("n_users"), col("n_shared_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_time_split"          -> (xTimeSplit _),
     "ta_dsir_weights"       -> (taDsirWeights _),
     "ta_pii_redact"         -> (taPiiRedact _),
     "ta_url_dedup"          -> (taUrlDedup _),
@@ -789,6 +822,15 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_time_split" ->
+      (s"WITH f AS (SELECT user_id, " +
+       s"max(CASE WHEN ts < TIMESTAMP '$TimeSplitCutoff' THEN 1 ELSE 0 END) AS tr, " +
+       s"max(CASE WHEN ts >= TIMESTAMP '$TimeSplitCutoff' THEN 1 ELSE 0 END) AS te " +
+       "FROM events GROUP BY user_id), " +
+       "s AS (SELECT sum(CASE WHEN tr = 1 AND te = 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared_users FROM f) " +
+       s"SELECT CASE WHEN ts < TIMESTAMP '$TimeSplitCutoff' THEN 'train' ELSE 'test' END AS split, " +
+       "count(*) AS n_events, count(DISTINCT user_id) AS n_users, " +
+       "(SELECT n_shared_users FROM s) AS n_shared_users FROM events GROUP BY 1"),
     "ta_ngram_novelty" ->
       ("WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
        "sg AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)), " +

@@ -293,4 +293,26 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(enMean > restMean,
       f"target slice should outscore the rest: en=$enMean%.4f rest=$restMean%.4f")
   }
+
+  test("time split: partitions cover all events, straddle count matches a brute recompute") {
+    import graft.queries.CurationQueries
+    val rows = CurationQueries.xTimeSplit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("train", "test"))
+    val ev = Tables.events(spark, sfDir)
+    val total = ev.count()
+    assert(rows.values.map(_.getAs[Long]("n_events")).sum == total)
+    // brute recompute of the cross-split user overlap
+    val cutoff = to_timestamp(lit(CurationQueries.TimeSplitCutoff))
+    val trainU = ev.filter(col("ts") < cutoff).select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val testU = ev.filter(col("ts") >= cutoff).select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val shared = trainU.intersect(testU).size.toLong
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_shared_users") == shared, s"straddle count wrong: $r vs $shared")
+    }
+    assert(rows("train").getAs[Long]("n_users") == trainU.size)
+    assert(rows("test").getAs[Long]("n_users") == testU.size)
+  }
 }
