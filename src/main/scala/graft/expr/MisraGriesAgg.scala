@@ -32,6 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
 final class MGBuffer(val m: Int) {
   val counts = mutable.HashMap.empty[String, Long]
 
+  /** Subtract `dec` from every counter and evict non-positives — the
+    * step both the classic update and the Agarwal merge share. */
+  private def decrementAll(dec: Long): Unit = {
+    var rem = List.empty[String]
+    counts.mapValuesInPlace((_, c) => c - dec)
+    counts.foreach { case (k, c) => if (c <= 0) rem ::= k }
+    rem.foreach(counts.remove)
+  }
+
   def add(key: String, w: Long = 1L): Unit = {
     counts.get(key) match {
       case Some(c) => counts.update(key, c + w)
@@ -40,10 +49,7 @@ final class MGBuffer(val m: Int) {
         // classic decrement step: the new item and every counter give
         // up min(w, min count) occurrences; zeros evict
         val dec = math.min(w, counts.valuesIterator.min)
-        var rem = List.empty[String]
-        counts.mapValuesInPlace((_, c) => c - dec)
-        counts.foreach { case (k, c) => if (c <= 0) rem ::= k }
-        rem.foreach(counts.remove)
+        decrementAll(dec)
         if (w > dec) add(key, w - dec)
     }
   }
@@ -55,13 +61,8 @@ final class MGBuffer(val m: Int) {
     o.counts.foreach { case (k, c) =>
       counts.update(k, counts.getOrElse(k, 0L) + c)
     }
-    if (counts.size > m) {
-      val dec = counts.values.toArray.sorted(Ordering[Long].reverse)(m)
-      var rem = List.empty[String]
-      counts.mapValuesInPlace((_, c) => c - dec)
-      counts.foreach { case (k, c) => if (c <= 0) rem ::= k }
-      rem.foreach(counts.remove)
-    }
+    if (counts.size > m)
+      decrementAll(counts.values.toArray.sorted(Ordering[Long].reverse)(m))
   }
 }
 

@@ -174,8 +174,9 @@ object TextHash {
     var out = 0L
     var b = 0
     while (b < 60) {
-      val lo = b * len / 60
-      val hi = (b + 1) * len / 60
+      // long multiply: b*len overflows Int past ~36 MB payloads
+      val lo = (b.toLong * len / 60).toInt
+      val hi = ((b + 1).toLong * len / 60).toInt
       var s = 0L
       var j = lo
       while (j < hi) { s += (bytes(j) & 0xFF); j += 1 }

@@ -588,9 +588,10 @@ object CurationQueries {
     * ln(p_target(b)/p_raw(b)) of its tokens; documents scoring > 0
     * look more target-like than corpus-like and get selected. Two
     * corpus passes (count fit, then scoring), both scan-stage until a
-    * bucket/doc-keyed aggregate: the two count tables are
-    * [[DsirBuckets]] rows — broadcast to the scoring stream, so the
-    * fact side shuffles ONCE (the per-doc mean). That is the 100 TB
+    * bucket/doc-keyed aggregate: the fit is ONE conditional aggregate
+    * (raw + target-slice counts share the bucket shuffle) yielding a
+    * [[DsirBuckets]]-row table — broadcast to the scoring stream, so
+    * the fact side shuffles ONCE (the per-doc mean). That is the 100 TB
     * shape: distribution tables bounded by construction, corpus never
     * joined to corpus. Selection is a pure per-doc threshold — no
     * global sort; resampling quotas compose downstream via
@@ -602,16 +603,19 @@ object CurationQueries {
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
         pmod(poly61(col("tok")), lit(DsirBuckets.toLong)).as("b"))
-    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
-    val tgt = toks.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
-    // token totals as two 1-row aggregates over the bucket-sized counts
-    val totals = raw.agg(sum(col("c_raw")).as("t_raw"))
-      .crossJoin(tgt.agg(sum(col("c_tgt")).as("t_tgt")))
+    // BOTH distributions from ONE conditional aggregate over the token
+    // stream (raw count + target-slice conditional sum share the
+    // shuffle) — the fit phase scans the corpus once, not once per
+    // distribution, and needs no raw-to-target join
+    val counts = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("c_raw"),
+      sum((col("lang") === "en").cast("long")).as("c_tgt"))
+    // token totals as one 1-row aggregate over the bucket-sized counts
+    val totals = counts.agg(sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"))
     val denom = lit(DsirAlpha * DsirBuckets)
-    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(totals)
+    val lr = counts.crossJoin(totals)
       .select(col("b"),
-        (log((coalesce(col("c_tgt"), lit(0L)) + lit(DsirAlpha)) /
+        (log((col("c_tgt") + lit(DsirAlpha)) /
              (col("t_tgt") + denom)) -
          log((col("c_raw") + lit(DsirAlpha)) /
              (col("t_raw") + denom))).as("lr"))

@@ -152,9 +152,14 @@ object MultimodalQueries {
       .as("p"))
       .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
         col("p.min_num"), col("p.max_num"), col("p.min_str"), col("p.max_str"))
-      .join(broadcast(nd), "column_name")
+      // LEFT join + coalesce: an all-NULL column produces no distinct
+      // (column, value) group at all, and an inner join would silently
+      // drop its profile row — precisely the row a profiler must keep
+      // (n_nulls = n_rows, n_distinct = 0)
+      .join(broadcast(nd), Seq("column_name"), "left")
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_num"), col("max_num"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"),
         col("min_str"), col("max_str"))
   }
 

@@ -152,11 +152,19 @@ class LineListAggScan(path: String, prefix: Option[String], aggs: Seq[LineListAg
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    fs.listStatus(p)
+    val files = fs.listStatus(p)
       .filter(s => s.isFile && s.getLen > 0 &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       .map(_.getPath.toString).sorted
       .map(f => LineListPartition(f): InputPartition)
+    // an all-empty directory must still emit ONE zero-stats partial:
+    // with zero partitions Spark's final rewrite of the pushed COUNT
+    // (Sum over the partial column) aggregates zero rows and returns
+    // NULL, where the row-scan path returns 0 — same query, two
+    // answers. The sentinel partition makes the reader produce the
+    // (n=0, min/max NULL) row instead.
+    if (files.isEmpty) Array(LineListPartition(""))
+    else files
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LineListAggReaderFactory(prefix, aggs)
@@ -175,28 +183,30 @@ class LineListAggReaderFactory(prefix: Option[String], aggs: Seq[LineListAgg])
 
       override def next(): Boolean = {
         if (emitted) return false
-        val p = new Path(file)
-        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-          p.getFileSystem(new Configuration()).open(p),
-          java.nio.charset.StandardCharsets.UTF_8))
         var n = 0L
         var minV: UTF8String = null; var maxV: UTF8String = null
         var minL = Int.MaxValue; var maxL = Int.MinValue
-        try {
-          var line = in.readLine()
-          while (line != null) {
-            if (prefix.forall(line.startsWith)) {
-              n += 1
-              val u = UTF8String.fromString(line)
-              if (minV == null || u.compareTo(minV) < 0) minV = u
-              if (maxV == null || u.compareTo(maxV) > 0) maxV = u
-              val l = line.codePointCount(0, line.length)
-              if (l < minL) minL = l
-              if (l > maxL) maxL = l
+        if (file.nonEmpty) { // "" = the empty-directory sentinel partition
+          val p = new Path(file)
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            p.getFileSystem(new Configuration()).open(p),
+            java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (prefix.forall(line.startsWith)) {
+                n += 1
+                val u = UTF8String.fromString(line)
+                if (minV == null || u.compareTo(minV) < 0) minV = u
+                if (maxV == null || u.compareTo(maxV) > 0) maxV = u
+                val l = line.codePointCount(0, line.length)
+                if (l < minL) minL = l
+                if (l > maxL) maxL = l
+              }
+              line = in.readLine()
             }
-            line = in.readLine()
-          }
-        } finally in.close()
+          } finally in.close()
+        }
         row = InternalRow.fromSeq(aggs.map {
           case AggCountStar    => n
           case AggMin("value") => minV

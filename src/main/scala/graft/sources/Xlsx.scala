@@ -134,7 +134,12 @@ object Xlsx {
     * cannot carry C0 controls (even as entities), so SpreadsheetML
     * encodes them as `_xHHHH_`; a literal substring that LOOKS like the
     * escape gets its underscore encoded as `_x005F_` first, which keeps
-    * the round-trip exact. */
+    * the round-trip exact. CR is encoded too (`_x000D_`): a raw CR (or
+    * CRLF) survives the writer but XML 1.0 line-ending normalization
+    * rewrites it to LF at PARSE time, so a raw-CR cell would silently
+    * read back changed — the one control char the `< ' '` guard alone
+    * would exempt from encoding but the round-trip contract still
+    * needs encoded. */
   private def esc(s: String): String = {
     // the lookahead is not consumed, so only the "_" itself is replaced
     val guarded = LiteralEscape.matcher(s).replaceAll("_x005F_")
@@ -142,7 +147,7 @@ object Xlsx {
       case '&' => "&amp;"
       case '<' => "&lt;"
       case '>' => "&gt;"
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => f"_x${c.toInt}%04X_"
+      case c if c < ' ' && c != '\t' && c != '\n' => f"_x${c.toInt}%04X_"
       case c   => c.toString
     }
   }

@@ -80,6 +80,20 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.collect()(0) == expect, "pushed aggregate diverges from row-scan replay")
   }
 
+  test("pushed COUNT over an all-empty directory returns 0, matching the row-scan path") {
+    // zero non-empty files -> zero partitions would reach the final
+    // aggregate, whose Sum-rewrite of the pushed partial COUNT returns
+    // NULL over zero rows; the sentinel partition must yield 0 instead
+    val dir = java.nio.file.Files.createTempDirectory("linelist_empty")
+    java.nio.file.Files.createFile(dir.resolve("part-000.txt")) // zero-length
+    val df = spark.read.format("graft.sources.LineListSource")
+      .load(dir.toString)
+      .agg(count(col("value")).as("n"))
+    val n = df.collect()(0)
+    assert(!n.isNullAt(0) && n.getLong(0) == 0L,
+      s"pushed count over empty dir: $n (expected 0, not NULL)")
+  }
+
   test("s12 custom DSv2 source pushes the prefix filter and prunes columns") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -87,10 +87,14 @@ class XlsxSpec extends SparkSpecBase {
     val path = tmpFile("ctrl.xlsx")
     val tricky = "a\u0001b\u001Fc"     // XML-1.0-invalid controls
     val literal = "see _x0041_ and _x005F_" // looks like the escape itself
-    Xlsx.write(Seq((1, tricky), (2, literal)).toDF("id", "s"), path)
+    // CR is valid XML but parse-time line-ending normalization would
+    // rewrite a raw one to LF — must ride the _x000D_ escape
+    val crlf = "line1\r\nline2\rline3"
+    Xlsx.write(Seq((1, tricky), (2, literal), (3, crlf)).toDF("id", "s"), path)
     val back = Xlsx.read(spark, path).collect().sortBy(_.getString(0))
     assert(back(0).getString(1) == tricky)
     assert(back(1).getString(1) == literal)
+    assert(back(2).getString(1) == crlf)
   }
 
   test("non-finite doubles fall back to string cells, not invalid number cells") {
