@@ -475,7 +475,35 @@ object StreamingQueries {
         round(col("s.max_value"), 6).as("max_value"))
   }
 
+  /** t13: the engine's own mergeable Misra–Gries aggregate
+    * ([[graft.expr.MisraGries]]) driven THROUGH Structured Streaming —
+    * one expression serving batch and stream is the unified-engine
+    * payoff: the summary buffer serializes into the aggregation state
+    * store and merges across microbatches (the round-robin feed
+    * guarantees every key spans several). With the counter budget
+    * above the key cardinality (16 > |event types|) MG degenerates to
+    * EXACT counts whatever the merge order, so the streamed sketch is
+    * hash-checkable against the batch replay; at vocabulary scale the
+    * same expression is the bounded-memory approximate form
+    * ([[SketchQueries.sketchMgHeavyTokens]]'s batch query). */
+  def t13StreamFrequentItems(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.mgfunctions.misra_gries
+    val stream = stagedTwsFeed(spark, dir)
+    val qname = "t13_mg_" + java.lang.Integer.toHexString(dir.hashCode)
+    withStatePartitions(spark, 8) {
+      val q = stream.groupBy()
+        .agg(misra_gries(col("event_type"), 16).as("sk"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(qname)
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("event_type"), col("e.est").as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_stream_frequent_items" -> (t13StreamFrequentItems _),
     "t12_warm_start_state" -> (t12WarmStartState _),
     "t11_transform_with_state" -> (t11TransformWithState _),
     "t8_stream_merge_upsert" -> (t8StreamMergeUpsert _),
@@ -493,6 +521,10 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // counter budget exceeds the key cardinality, so the streamed MG
+    // summary is exact regardless of microbatch merge order
+    "t13_stream_frequent_items" ->
+      "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
     // batching-independent by construction (monotone fields + final
     // max), so the replay is the direct per-user aggregate
     "t11_transform_with_state" ->
