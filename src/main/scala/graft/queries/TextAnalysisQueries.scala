@@ -571,7 +571,39 @@ object TextAnalysisQueries {
         round(expr("regr_r2(ln(cnt), ln(r))"), 6).as("r2"))
   }
 
+  /** ~p5 of the corpus unigram-entropy distribution (measured
+    * 2.4-4.8 bits across SFs) — flags the repetitive tail. */
+  val EntropyFloor = 3.5
+
+  /** Unigram-entropy quality gauge (net-new): per-doc token Shannon
+    * entropy H = log2(n) − Σ c·log2(c)/n over the doc's token counts —
+    * the low-entropy tail is boilerplate/repetitive text that
+    * length/stopword heuristics ([[taQualityScore]]) and the Gopher
+    * repetition rules ([[taRepetitionQuality]]) catch only partially.
+    * The Σ c·log2(c) reduction is an ORDERED fold over the doc's
+    * (bounded, doc-sized) contribution list — the same determinism
+    * pin as pagerank's reduction, so both engines produce the
+    * identical double and the flag compares the identical value.
+    * Scale shape: one (doc, token) count shuffle, then a doc-keyed
+    * aggregate; per-doc state is its distinct-token list, which the
+    * engine already holds for every per-doc text op. */
+  def taEntropyQuality(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val ent = log2(col("n_tokens")) - col("s") / col("n_tokens")
+    c.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        aggregate(array_sort(collect_list(col("c").cast("double") * log2(col("c")))),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(ent, 6).as("entropy"),
+        (ent < EntropyFloor).as("low_entropy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_entropy_quality"    -> (taEntropyQuality _),
     "ta_zipf_fit"           -> (taZipfFit _),
     "ta_cdc_chunks"         -> (taCdcChunks _),
     "ta_substring_dedup"    -> (taSubstringDedup _),
@@ -712,6 +744,15 @@ object TextAnalysisQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_entropy_quality" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+       "c AS (SELECT doc_id, w, count(*) AS c FROM t WHERE w <> '' GROUP BY 1, 2), " +
+       "a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct, " +
+       "list_reduce(list_sort(list(c::DOUBLE * log2(c))), (x, y) -> x + y) AS s " +
+       "FROM c GROUP BY doc_id) " +
+       "SELECT doc_id, n_tokens, n_distinct, " +
+       "round(log2(n_tokens) - s / n_tokens, 6) AS entropy, " +
+       s"(log2(n_tokens) - s / n_tokens) < $EntropyFloor AS low_entropy FROM a"),
     "ta_zipf_fit" ->
       ("WITH tf AS (SELECT term, count(*) AS cnt FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS term FROM documents) " +

@@ -177,6 +177,30 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
       s"near-dup docs missing from mask: ${nearDup.diff(flagged)}")
   }
 
+  test("entropy quality: bounds hold, flag splits the corpus, hand-recompute agrees") {
+    val rows = TextAnalysisQueries.taEntropyQuality(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_tokens"), r.getAs[Double]("entropy"))
+      // 5e-7 slack: the emitted entropy is rounded to 6 dp, so an
+      // all-distinct doc (H = log2 n exactly) can exceed the bound by
+      // up to half an ulp of the 6th decimal
+      assert(h >= -5e-7 && h <= math.log(n.toDouble) / math.log(2) + 5e-7,
+        s"entropy out of [0, log2 n]: $r")
+    }
+    val flagged = rows.count(_.getAs[Boolean]("low_entropy"))
+    assert(flagged > 0 && flagged < rows.length,
+      s"entropy floor does not split the corpus: $flagged/${rows.length}")
+    // hand recompute for one doc
+    val doc = Tables.documents(spark, sfDir).filter(col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    val counts = doc.split(" ").filter(_.nonEmpty).groupBy(identity).map(_._2.length)
+    val n = counts.sum.toDouble
+    val expect = counts.map(c => -(c / n) * (math.log(c / n) / math.log(2))).sum
+    val got = rows.find(_.getLong(0) == 0L).get.getAs[Double]("entropy")
+    assert(math.abs(got - expect) < 1e-5, s"doc 0 entropy: $got vs $expect")
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprint hashes") {
     val fp = TextAnalysisQueries.winnowFingerprints(spark, sfDir)
       .select("doc_id", "fingerprint").collect()
