@@ -181,6 +181,47 @@ object SimilarityQueries {
         round(col("sim"), 6).as("cos_sim"), col("rnk"))
   }
 
+  /** IVF index MAINTENANCE (net-new): append a delta without
+    * retraining. Centroids are learned on the BASE slice only
+    * (vec_id % 5 ≠ 0, ~80%), then FROZEN; every vector — the base
+    * re-labeled and the 20% delta appended — is assigned by the same
+    * literal-centroid argmax, a pure projection with no shuffle and no
+    * further Lloyd rounds. This is how a production vector index
+    * absorbs new embeddings between periodic rebuilds: assignment cost
+    * is one codegen'd pass over the delta, and the search path
+    * (probe 3 of 8 clusters, exact rescore) is IDENTICAL to the
+    * full-build index's. Deterministic end to end (seeded k-means over
+    * 9-dp-pinned centroids), so the oracle replays build, freeze,
+    * append, and search exactly. */
+  def annIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val (_, cents) = ivfIndex(base, "vec_id", "embedding", k = 8, iters = 1)
+    val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val scored = cl.map { case (c, v) =>
+      struct(cosine(col("embedding"), typedlit(v)).as("s"), lit(-c).as("nc"))
+    }
+    val top = if (scored.length == 1) scored.head
+              else greatest(scored.toIndexedSeq: _*)
+    val idx = e.withColumn("cluster", (-top.getField("nc")).cast("long"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("q_emb"), col("cluster"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    idx.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+  }
+
   /** IVF index as a PARTITIONED TABLE (net-new): the serving-side form
     * of [[annIvfTopk]] — the cluster assignment is PERSISTED once,
     * partitioned by cluster id, and each query's nprobe=3 probe set
@@ -621,6 +662,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_append"         -> (annIvfAppend _),
     "hybrid_rrf_topk"        -> (hybridRrfTopk _),
     "emb_jl_project"         -> (embJlProject _),
     "emb_jl_distortion"      -> (embJlDistortion _),
@@ -676,6 +718,37 @@ object SimilarityQueries {
   // tie-breaks (cluster asc / vec_id asc) to the Spark argmax/window.
   // Shared by the in-flight form and the partitioned-index form (same
   // relation; only the physical access path differs).
+  /** DuckDB twin of [[annIvfAppend]]: centroids trained on the base
+    * slice (same seed + one Lloyd step), frozen, then EVERY vector
+    * assigned against them and searched — the append path replayed
+    * exactly. */
+  private val ivfAppendSql: String =
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+       "base AS (SELECT vec_id, v FROM e WHERE vec_id % 5 != 0), " +
+       "a0 AS (SELECT vec_id, v, vec_id % 8 AS cluster FROM base), " +
+       duckCentroids("a0", "c0") + ", " +
+       "s1 AS (SELECT a0.vec_id, a0.v, c.cluster, " +
+       s"row_number() OVER (PARTITION BY a0.vec_id ORDER BY ${cos("a0.v", "c.centroid")} DESC, c.cluster ASC) AS rn " +
+       "FROM a0, c0 c), " +
+       "a1 AS (SELECT vec_id, v, cluster FROM s1 WHERE rn = 1), " +
+       duckCentroids("a1", "c1") + ", " +
+       "idx AS (SELECT vec_id, v, cluster FROM (" +
+       "SELECT e.vec_id, e.v, c.cluster, " +
+       s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster ASC) AS rn " +
+       "FROM e, c1 c) WHERE rn = 1), " +
+       "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+       "pr AS (SELECT query_id, qv, cluster FROM (" +
+       "SELECT q.query_id, q.qv, c.cluster, " +
+       s"row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "c.centroid")} DESC, c.cluster ASC) AS rn " +
+       "FROM q, c1 c) WHERE rn <= 3) " +
+       "SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk FROM (" +
+       "SELECT pr.query_id, idx.vec_id AS neighbor_id, " +
+       s"${cos("idx.v", "pr.qv")} AS sim, " +
+       "row_number() OVER (PARTITION BY pr.query_id ORDER BY " +
+       s"${cos("idx.v", "pr.qv")} DESC, idx.vec_id ASC) AS rnk " +
+       "FROM idx JOIN pr ON idx.cluster = pr.cluster WHERE idx.vec_id != pr.query_id) " +
+       "WHERE rnk <= 5")
+
   private val ivfTopkSql: String =
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
        "a0 AS (SELECT vec_id, v, vec_id % 8 AS cluster FROM e), " +
@@ -754,6 +827,7 @@ object SimilarityQueries {
     "list_transform(generate_series(1, 64), i -> va[i] - vb[i])"
 
   val oracle: Map[String, String] = Map(
+    "ann_ivf_append" -> ivfAppendSql,
     "hybrid_rrf_topk" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, term FROM (" +
        "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +

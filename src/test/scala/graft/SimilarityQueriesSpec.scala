@@ -168,6 +168,17 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF append: frozen-centroid index returns k per query and holds a recall floor") {
+    def nbrs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appended = nbrs(SimilarityQueries.annIvfAppend(spark, sfDir))
+    val exact = nbrs(SimilarityQueries.annBruteTopk(spark, sfDir))
+    assert(appended.size == exact.size, "append index must still return k per query")
+    val recall = exact.intersect(appended).size.toDouble / exact.size
+    assert(recall >= 0.4, f"append-index recall $recall%.2f below floor")
+  }
+
   test("hybrid RRF plan: lexical probe and dense leg both broadcast the query side") {
     val plan = SimilarityQueries.hybridRrfTopk(spark, sfDir)
       .queryExecution.executedPlan.toString
