@@ -626,6 +626,37 @@ object CurationQueries {
       .withColumn("selected", col("avg_logratio") > 0)
   }
 
+  val KAnonK = 5
+
+  /** k-anonymity audit (net-new): the release-gating privacy check a
+    * training-data pipeline runs before publishing event-derived data —
+    * every quasi-identifier combination (here event_type × event day)
+    * must cover at least [[KAnonK]] distinct users, else those users
+    * are re-identifiable by the combination. Emits per equivalence
+    * class the user count and an `anonymous` flag, plus the corpus
+    * roll-up (classes, violating classes, users at risk) as window
+    * constants so the whole audit is ONE relation. Scale shape: one
+    * (quasi-id) aggregate with map-side distinct partials; the roll-up
+    * is a frameless window over the class table (|classes| rows, not
+    * corpus rows). */
+  def xKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    classes
+      .withColumn("anonymous", col("n_users") >= KAnonK)
+      .withColumn("n_classes", count(lit(1)).over(w))
+      .withColumn("n_violating",
+        sum((!col("anonymous")).cast("long")).over(w))
+      .withColumn("users_at_risk",
+        sum(when(!col("anonymous"), col("n_users")).otherwise(lit(0L))).over(w))
+      .select(col("event_type"), col("day"), col("n_users"), col("anonymous"),
+        col("n_classes"), col("n_violating"), col("users_at_risk"))
+  }
+
   /** ≈80/20 boundary inside the events table's January span. */
   val TimeSplitCutoff = "2024-01-24 00:00:00"
 
@@ -659,6 +690,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_k_anonymity"         -> (xKAnonymity _),
     "x_time_split"          -> (xTimeSplit _),
     "ta_dsir_weights"       -> (taDsirWeights _),
     "ta_pii_redact"         -> (taPiiRedact _),
@@ -826,6 +858,14 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_k_anonymity" ->
+      ("WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+       "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1, 2), " +
+       "r AS (SELECT count(*) AS n_classes, " +
+       s"sum(CASE WHEN n_users < $KAnonK THEN 1 ELSE 0 END)::BIGINT AS n_violating, " +
+       s"sum(CASE WHEN n_users < $KAnonK THEN n_users ELSE 0 END)::BIGINT AS users_at_risk FROM c) " +
+       s"SELECT c.event_type, c.day, c.n_users, c.n_users >= $KAnonK AS anonymous, " +
+       "r.n_classes, r.n_violating, r.users_at_risk FROM c, r"),
     "x_time_split" ->
       (s"WITH f AS (SELECT user_id, " +
        s"max(CASE WHEN ts < TIMESTAMP '$TimeSplitCutoff' THEN 1 ELSE 0 END) AS tr, " +

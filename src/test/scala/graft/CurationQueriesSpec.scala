@@ -294,6 +294,21 @@ class CurationQueriesSpec extends SparkSpecBase {
       f"target slice should outscore the rest: en=$enMean%.4f rest=$restMean%.4f")
   }
 
+  test("k-anonymity: roll-up constants agree with the class rows, flags match k") {
+    import graft.queries.CurationQueries
+    val rows = CurationQueries.xKAnonymity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val k = CurationQueries.KAnonK
+    val nViol = rows.count(!_.getAs[Boolean]("anonymous"))
+    val atRisk = rows.filter(!_.getAs[Boolean]("anonymous")).map(_.getAs[Long]("n_users")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("anonymous") == (r.getAs[Long]("n_users") >= k))
+      assert(r.getAs[Long]("n_classes") == rows.length)
+      assert(r.getAs[Long]("n_violating") == nViol)
+      assert(r.getAs[Long]("users_at_risk") == atRisk)
+    }
+  }
+
   test("time split: partitions cover all events, straddle count matches a brute recompute") {
     import graft.queries.CurationQueries
     val rows = CurationQueries.xTimeSplit(spark, sfDir).collect()
