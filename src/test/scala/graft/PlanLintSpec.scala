@@ -30,6 +30,29 @@ class PlanLintSpec extends SparkSpecBase {
       s"UDF found in: $offenders — use a codegen'd Expression (graft.expr) instead")
   }
 
+  test("no unfenced cartesian product in any registered query's physical plan") {
+    // crossJoin against a BROADCAST side plans BroadcastNestedLoopJoin
+    // (the big side streams, fine at scale); a CartesianProductExec
+    // means BOTH sides shuffle into an O(N*M) join — only acceptable
+    // inside the explicitly row-capped exact baselines.
+    val fenced = Set("ann_neardup_pairs") // hard row cap asserted in its own spec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (fenced(name)) None
+      else {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val hasCartesian = plan.exists {
+          case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+          case _ => false
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        if (hasCartesian) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in: $offenders — broadcast the small side or bucket-join")
+  }
+
   test("no nested types (array/map/struct) in any registered query's result schema") {
     // The driver's pandas row-compare hashes every cell; ndarray/dict cells
     // are unhashable and crash the oracle harness (round-3 ta_inverted_index).
