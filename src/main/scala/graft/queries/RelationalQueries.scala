@@ -168,6 +168,42 @@ object RelationalQueries {
     * count-aggregate (one long per task reaches the shuffle); in
     * production this is `df.observe(...)` on the live DAG, which costs
     * nothing extra — this query form makes it oracle-checkable. */
+  /** A4's telemetry in its ZERO-EXTRA-PASS form (net-new): pipeline
+    * metrics via `Dataset.observe` (CollectMetrics). [[a4StageCounts]]
+    * re-aggregates per stage — three scans of the fact table for three
+    * numbers; `observe` rides the metrics on the SINGLE production
+    * pass, accumulator-style, so the corpus is read once and the
+    * counters fall out of the same job that produced the output. At
+    * 100 TB that is the only affordable shape for per-stage row
+    * accounting. The observed values are exact aggregates, so the
+    * oracle recomputes them directly. */
+  def xObserveMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val preObs = Observation()
+    val postObs = Observation()
+    val filtered = Tables.lineitem(spark, dir)
+      .observe(preObs, count(lit(1)).as("n_scanned"))
+      .filter(col("l_returnflag") === "R")
+      .observe(postObs,
+        count(lit(1)).as("n_filtered"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+    // the production pass: one action drives pipeline AND metrics
+    filtered.write.format("noop").mode("overwrite").save()
+    import spark.implicits._
+    def dbl(v: Any): Double = v match {
+      case d: java.lang.Double => d
+      case b: java.math.BigDecimal => b.doubleValue()
+      case l: java.lang.Long => l.toDouble
+    }
+    Seq((
+      preObs.get("n_scanned").asInstanceOf[Long],
+      postObs.get("n_filtered").asInstanceOf[Long],
+      dbl(postObs.get("sum_qty")),
+      dbl(postObs.get("max_price"))))
+      .toDF("n_scanned", "n_filtered", "sum_qty", "max_price")
+  }
+
   def a4StageCounts(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val scanned = l
@@ -378,9 +414,15 @@ object RelationalQueries {
     "q9_product_type_profit" -> (q9ProductTypeProfit _),
     "x_correlated_subquery" -> (xCorrelatedSubquery _),
     "a10_typed_aggregator" -> (a10TypedAggregator _),
+    "x_observe_metrics"    -> (xObserveMetrics _),
   )
 
   val oracle: Map[String, String] = Map(
+    "x_observe_metrics" ->
+      ("SELECT (SELECT count(*) FROM lineitem)::BIGINT AS n_scanned, " +
+       "count(*) AS n_filtered, round(sum(l_quantity), 2) AS sum_qty, " +
+       "round(max(l_extendedprice), 2) AS max_price " +
+       "FROM lineitem WHERE l_returnflag = 'R'"),
     "f1_project_filter" ->
       "SELECT l_orderkey AS order_key, l_partkey AS part_key FROM lineitem WHERE l_returnflag = 'R'",
     "j1_dim_join_distinct" ->

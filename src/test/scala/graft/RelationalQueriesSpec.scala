@@ -106,4 +106,16 @@ class RelationalQueriesSpec extends SparkSpecBase {
     // every (nation, year) cell is distinct
     assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == rows.length)
   }
+
+  test("observe metrics ride the single production pass and equal a direct recompute") {
+    val row = graft.queries.RelationalQueries.xObserveMetrics(spark, sfDir).collect()(0)
+    val l = Tables.lineitem(spark, sfDir)
+    assert(row.getAs[Long]("n_scanned") == l.count())
+    val want = l.filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)), round(sum(col("l_quantity")), 2),
+        round(max(col("l_extendedprice")), 2)).collect()(0)
+    assert(row.getAs[Long]("n_filtered") == want.getLong(0))
+    assert(row.getAs[Double]("sum_qty") == want.getDouble(1))
+    assert(row.getAs[Double]("max_price") == want.getDouble(2))
+  }
 }
