@@ -626,6 +626,31 @@ object CurationQueries {
       .withColumn("selected", col("avg_logratio") > 0)
   }
 
+  /** Corpus data card (net-new): the per-(lang, source) statistics
+    * table a training-corpus release ships — doc and token counts,
+    * mean doc length, and each slice's share of the corpus. One
+    * scan-side projection (token count fused into the scan), one
+    * (lang, source) aggregate; the corpus totals ride as window
+    * constants over the slice table (|slices| rows), so no second
+    * corpus pass. Shares are exact integer ratios rounded at 6 dp. */
+  def xCorpusDatacard(spark: SparkSession, dir: String): DataFrame = {
+    val slices = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        round(avg(col("n_chars")), 2).as("mean_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    slices
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w), 6))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_chars"), col("doc_share"), col("token_share"))
+  }
+
   val KAnonK = 5
 
   /** k-anonymity audit (net-new): the release-gating privacy check a
@@ -690,6 +715,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_corpus_datacard"     -> (xCorpusDatacard _),
     "x_k_anonymity"         -> (xKAnonymity _),
     "x_time_split"          -> (xTimeSplit _),
     "ta_dsir_weights"       -> (taDsirWeights _),
@@ -858,6 +884,14 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_corpus_datacard" ->
+      ("WITH s AS (SELECT lang, source, count(*) AS n_docs, " +
+       "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens, " +
+       "round(avg(n_chars), 2) AS mean_chars FROM documents GROUP BY 1, 2), " +
+       "t AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM s) " +
+       "SELECT lang, source, n_docs, n_tokens, mean_chars, " +
+       "round(n_docs::DOUBLE / t.td, 6) AS doc_share, " +
+       "round(n_tokens::DOUBLE / t.tt, 6) AS token_share FROM s, t"),
     "x_k_anonymity" ->
       ("WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
        "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1, 2), " +

@@ -294,6 +294,18 @@ class CurationQueriesSpec extends SparkSpecBase {
       f"target slice should outscore the rest: en=$enMean%.4f rest=$restMean%.4f")
   }
 
+  test("corpus datacard: covers every slice, shares sum to one") {
+    import graft.queries.CurationQueries
+    val rows = CurationQueries.xCorpusDatacard(spark, sfDir).collect()
+    val slices = Tables.documents(spark, sfDir)
+      .select("lang", "source").distinct().count()
+    assert(rows.length == slices)
+    assert(math.abs(rows.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-4)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+  }
+
   test("k-anonymity: roll-up constants agree with the class rows, flags match k") {
     import graft.queries.CurationQueries
     val rows = CurationQueries.xKAnonymity(spark, sfDir).collect()
