@@ -90,11 +90,17 @@ case class MisraGries(child: Expression, m: Int,
     })
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF throws
+  // UTFDataFormatException past 65535 encoded bytes, and a
+  // whitespace-split corpus can legitimately produce such a "token"
   override def serialize(b: MGBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.counts.size)
-    b.counts.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    b.counts.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -103,8 +109,9 @@ case class MisraGries(child: Expression, m: Int,
     val n = in.readInt()
     val b = new MGBuffer(m)
     (0 until n).foreach { _ =>
-      val k = in.readUTF(); val c = in.readLong()
-      b.counts.update(k, c)
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      val c = in.readLong()
+      b.counts.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8), c)
     }
     b
   }

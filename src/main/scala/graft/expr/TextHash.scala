@@ -164,7 +164,9 @@ object TextHash {
     * bit i iff block i's mean byte value exceeds the payload-wide
     * mean. 60 bits so the signature (and every hamming distance over
     * it) fits a signed BIGINT in the DuckDB twin. One pass over the
-    * bytes; caller guarantees length ≥ 60. */
+    * bytes. Length ≥ 60 is enforced by the [[BlockHash60]] Expression
+    * (shorter payloads evaluate to NULL there); this raw kernel assumes
+    * its input has already passed that gate. */
   def blockHash60(bytes: Array[Byte]): Long = {
     val len = bytes.length
     var total = 0L

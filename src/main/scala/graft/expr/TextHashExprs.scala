@@ -76,9 +76,13 @@ case class WordGramPoly61(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** `block_hash60(payload)` — block-average perceptual hash of a binary
-  * payload (kernel and rationale in [[TextHash.blockHash60]]). */
+  * payload (kernel and rationale in [[TextHash.blockHash60]]). Payloads
+  * shorter than 60 bytes cannot fill the 60 blocks and evaluate to
+  * NULL (rather than a degenerate signature that would alias unrelated
+  * short payloads into hamming-0 "near-dups"). */
 case class BlockHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -86,11 +90,20 @@ case class BlockHash60(child: Expression) extends UnaryExpression {
       s"block_hash60 requires binary, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    TextHash.blockHash60(input.asInstanceOf[Array[Byte]])
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (b.length < 60) null else TextHash.blockHash60(b)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.TextHash.blockHash60($c)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.length < 60) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expr.TextHash.blockHash60($c);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): BlockHash60 = copy(newChild)
   override def prettyName: String = "block_hash60"

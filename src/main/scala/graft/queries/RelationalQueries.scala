@@ -188,10 +188,15 @@ object RelationalQueries {
         count(lit(1)).as("n_filtered"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(max(col("l_extendedprice")), 2).as("max_price"))
-    // the production pass: one action drives pipeline AND metrics
+    // the production pass: one action drives pipeline AND metrics.
+    // NOTE: this write runs whenever the query is BUILT (Verify, Bench,
+    // and the PlanLintSpec sweep all pay it) — inherent to observe()
+    // needing a completed action before the metrics exist.
     filtered.write.format("noop").mode("overwrite").save()
     import spark.implicits._
+    // null case: sum/max over an empty slice observe as NULL
     def dbl(v: Any): Double = v match {
+      case null => 0.0
       case d: java.lang.Double => d
       case b: java.math.BigDecimal => b.doubleValue()
       case l: java.lang.Long => l.toDouble

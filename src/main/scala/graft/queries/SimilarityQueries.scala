@@ -133,16 +133,19 @@ object SimilarityQueries {
     val a = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
     val b = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
     // candidate ids only through the bucket join (no array shuffling);
-    // dedup across tables, then broadcast-join the vectors back for the
-    // exact verify — pairs pay one dot product, rows pay one norm.
+    // dedup across tables, then join the vectors back for the exact
+    // verify as two id-keyed SHUFFLE joins — pairs pay one dot product,
+    // rows pay one norm. The embeddings table is corpus-sized, so it
+    // must never broadcast (same rationale as DedupQueries.verifyAgainst;
+    // PlanLintSpec's fact-broadcast lint enforces this).
     val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     cand
-      .join(broadcast(v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))), "id_a")
-      .join(broadcast(v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))), "id_b")
+      .join(v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a")), "id_a")
+      .join(v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b")), "id_b")
       .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("cos_sim"))
@@ -631,7 +634,10 @@ object SimilarityQueries {
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(idf), 6).as("lex_score"))
+      // ordered fold, not sum(): an unordered FP hash-aggregate sum can
+      // land on a 6-dp rounding boundary differently per engine/
+      // partitioning and flip a rank — same fix as pagerank/entropy
+      .agg(round(aggregate(array_sort(collect_list(idf)), lit(0.0), _ + _), 6).as("lex_score"))
       .withColumn("r_lex", row_number().over(wl).cast("long"))
       .filter(col("r_lex") <= RrfLegDepth)
       .select(col("query_id"), col("doc_id"), col("r_lex"))
@@ -837,7 +843,7 @@ object SimilarityQueries {
        "WHERE term IN (SELECT term FROM q) GROUP BY term), " +
        "n AS (SELECT count(*) AS n_docs FROM documents), " +
        "lex AS (SELECT q.query_id, t.doc_id, " +
-       "round(sum(ln((n.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)), 6) AS lex_score " +
+       "round(list_reduce(list_sort(list(ln((n.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0))), (a, b) -> a + b), 6) AS lex_score " +
        "FROM toks t JOIN q ON t.term = q.term JOIN dfreq f ON t.term = f.term, n " +
        "WHERE t.doc_id != q.query_id GROUP BY 1, 2), " +
        s"lexr AS (SELECT query_id, doc_id, r_lex FROM (SELECT query_id, doc_id, " +

@@ -12,6 +12,40 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   * bucketed writes, streaming drains) at the smoke SF — that is the
   * point: the lint sees the exact plan the driver runs.
   */
+object PlanLintSpec {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+  private val factNames = Set("documents", "embeddings", "lineitem", "orders", "events")
+
+  private def isFactScan(p: LogicalPlan): Boolean = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.exists { rp =>
+        factNames.exists(n => rp.toString.endsWith(s"/$n.parquet"))
+      }
+      case _ => false
+    }
+    case _ => false
+  }
+
+  // true iff a fact scan is reachable without passing a cardinality
+  // reducer (Filter / Aggregate / Limit) on the way down
+  private def bareFact(p: LogicalPlan): Boolean = p match {
+    case _: Filter | _: Aggregate | _: GlobalLimit | _: LocalLimit => false
+    case _ if isFactScan(p) => true
+    case _ => p.children.exists(bareFact)
+  }
+
+  /** True iff the analyzed plan carries a broadcast hint whose subtree
+    * reaches a fact-table scan unreduced — the 100 TB OOM/ship-the-corpus
+    * shape the r5 verdict flagged in annLshNearDup. */
+  def hasFactBroadcast(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectWithSubqueries {
+      case ResolvedHint(child, hints) if hints.strategy.contains(BROADCAST) && bareFact(child) => true
+    }.nonEmpty
+}
+
 class PlanLintSpec extends SparkSpecBase {
 
   test("no ScalaUDF in any registered query's optimized plan") {
@@ -51,6 +85,42 @@ class PlanLintSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty,
       s"CartesianProduct in: $offenders — broadcast the small side or bucket-join")
+  }
+
+  test("no broadcast hint over an unreduced fact-table scan in any registered query") {
+    // broadcast(dim) is the engine's bread and butter; broadcast(FACT) is
+    // the 100 TB cliff (r5 verdict: annLshNearDup's verify join broadcast
+    // the whole embeddings table). Heuristic: a broadcast-hinted subtree
+    // may touch a fact table only through a cardinality REDUCER — a
+    // Filter (query slices like vec_id < 5), an Aggregate (centroids,
+    // df counts, stats singletons), or a Limit. A bare
+    // scan→project→repartition chain under a broadcast hint would ship
+    // the corpus to every executor at scale, so it fails here.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = PlanLintSpec.hasFactBroadcast(fn(spark, sfDir))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"broadcast over unreduced fact scan in: $offenders — use an id-keyed shuffle join " +
+      "(DedupQueries.verifyAgainst shape) or reduce the side before broadcasting")
+  }
+
+  test("fact-broadcast detector fires on a bare fact broadcast (negative control)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    // the exact shape the r5 verdict flagged: candidate ids joined
+    // against a broadcast of the FULL embeddings table
+    val cand = e.select(col("vec_id")).limit(10)
+    val badPlan = cand.join(broadcast(e), Seq("vec_id"))
+    assert(PlanLintSpec.hasFactBroadcast(badPlan),
+      "detector must flag broadcast(full fact table)")
+    // the sanctioned shapes stay green: filtered query slice + aggregate
+    val q = e.filter(col("vec_id") < 5)
+    assert(!PlanLintSpec.hasFactBroadcast(e.crossJoin(broadcast(q))))
+    val stats = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    assert(!PlanLintSpec.hasFactBroadcast(e.join(broadcast(stats), "label")))
   }
 
   test("no nested types (array/map/struct) in any registered query's result schema") {
