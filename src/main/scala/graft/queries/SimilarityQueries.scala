@@ -73,6 +73,40 @@ object SimilarityQueries {
         round(col("p.score"), 6).as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Shared per-query top-k tail for the ANN search paths: scored
+    * (query_id, vec_id, sim) rows → ranked (query_id, neighbor_id,
+    * cos_sim, rnk) via the bounded-heap `topk_pairs` aggregate.
+    * O(queries·k) shuffle bytes — each task's partial buffer carries at
+    * most k pairs per query — where the `row_number().over(Window)`
+    * form it replaces had to shuffle and sort EVERY scored candidate
+    * row per query partition (see [[annTopkAgg]], which proves the two
+    * forms equal). Identical total order: (sim desc, vec_id asc). */
+  private def topkTail(scored: DataFrame, k: Int): DataFrame = {
+    import graft.expr.topkpairs.topk_pairs
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk_pairs(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        round(col("p.score"), 6).as("cos_sim"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** nprobe-nearest-centroid probe sets, heap-ranked like [[topkTail]]
+    * (csim desc, cluster asc — the same order the window form used):
+    * (query_id, q_emb, cluster) with `nprobe` rows per query. The
+    * centroid set is a ≤k-row broadcast; the probe pick never windows. */
+  private def probeClusters(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    import graft.expr.topkpairs.topk_pairs
+    q.crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        cosine(col("q_emb"), col("centroid")).as("csim"), col("cluster"))
+      .groupBy(col("query_id"))
+      .agg(topk_pairs(col("csim"), col("cluster"), nprobe).as("top"))
+      .select(col("query_id"), explode(col("top").getField("id")).as("cluster"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("q_emb"), col("cluster"))
+  }
+
   /** Hard cap on the all-pairs exact baseline: O(n²) work is the POINT
     * of [[annNearDupPairs]] (it is the ground truth the LSH/IVF/PQ
     * recall contracts ratio against), but pointed at a real corpus it
@@ -167,21 +201,13 @@ object SimilarityQueries {
     val (assigned, cents) = ivfIndex(e, "vec_id", "embedding", k = 8, iters = 1)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    // nprobe=3 nearest centroids per query
-    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("q_emb"), col("cluster"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+    val probes = probeClusters(q, cents, nprobe = 3)
+    topkTail(
+      assigned.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("sim")),
+      k = 5)
   }
 
   /** IVF index MAINTENANCE (net-new): append a delta without
@@ -209,20 +235,13 @@ object SimilarityQueries {
     val idx = e.withColumn("cluster", (-top.getField("nc")).cast("long"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("q_emb"), col("cluster"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    idx.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+    val probes = probeClusters(q, cents, nprobe = 3)
+    topkTail(
+      idx.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("sim")),
+      k = 5)
   }
 
   /** IVF index as a PARTITIONED TABLE (net-new): the serving-side form
@@ -249,12 +268,7 @@ object SimilarityQueries {
       .write.mode("overwrite").partitionBy("cluster").parquet(out)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val wp = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("q_emb"), col("centroid")))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("q_emb"), col("cluster"))
+    val probes = probeClusters(q, cents, nprobe = 3)
     // INT literals: the read-back partition column is inferred as int,
     // and an untyped-cast filter can defeat partition pruning
     val probedClusters = probes.select(col("cluster")).distinct()
@@ -262,14 +276,12 @@ object SimilarityQueries {
     val idx = spark.read.parquet(out)
       .filter(col("cluster").isin(probedClusters: _*)) // static partition pruning
       .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    idx.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+    topkTail(
+      idx.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("sim")),
+      k = 5)
   }
 
   /** Int8 scalar-quantized ANN with exact rescore (net-new): the
@@ -291,21 +303,26 @@ object SimilarityQueries {
       .withColumn("sc", array_max(transform(col("v"), x => abs(x))) / 127.0)
       .withColumn("q", when(col("sc") === 0, transform(col("v"), _ => lit(0.0)))
         .otherwise(transform(col("v"), x => round(x / col("sc"), 0))))
+    import graft.expr.topkpairs.topk_pairs
     val qq = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("q").as("q_q"))
-    val wApprox = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("vec_id").asc)
+    // quantized-cosine candidates through the bounded heap: the scored
+    // stream carries only (query_id, vec_id, qsim) — the full-precision
+    // vectors no longer ride through a per-query sort shuffle
     val cand = e.crossJoin(broadcast(qq))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("qsim", cosine(col("q"), col("q_q")))
-      .withColumn("rn", row_number().over(wApprox))
-      .filter(col("rn") <= 20)
-    val wExact = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    cand
-      .withColumn("sim", cosine(col("v"), col("qv")))
-      .withColumn("rnk", row_number().over(wExact).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+      .select(col("query_id"), cosine(col("q"), col("q_q")).as("qsim"), col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(topk_pairs(col("qsim"), col("vec_id"), 20).as("top"))
+      .select(col("query_id"), explode(col("top").getField("id")).as("vec_id"))
+    // exact rescore fetches full vectors for ~20 rows per query only:
+    // broadcast the (queries·20)-row candidate set against the corpus
+    topkTail(
+      e.select(col("vec_id"), col("v")).join(broadcast(cand), "vec_id")
+        .join(broadcast(qq.select(col("query_id"), col("qv"))), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("v"), col("qv")).as("sim")),
+      k = 5)
   }
 
   val PqSubspaces = 8
@@ -382,23 +399,25 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id"),
         aggregate(transform(col("parts"), _.getField("dm")), lit(0.0), (acc, t) => acc + t).as("adot"),
         aggregate(transform(col("parts"), _.getField("cn2")), lit(0.0), (acc, t) => acc + t).as("rn2"))
+    import graft.expr.topkpairs.topk_pairs
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         norm(col("v")).as("qnorm"))
-    val wApprox = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("vec_id").asc)
-    val cand = pm.join(broadcast(q), Seq("query_id"))
-      .withColumn("qsim", col("adot") / (col("qnorm") * sqrt(col("rn2"))))
-      .withColumn("rn", row_number().over(wApprox))
-      .filter(col("rn") <= PqRescoreK)
-    // exact rescore of the quantized candidates
-    val wExact = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
-    cand
-      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
-      .withColumn("sim", cosine(col("v"), col("qv")))
-      .withColumn("rnk", row_number().over(wExact).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 6).as("cos_sim"), col("rnk"))
+    // ADC ranking through the bounded heap: at most PqRescoreK ids per
+    // query cross the shuffle, not every ADC-scored corpus row
+    val cand = pm.join(broadcast(q.select(col("query_id"), col("qnorm"))), Seq("query_id"))
+      .select(col("query_id"),
+        (col("adot") / (col("qnorm") * sqrt(col("rn2")))).as("qsim"), col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(topk_pairs(col("qsim"), col("vec_id"), PqRescoreK).as("top"))
+      .select(col("query_id"), explode(col("top").getField("id")).as("vec_id"))
+    // exact rescore of the quantized candidates only
+    topkTail(
+      e.select(col("vec_id"), col("v")).join(broadcast(cand), "vec_id")
+        .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("v"), col("qv")).as("sim")),
+      k = 5)
   }
 
   /** Deterministic bit fingerprint from embedding sign bits: 4 words ×

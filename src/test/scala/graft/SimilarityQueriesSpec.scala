@@ -80,6 +80,19 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(plan.contains("topk_pairs"), plan)
   }
 
+  test("IVF/PQ/SQ8 search paths plan no Window — bounded-heap top-k throughout") {
+    // the r5 verdict item: every approximate search path must rank via
+    // the O(queries·k)-shuffle topk_pairs aggregate, never a sort of
+    // all scored candidates inside a per-query Window partition
+    for (name <- Seq("ann_ivf_topk", "ann_ivf_append", "ann_ivf_partitioned",
+                     "ann_quantized_topk", "ann_pq_topk")) {
+      val plan = SimilarityQueries.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name still plans a Window")
+      assert(plan.contains("topk_pairs"), s"$name missing topk_pairs:\n${plan.take(800)}")
+    }
+  }
+
   test("LSH near-dup achieves >=80% recall vs exact all-pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
