@@ -23,6 +23,26 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(total == Tables.documents(spark, sfDir).count())
   }
 
+  test("rarest-first prefixes: no more candidates than hash order, identical pair set") {
+    val sh = DedupQueries.shingleTable(spark, sfDir)
+    // hash order = the arrays as shingleTable ships them (array_sort on
+    // the 64-bit hashes); rarest-first reorders by (global df, hash)
+    val candHash = DedupQueries.ppjoinCandidates(sh).count()
+    val candRare = DedupQueries.ppjoinCandidates(DedupQueries.rarestFirst(sh)).count()
+    info(s"candidates: hash-order=$candHash rarest-first=$candRare")
+    assert(candRare <= candHash,
+      s"rarest-first prefix produced MORE candidates ($candRare > $candHash)")
+    // both orderings must verify to the identical exact pair set
+    val fromHash = sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
+    val viaRare = pairs(DedupQueries.dedupNgramJaccard(spark, sfDir))
+    val bruteVerify = DedupQueries.ppjoinCandidates(sh)
+      .join(fromHash, "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .filter(col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")) >= DedupQueries.JaccardThreshold)
+    assert(pairs(bruteVerify) == viaRare, "orderings disagree on the verified pair set")
+  }
+
   test("minhash LSH recovers >=90% of exact jaccard near-dup pairs, no false positives") {
     val exact = pairs(DedupQueries.dedupNgramJaccard(spark, sfDir))
     val lsh = pairs(DedupQueries.dedupMinhashLsh(spark, sfDir))
