@@ -502,7 +502,76 @@ object StreamingQueries {
       .select(col("e.term").as("event_type"), col("e.est").as("n_events"))
   }
 
+  /** T14: checkpoint RECOVERY end-to-end — the durability contract
+    * every production pipeline actually relies on, which the rest of
+    * the pack (single AvailableNow drains) never exercised. The feed
+    * is staged in two halves and drained by TWO separate streaming
+    * queries over ONE checkpoint location: session 1 consumes half the
+    * files and stops (the crash stand-in), session 2 starts from the
+    * same checkpoint, restores the file-source offsets AND the RocksDB
+    * `transformWithState` state, and drains only the new files. The
+    * oracle is the single-run batch replay (t11's relation), so the
+    * hash check proves exactly-once across the restart both ways: lost
+    * state would undercount (session 2 would restart keys from zero),
+    * lost offsets would overcount (files 1–2 replayed into restored
+    * state). Update mode emits monotone per-key rows into per-session
+    * foreachBatch parquet sinks (the memory sink refuses checkpoint
+    * recovery); the final state is one max(struct) over BOTH sessions'
+    * output, exactly as t11. */
+  def t14CheckpointRecovery(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.ScratchDirs.dir("stream", tag, "ckpt_recovery")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base)) // fresh feed + checkpoint per invocation
+    val stage = s"$base/stage"; val feed = s"$base/feed"; val ckpt = s"$base/checkpoint"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    // ROUND-ROBIN staging (see stagedTwsFeed): keys span both halves,
+    // so session 2 provably READS BACK restored state, not fresh state
+    ev.repartition(4).write.mode("overwrite").parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .map(_.getName).filter(n => n.startsWith("part-") && !n.endsWith(".crc")).sorted
+    def ship(names: Array[String]): Unit = names.foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$stage/$n"), java.nio.file.Paths.get(s"$feed/$n"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val (firstHalf, secondHalf) = parts.splitAt(parts.length / 2)
+    // the memory sink refuses checkpoint recovery, so each session's
+    // update-mode emissions land in a per-session parquet dir via
+    // foreachBatch — the recoverable-sink shape production uses
+    def drainSession(out: String): Unit =
+      StreamOps.withRocksDBStateStore(spark) {
+        withStatePartitions(spark, 8) {
+          val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
+          val q = StreamOps.userProfiles(spark, stream.toDF()).toDF()
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              batch.write.mode("append").parquet(out); ()
+            }
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+    ship(firstHalf)
+    drainSession(s"$base/out_p1") // session 1: half the feed, then stop
+    ship(secondHalf)
+    drainSession(s"$base/out_p2") // session 2: same checkpoint, new files only
+    spark.read.parquet(s"$base/out_p1").unionByName(spark.read.parquet(s"$base/out_p2"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_types"), col("max_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.n_types").as("n_types"),
+        round(col("s.max_value"), 6).as("max_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_checkpoint_recovery" -> (t14CheckpointRecovery _),
     "t13_stream_frequent_items" -> (t13StreamFrequentItems _),
     "t12_warm_start_state" -> (t12WarmStartState _),
     "t11_transform_with_state" -> (t11TransformWithState _),
@@ -528,6 +597,12 @@ object StreamingQueries {
     // batching-independent by construction (monotone fields + final
     // max), so the replay is the direct per-user aggregate
     "t11_transform_with_state" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+       "count(DISTINCT event_type) AS n_types, " +
+       "round(max(value), 6) AS max_value FROM events GROUP BY user_id"),
+    // the restart must land on the single-run relation exactly: lost
+    // state undercounts, replayed offsets overcount — either fails here
+    "t14_checkpoint_recovery" ->
       ("SELECT user_id, count(*) AS n_events, " +
        "count(DISTINCT event_type) AS n_types, " +
        "round(max(value), 6) AS max_value FROM events GROUP BY user_id"),

@@ -87,6 +87,33 @@ class TransformWithStateSpec extends SparkSpecBase {
     assert(got == want, s"streamed MG diverges from batch: $got vs $want")
   }
 
+  test("t14: state and offsets survive a restart from the checkpoint") {
+    val got = graft.queries.StreamingQueries.t14CheckpointRecovery(spark, sfDir)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("t"),
+        round(max(col("value")), 6).as("m"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // equality across the restart is the whole proof: lost RocksDB state
+    // undercounts (session 2 restarts keys from zero), lost file-source
+    // offsets overcount (session 1's files replayed into restored state)
+    assert(got.toSeq == want.toSeq)
+    // and the two sessions genuinely split the work: session 1's sink
+    // alone must NOT reach the final count for every key (it saw only
+    // half the feed), i.e. session 2 contributed the rest from state
+    val p1 = graft.ScratchDirs.dir("stream",
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_"), "ckpt_recovery", "out_p1")
+    val p1Max = spark.read.parquet(p1)
+      .groupBy(col("user_id")).agg(max(col("n_events")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val finalN = got.map(t => t._1 -> t._2).toMap
+    assert(p1Max.exists { case (u, n) => n < finalN(u) },
+      "session 1 already held every final count — the restart proved nothing")
+  }
+
   test("t11 query equals the direct batch aggregate") {
     val got = graft.queries.StreamingQueries.t11TransformWithState(spark, sfDir)
       .orderBy("user_id").collect()
