@@ -587,6 +587,37 @@ object DedupQueries {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Incremental containment join (net-new; the [[dedupIncremental]]
+    * pattern applied to [[dedupContainment]]): check only a DELTA of
+    * new documents for near-containment in an existing INDEX of stored
+    * documents — the per-ingest-batch shape (is this new doc an excerpt
+    * of something already in the corpus?), where the batch query's
+    * all-pairs postings would redo quadratic work every ingest. Delta =
+    * odd doc_ids (contained side, rarest-first PREFIX shingles only);
+    * index = even doc_ids (container side, FULL postings — at 100 TB a
+    * stored table partitioned by shingle, so each batch shuffles only
+    * its own prefix shingles against it). Exact containment verify on
+    * candidates, as the batch form. */
+  def dedupContainmentIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val withSz = rarestFirst(sh).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    val plen = (col("sz") - ceil(col("sz") * lit(ContainmentThreshold)).cast("int")) + 1
+    val a = withSz.select(col("doc_id").as("id_a"),
+      explode(slice(col("hs"), lit(1), plen)).as("shingle"))
+    val b = sh.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle"))
+    val cand = a.join(b, Seq("shingle"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand.join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("id_a").as("new_doc"), col("id_b").as("container_doc"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   val KcoreK = 2
 
   /** Peel rounds both engines run (fixed, so the oracle can unroll the
@@ -692,6 +723,7 @@ object DedupQueries {
     "graph_triangles"      -> (graphTriangles _),
     "graph_kcore"          -> (graphKcore _),
     "dedup_containment"    -> (dedupContainment _),
+    "dedup_containment_incremental" -> (dedupContainmentIncremental _),
     "dedup_incremental"    -> (dedupIncremental _),
     "dedup_canonical"      -> (dedupCanonical _),
     "graph_pagerank"       -> (graphPagerank _),
@@ -855,6 +887,16 @@ object DedupQueries {
        "SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc, " +
        "len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs) AS containment " +
        "FROM sh a, sh b WHERE a.doc_id != b.doc_id) " +
+       s"WHERE containment >= $ContainmentThreshold"),
+    // delta (odd) contained in index (even) only — the candidate prefix
+    // machinery is a guaranteed superset, so the replay is the exact
+    // parity-sliced brute force
+    "dedup_containment_incremental" ->
+      (hashedShingleCte +
+       " SELECT new_doc, container_doc, round(containment, 6) AS containment FROM (" +
+       "SELECT a.doc_id AS new_doc, b.doc_id AS container_doc, " +
+       "len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs) AS containment " +
+       "FROM sh a, sh b WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) " +
        s"WHERE containment >= $ContainmentThreshold"),
     "graph_pagerank" -> pagerankSql,
     "dedup_minhash_lsh" -> minhashLshSql,

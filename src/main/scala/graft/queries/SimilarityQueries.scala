@@ -533,6 +533,37 @@ object SimilarityQueries {
         (col("n_pq") === col("n_true")).as("k_ok"))
   }
 
+  /** Rebuild-vs-append DRIFT contract (the follow-on to
+    * [[annIvfAppend]]): a frozen-centroid index degrades as appends
+    * accumulate — the operational question is WHEN to pay a rebuild.
+    * This query measures exactly that decision input: neighbor-set
+    * recall vs brute force for the APPENDED index (centroids trained on
+    * the 80% base slice, delta absorbed without retraining) and for the
+    * REBUILT index (centroids retrained on everything), plus their hit
+    * difference. Contracts: the appended index holds the ≥ 0.4 floor
+    * (the spec's measured envelope) and the rebuilt index holds the
+    * ≥ 0.5 full-build floor from [[annIvfRecall]]. Every leg is the
+    * deterministic oracle-replayable pipeline, so the drift numbers —
+    * not just the booleans — hash-match. */
+  def annIvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("query_id", "neighbor_id")
+    val brute = annBruteTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("t"))
+    val appended = annIvfAppend(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("fa"))
+    val rebuilt = annIvfTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("fr"))
+    brute.join(appended, keys, "full").join(rebuilt, keys, "full")
+      .agg(coalesce(sum(col("t")), lit(0)).as("n_true"),
+        coalesce(sum(col("t") * col("fa")), lit(0)).as("ha"),
+        coalesce(sum(col("t") * col("fr")), lit(0)).as("hr"))
+      .select(col("n_true").cast("long").as("n_true_neighbors"),
+        col("ha").cast("long").as("appended_hits"),
+        col("hr").cast("long").as("rebuilt_hits"),
+        (col("ha") >= col("n_true") * 0.4).as("appended_recall_ok"),
+        (col("hr") >= col("n_true") * 0.5).as("rebuilt_recall_ok"))
+  }
+
   val JlK = 8
   val JlDim = 64
 
@@ -687,6 +718,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_drift"          -> (annIvfDrift _),
     "ann_ivf_append"         -> (annIvfAppend _),
     "hybrid_rrf_topk"        -> (hybridRrfTopk _),
     "emb_jl_project"         -> (embJlProject _),
@@ -852,6 +884,20 @@ object SimilarityQueries {
     "list_transform(generate_series(1, 64), i -> va[i] - vb[i])"
 
   val oracle: Map[String, String] = Map(
+    // drift contract: the three legs are the existing deterministic
+    // replays, composed as CTEs (DuckDB allows a WITH inside a CTE body)
+    "ann_ivf_drift" ->
+      (s"WITH brute AS ($bruteTopkSql), app AS ($ivfAppendSql), reb AS ($ivfTopkSql), " +
+       "j AS (SELECT b.query_id, b.neighbor_id, " +
+       "CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS fa, " +
+       "CASE WHEN r.neighbor_id IS NULL THEN 0 ELSE 1 END AS fr " +
+       "FROM brute b LEFT JOIN app a ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id " +
+       "LEFT JOIN reb r ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id) " +
+       "SELECT count(*)::BIGINT AS n_true_neighbors, " +
+       "coalesce(sum(fa), 0)::BIGINT AS appended_hits, " +
+       "coalesce(sum(fr), 0)::BIGINT AS rebuilt_hits, " +
+       "(coalesce(sum(fa), 0) >= count(*) * 0.4) AS appended_recall_ok, " +
+       "(coalesce(sum(fr), 0) >= count(*) * 0.5) AS rebuilt_recall_ok FROM j"),
     "ann_ivf_append" -> ivfAppendSql,
     "hybrid_rrf_topk" ->
       ("WITH toks AS (SELECT DISTINCT doc_id, term FROM (" +

@@ -179,6 +179,16 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental containment equals the parity slice of the batch containment") {
+    val batch = graft.queries.DedupQueries.dedupContainment(spark, sfDir)
+      .filter(col("contained_doc") % 2 === 1 && col("container_doc") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = graft.queries.DedupQueries.dedupContainmentIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc.nonEmpty, "no planted delta-vs-index containments at the smoke SF")
+    assert(inc == batch, "delta-vs-index join diverges from the batch slice")
+  }
+
   test("k-core: fixed peel count reaches the fixpoint and matches brute force") {
     val core = DedupQueries.graphKcore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -192,6 +192,21 @@ class SimilarityQueriesSpec extends SparkSpecBase {
     assert(recall >= 0.4, f"append-index recall $recall%.2f below floor")
   }
 
+  test("IVF drift contract: hits replay from the standalone legs, floors hold") {
+    def nbrs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = SimilarityQueries.annIvfDrift(spark, sfDir).collect().head
+    assert(row.getBoolean(3), s"appended index below its 0.4 recall floor: $row")
+    assert(row.getBoolean(4), s"rebuilt index below its 0.5 recall floor: $row")
+    val brute = nbrs(SimilarityQueries.annBruteTopk(spark, sfDir))
+    val app = nbrs(SimilarityQueries.annIvfAppend(spark, sfDir))
+    val reb = nbrs(SimilarityQueries.annIvfTopk(spark, sfDir))
+    assert(row.getLong(0) == brute.size)
+    assert(row.getLong(1) == brute.intersect(app).size)
+    assert(row.getLong(2) == brute.intersect(reb).size)
+  }
+
   test("hybrid RRF plan: lexical probe and dense leg both broadcast the query side") {
     val plan = SimilarityQueries.hybridRrfTopk(spark, sfDir)
       .queryExecution.executedPlan.toString
