@@ -179,6 +179,15 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("memoized exact-pairs table equals the live pair pipeline") {
+    // the session memo must never drift from what the pipeline computes
+    // (a stale or mis-keyed scratch file would poison every graph/recall
+    // consumer at once)
+    val live = pairs(graft.queries.DedupQueries.dedupNgramJaccard(spark, sfDir))
+    val memo = pairs(graft.queries.DedupQueries.exactPairs(spark, sfDir))
+    assert(memo == live, "exactPairs memo diverges from the live pipeline")
+  }
+
   test("incremental containment equals the parity slice of the batch containment") {
     val batch = graft.queries.DedupQueries.dedupContainment(spark, sfDir)
       .filter(col("contained_doc") % 2 === 1 && col("container_doc") % 2 === 0)

@@ -43,4 +43,10 @@ class DeterminismSpec extends SparkSpecBase {
   pinned("dedup_ngram_jaccard", queries.DedupQueries.dedupNgramJaccard)
   // RRF fusion of two rounded rank lists
   pinned("hybrid_rrf_topk", queries.SimilarityQueries.hybridRrfTopk)
+  // bounded-heap topk_pairs tails (r6): partial buffers merge in
+  // partition arrival order — the strict (score, id) total order must
+  // make the surviving k pairs independent of that order
+  pinned("ann_ivf_topk", queries.SimilarityQueries.annIvfTopk)
+  // PQ: codebook Lloyd folds + ADC folds + two heap stages
+  pinned("ann_pq_topk", queries.SimilarityQueries.annPqTopk)
 }

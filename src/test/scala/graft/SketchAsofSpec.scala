@@ -83,6 +83,20 @@ class SketchAsofSpec extends SparkSpecBase {
     }
   }
 
+  test("Misra-Gries survives tokens longer than 64 KiB (length-prefixed buffer serialization)") {
+    // writeUTF would throw UTFDataFormatException at 65536 encoded
+    // bytes during partial-buffer serialization — the r5 ADVICE item
+    import graft.expr.mgfunctions.misra_gries
+    import spark.implicits._
+    val big = "x" * 70000
+    val df = (1 to 10).map(i => if (i % 2 == 0) big else "small").toDF("t").repartition(4)
+    val byLen = df.agg(misra_gries(col("t"), 4).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term"), col("e.est")).collect()
+      .map(r => r.getString(0).length -> r.getLong(1)).toMap
+    assert(byLen == Map(70000 -> 5L, 5 -> 5L), s"got $byLen")
+  }
+
   test("as-of join matches the brute-force greatest-earlier-click per purchase") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir)
