@@ -136,16 +136,22 @@ object SimilarityQueries {
   }
 
   /** J7-analogue: nearest label-centroid per vector → confusion counts
-    * (label, predicted, n). Centroids are a 3-row broadcast. */
+    * (label, predicted, n). Centroids are a 3-row broadcast. The
+    * per-vector argmax is `max_by` over (sim, −pred) — a partial-
+    * aggregable groupBy, where the previous `row_number().over(
+    * Window.partitionBy(vec_id))` form shuffle-sorted every scored row
+    * of the corpus into one-vector partitions (same tie-break: highest
+    * sim, then lowest predicted label). */
   def simCentroidConfusion(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val c = centroids(e, "label", "embedding")
       .select(col("label").as("pred_label"), col("centroid"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("pred_label").asc)
     e.crossJoin(broadcast(c))
-      .withColumn("sim", cosine(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        cosine(col("embedding"), col("centroid")).as("sim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("pred_label"),
+        struct(col("sim"), (-col("pred_label")).as("np"))).as("pred_label"))
       .groupBy(col("label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
@@ -663,6 +669,15 @@ object SimilarityQueries {
     * bit-identical everywhere. A leg miss contributes 0 (standard RRF
     * over truncated lists); surfaced as rank 0 in the output. */
   def hybridRrfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.topkpairs.topk_pairs
+    // per-query leg ranking through the bounded heap (score desc,
+    // doc_id asc — identical to the window order): only depth ids per
+    // query cross the shuffle; rank = 1 + heap position
+    def legRanks(scored: DataFrame, score: String, rank: String): DataFrame =
+      scored.groupBy(col("query_id"))
+        .agg(topk_pairs(col(score), col("doc_id"), RrfLegDepth).as("top"))
+        .select(col("query_id"), posexplode(col("top").getField("id")).as(Seq("pos", "doc_id")))
+        .select(col("query_id"), col("doc_id"), (col("pos") + 1).cast("long").as(rank))
     val docs = Tables.documents(spark, dir)
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     val toks = docs
@@ -676,9 +691,7 @@ object SimilarityQueries {
       .join(broadcast(qtoks.select(col("term")).distinct()), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val wl = Window.partitionBy("query_id")
-      .orderBy(col("lex_score").desc, col("doc_id").asc)
-    val lexr = toks
+    val lexr = legRanks(toks
       .join(broadcast(qtoks), "term")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(dfreq), "term")
@@ -687,22 +700,19 @@ object SimilarityQueries {
       // ordered fold, not sum(): an unordered FP hash-aggregate sum can
       // land on a 6-dp rounding boundary differently per engine/
       // partitioning and flip a rank — same fix as pagerank/entropy
-      .agg(round(aggregate(array_sort(collect_list(idf)), lit(0.0), _ + _), 6).as("lex_score"))
-      .withColumn("r_lex", row_number().over(wl).cast("long"))
-      .filter(col("r_lex") <= RrfLegDepth)
-      .select(col("query_id"), col("doc_id"), col("r_lex"))
+      .agg(round(aggregate(array_sort(collect_list(idf)), lit(0.0), _ + _), 6).as("lex_score")),
+      "lex_score", "r_lex")
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val wv = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("doc_id").asc)
-    val vecr = e.crossJoin(broadcast(q))
+    val vecr = legRanks(e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("doc_id"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("sim"))
-      .withColumn("r_vec", row_number().over(wv).cast("long"))
-      .filter(col("r_vec") <= RrfLegDepth)
-      .select(col("query_id"), col("doc_id"), col("r_vec"))
+        round(cosine(col("embedding"), col("q_emb")), 6).as("sim")),
+      "sim", "r_vec")
+    // fusion input is BOUNDED by construction (≤ 2·depth rows per
+    // query), so a window here is a per-query sort of ≤40 rows — not
+    // the corpus-sized sort the legs above avoid
     val wf = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id").asc)
     lexr.join(vecr, Seq("query_id", "doc_id"), "full_outer")
