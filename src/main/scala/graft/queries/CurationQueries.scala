@@ -205,16 +205,24 @@ object CurationQueries {
     val e = Tables.embeddings(spark, dir)
     val c = centroids(e, "label", "embedding")
       .select(col("label").as("cluster"), col("centroid"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
+    // nearest-centroid assignment as a partial-aggregable max_by argmax
+    // (same tie-break as the window form it replaces: sim desc, cluster
+    // asc) — no shuffle-sort of the corpus into one-vector partitions
     val assigned = e.crossJoin(broadcast(c))
-      .withColumn("sim", cosine(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .select(col("vec_id"), cosine(col("embedding"), col("centroid")).as("sim"), col("cluster"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cluster"), struct(col("sim"), (-col("cluster")).as("nc"))).as("cluster"))
       .select(col("vec_id"), col("cluster"),
         poly61(concat(lit("d"), col("vec_id").cast("string"))).as("h"))
+    // per-cluster quota through the bounded-heap custom operator
+    // (O(clusters·cap) state); ranking the SURVIVORS is a window over a
+    // quota-capped input — ≤ cap rows per cluster by construction
+    val capped = graft.plans.TopKPerKeyOp(assigned,
+      keys = Seq(col("cluster")),
+      order = Seq(col("h").asc, col("vec_id").asc),
+      k = DiverseCap)
     val wQuota = Window.partitionBy("cluster").orderBy(col("h").asc, col("vec_id").asc)
-    assigned.withColumn("rk", row_number().over(wQuota).cast("long"))
-      .filter(col("rk") <= DiverseCap)
+    capped.withColumn("rk", row_number().over(wQuota).cast("long"))
       .select(col("cluster"), col("vec_id"), col("rk"))
   }
 
@@ -545,12 +553,16 @@ object CurationQueries {
     val e = Tables.embeddings(spark, dir)
     val c = centroids(e, "label", "embedding")
       .select(col("label").as("cluster"), col("centroid"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
+    // argmax assignment via max_by (sim desc, cluster asc tie-break) —
+    // partial-aggregable, no corpus-wide window sort
     val assigned = e.crossJoin(broadcast(c))
-      .withColumn("sim", cosine(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        cosine(col("embedding"), col("centroid")).as("sim"), col("cluster"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cluster"), col("embedding")),
+        struct(col("sim"), (-col("cluster")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.embedding").as("embedding"))
       .persist() // reused 3×; plan-keyed, so bench repeats share one entry
     assigned.count()
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("ea"))
