@@ -81,17 +81,18 @@ object RelationalQueries {
 
   /** A3 (finalize_realease.py:527-536): normalized-key dedup, keep-first.
     * `dropDuplicates` alone is nondeterministic under shuffle, so the
-    * reference's "first occurrence wins" is made explicit with a
-    * row_number window over a total order — deterministic at any
-    * parallelism (SURVEY §7 determinism traps).
-    */
-  def a3DedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
-    c.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"))
-  }
+    * reference's "first occurrence wins" is made explicit as the
+    * min-key argmin per group — deterministic at any parallelism
+    * (SURVEY §7 determinism traps), and a PARTIAL aggregate: each task
+    * sends one candidate row per group into the shuffle, where the
+    * row_number-window form it replaces sorted every group in full
+    * (5 segment partitions of corpus/5 rows each). */
+  def a3DedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(min(struct(col("c_custkey"), col("c_name"))).as("first"))
+      .select(col("c_mktsegment"), col("first.c_custkey").as("c_custkey"),
+        col("first.c_name").as("c_name"))
 
   /** A2+A4 (finalize_realease.py:591-602): group-by + multi-aggregate —
     * the TPC-H Q1 shape. Partial aggregation (map-side combine) means the
