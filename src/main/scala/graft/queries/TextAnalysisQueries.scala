@@ -345,7 +345,11 @@ object TextAnalysisQueries {
       (col("tf") + lit(Bm25K1) * (lit(1.0) - Bm25B + lit(Bm25B) * col("dl") / col("avgdl")))
     tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(round(sum(s), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      // ordered fold, not sum(): the 6-dp-rounded score is a SORT key,
+      // so a partial-merge-order FP drift landing on a rounding
+      // boundary could flip the top-k cut — same pin as hybrid RRF
+      .agg(round(aggregate(array_sort(collect_list(s)), lit(0.0), _ + _), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(Bm25TopK)
   }
@@ -630,10 +634,10 @@ object TextAnalysisQueries {
      "t AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS tok FROM w), " +
      s"f AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM t WHERE tok IN ($terms) GROUP BY doc_id, tok), " +
      "d AS (SELECT tok, count(*) AS df FROM f GROUP BY tok) " +
-     "SELECT doc_id, round(sum(" +
+     "SELECT doc_id, round(list_reduce(list_sort(list(" +
      "ln((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * f.tf * " +
      s"($Bm25K1 + 1.0) / (f.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * f.dl / st.avgdl))" +
-     "), 6) AS bm25, count(*) AS n_terms " +
+     ")), (a, b) -> a + b), 6) AS bm25, count(*) AS n_terms " +
      "FROM f JOIN d USING (tok), st GROUP BY doc_id " +
      s"ORDER BY bm25 DESC, doc_id ASC LIMIT $Bm25TopK")
   }
