@@ -726,7 +726,40 @@ object CurationQueries {
       .select(col("split"), col("n_events"), col("n_users"), col("n_shared_users"))
   }
 
+  /** Quantile fraction for [[xQuantileSelect]] — keep the top 30% of
+    * documents per language. */
+  val QuantileCut = 0.7
+
+  /** Quantile-THRESHOLD selection (net-new): keep each language's top
+    * (1 − [[QuantileCut]]) of documents by score — the FineWeb-style
+    * "cut the corpus at the Pth quality percentile" curation op, here
+    * with document length (token count) as the deterministic score.
+    * Two-pass shape: pass 1 aggregates ONE threshold row per language
+    * (|langs| rows — broadcastable at any corpus size); pass 2 is a
+    * scan-side filter of the corpus against the broadcast thresholds —
+    * no corpus sort, no window, no shuffle beyond the final per-lang
+    * count rollup. At 100 TB the exact `percentile` swaps for
+    * `percentile_approx`'s mergeable sketch; the plan shape is
+    * identical (the winsorize/zscore queries document the same swap).
+    * Threshold pinned at 6 dp on both engines (the pack convention);
+    * scores are integers, so the >= comparison is boundary-safe. */
+  def xQuantileSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("double").as("q"))
+    val thr = scored.groupBy(col("lang"))
+      .agg(round(expr(s"percentile(q, $QuantileCut)"), 6).as("thr"),
+        count(lit(1)).as("n_scored"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col("q") >= col("thr"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_scored")).as("n_scored"), count(lit(1)).as("n_kept"),
+        round(max(col("thr")), 6).as("thr"),
+        round(min(col("q")), 6).as("min_kept_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_quantile_select"     -> (xQuantileSelect _),
     "x_corpus_datacard"     -> (xCorpusDatacard _),
     "x_k_anonymity"         -> (xKAnonymity _),
     "x_time_split"          -> (xTimeSplit _),
@@ -976,6 +1009,15 @@ object CurationQueries {
        "sum((gr.gh IN (SELECT gh FROM boiler))::BIGINT)::BIGINT AS n_boiler, " +
        "round(sum((gr.gh IN (SELECT gh FROM boiler))::BIGINT)::DOUBLE / count(*)::DOUBLE, 6) AS boiler_frac " +
        "FROM gr GROUP BY gr.doc_id"),
+    // threshold pinned at 6 dp in both engines; integer scores keep the
+    // >= comparison away from any interpolation boundary
+    "x_quantile_select" ->
+      ("WITH s AS (SELECT doc_id, lang, len(string_split(text, ' '))::DOUBLE AS q FROM documents), " +
+       s"t AS (SELECT lang, round(quantile_cont(q, $QuantileCut), 6) AS thr, " +
+       "count(*) AS n_scored FROM s GROUP BY lang) " +
+       "SELECT s.lang, max(t.n_scored) AS n_scored, count(*) AS n_kept, " +
+       "round(max(t.thr), 6) AS thr, round(min(s.q), 6) AS min_kept_q " +
+       "FROM s JOIN t ON s.lang = t.lang WHERE s.q >= t.thr GROUP BY s.lang"),
     "x_sample_quota" ->
       ("WITH h AS (SELECT doc_id, lang, " + duckPoly61("s") + " AS h " +
        "FROM (SELECT doc_id, lang, 'q' || doc_id::VARCHAR AS s FROM documents)) " +

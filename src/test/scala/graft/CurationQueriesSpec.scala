@@ -342,4 +342,16 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(rows("train").getAs[Long]("n_users") == trainU.size)
     assert(rows("test").getAs[Long]("n_users") == testU.size)
   }
+
+  test("quantile select keeps at least the top 30% per language, all above threshold") {
+    val rows = CurationQueries.xQuantileSelect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_scored"); val k = r.getAs[Long]("n_kept")
+      assert(k >= 0.3 * n - 1, s"kept too few of the distribution: $r")
+      assert(k <= n)
+      assert(r.getAs[Double]("min_kept_q") >= r.getAs[Double]("thr"),
+        s"a kept doc scores below the threshold: $r")
+    }
+  }
 }
