@@ -204,9 +204,16 @@ object TextAnalysisQueries {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "term")
       .withColumn("score", (col("tf") * lit(nDocs)) / col("df"))
-    scored.withColumn("rank", row_number().over(
+    // per-doc top-3 through the bounded-heap whole-row operator (term is
+    // a string, so the paired topk_pairs aggregate doesn't apply); the
+    // rank window then runs over ≤3 rows per doc — the heap replaces the
+    // full per-doc sort of every scored term
+    val capped = graft.plans.TopKPerKeyOp(scored,
+      keys = Seq(col("doc_id")),
+      order = Seq(col("score").desc, col("term").asc),
+      k = 3)
+    capped.withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
-      .filter(col("rank") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("rank").cast("long").as("rank"))
   }
