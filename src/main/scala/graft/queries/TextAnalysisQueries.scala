@@ -370,25 +370,26 @@ object TextAnalysisQueries {
     * design point: full posting lists are unbounded per term
     * (stopwords ≈ corpus size), so the ranked head rides through a
     * bounded collect while df/tf stay exact aggregates; the (term,
-    * doc) partials combine map-side, and both aggregates share one
-    * shuffle of the (term, doc_id, tf) frame. Posting order is pinned
-    * by sorting (−tf, doc_id) structs, so the list is replayable
-    * exactly in SQL; it ships comma-joined (scalar result schemas
-    * only — the repo-wide sink convention). */
+    * doc) partials combine map-side, and all three aggregates — df,
+    * total_tf, and the `topk_pairs` bounded heap that ranks the head
+    * by (tf desc, doc_id asc) — share ONE shuffle of the (term,
+    * doc_id, tf) frame. The heap replaces the per-term rank window
+    * the query used to plan, which had to SORT every posting list in
+    * full (stopword partitions ≈ corpus-sized). The ranked ids ship
+    * comma-joined (scalar result schemas only — the repo-wide sink
+    * convention). */
   def taInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.topkpairs.topk_pairs
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("term").orderBy(col("tf").desc, col("doc_id").asc)
-    tf.withColumn("rn", row_number().over(w))
-      .groupBy(col("term"))
+    tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
-        array_join(transform(
-          array_sort(collect_list(when(col("rn") <= PostingK,
-            struct((-col("tf")).as("nt"), col("doc_id").as("d"))))),
-          x => x.getField("d")), ",").as("posting"))
+        topk_pairs(col("tf").cast("double"), col("doc_id"), PostingK).as("top"))
+      .select(col("term"), col("df"), col("total_tf"),
+        array_join(transform(col("top").getField("id"), d => d.cast("string")), ",")
+          .as("posting"))
   }
 
   val BpeTopWords = 200
