@@ -191,7 +191,11 @@ object OlapQueries {
     * invariant under tie permutations, so the tiebreak only pins
     * determinism), then G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n. One window
     * shuffle shared with the per-group aggregate; arithmetic shapes
-    * mirrored verbatim in the oracle. */
+    * mirrored verbatim in the oracle. Gini is a rank statistic — the
+    * within-group sort is inherent to the exact form; the 100 TB path
+    * is a value-bucketed prefix-sum of ranks (exact, two passes) or
+    * the standard histogram approximation, both outside this exact
+    * query's contract. */
   def aggGini(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)

@@ -569,7 +569,12 @@ object TextAnalysisQueries {
     * on (count desc, term asc); the regression runs on Spark/DuckDB's
     * shared `regr_slope`/`regr_r2` co-moment aggregates, rounded after
     * aggregation. Vocabulary-sized data — the token explode is the
-    * only corpus-scale stage and it partial-combines map-side. */
+    * only corpus-scale stage and it partial-combines map-side. The
+    * global rank is an unpartitioned window (one task over the vocab
+    * table) — acceptable while the vocabulary fits a task; at
+    * billion-term vocabularies the rank becomes a two-pass
+    * bucket-offset prefix sum (the [[taPackSequences]] shape) or the
+    * fit restricts to the top-N head, where Zipf structure lives. */
   def taZipfFit(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
