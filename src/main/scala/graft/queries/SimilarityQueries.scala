@@ -816,6 +816,28 @@ object SimilarityQueries {
        "FROM idx JOIN pr ON idx.cluster = pr.cluster WHERE idx.vec_id != pr.query_id) " +
        "WHERE rnk <= 5")
 
+  /** DuckDB twin of [[StreamingQueries.t15StreamIvfIngest]]: the whole
+    * corpus assigned against the frozen base-slice quantizer (the same
+    * build CTEs as [[ivfAppendSql]]), aggregated per cluster. The
+    * micro-batched Spark ingest must land on these exact integer
+    * counts/sums — a lost or double-delivered batch cannot. */
+  private[queries] val ivfIngestCountsSql: String =
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+       "base AS (SELECT vec_id, v FROM e WHERE vec_id % 5 != 0), " +
+       "a0 AS (SELECT vec_id, v, vec_id % 8 AS cluster FROM base), " +
+       duckCentroids("a0", "c0") + ", " +
+       "s1 AS (SELECT a0.vec_id, a0.v, c.cluster, " +
+       s"row_number() OVER (PARTITION BY a0.vec_id ORDER BY ${cos("a0.v", "c.centroid")} DESC, c.cluster ASC) AS rn " +
+       "FROM a0, c0 c), " +
+       "a1 AS (SELECT vec_id, v, cluster FROM s1 WHERE rn = 1), " +
+       duckCentroids("a1", "c1") + ", " +
+       "idx AS (SELECT vec_id, cluster FROM (" +
+       "SELECT e.vec_id, c.cluster, " +
+       s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "c.centroid")} DESC, c.cluster ASC) AS rn " +
+       "FROM e, c1 c) WHERE rn = 1) " +
+       "SELECT cluster, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id, " +
+       "sum(vec_id)::BIGINT AS id_sum FROM idx GROUP BY cluster")
+
   private val ivfTopkSql: String =
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
        "a0 AS (SELECT vec_id, v, vec_id % 8 AS cluster FROM e), " +

@@ -570,7 +570,65 @@ object StreamingQueries {
         round(col("s.max_value"), 6).as("max_value"))
   }
 
+  /** T15 (net-new): streaming ANN index maintenance — the streaming twin
+    * of [[SimilarityQueries.annIvfAppend]]'s frozen-quantizer append path
+    * (the reference's incremental feed, download_raw.sh:19-39, applied to
+    * the vector index). The coarse quantizer is trained ONCE on the base
+    * slice (vec_id % 5 != 0 — same build as `ann_ivf_append`: vec_id % 8
+    * seed, one Lloyd step, 9-dp-pinned centroids) and frozen; the corpus
+    * then arrives as a 4-file feed and every micro-batch is assigned to
+    * its nearest centroid by a pure literal-argmax PROJECTION — no state
+    * store, no shuffle inside the stream — and appended to a
+    * cluster-partitioned parquet index in `foreachBatch`.
+    *
+    * This is the production 100 TB ingest shape: index writes are
+    * partition-local appends (each batch touches only the cluster
+    * directories it lands in), searches prune by the partition column
+    * (`ann_ivf_partitioned`'s PartitionFilters), and the frozen quantizer
+    * retrains only on measured drift (`ann_ivf_drift`). The result reads
+    * the index BACK from the partitioned layout and reports per-cluster
+    * stats; the exact-integer `id_sum` pins exactly-once delivery across
+    * micro-batches — a lost or replayed batch breaks the sum before it
+    * breaks the count. */
+  def t15StreamIvfIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.ScratchDirs.dir("stream", tag, "ivf_ingest")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base)) // fresh feed + index + checkpoint per run
+    val feed = s"$base/feed"; val index = s"$base/index"; val ckpt = s"$base/checkpoint"
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (_, cents) = graft.ops.Similarity.ivfIndex(
+      e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", k = 8, iters = 1)
+    // model-parameter transfer (8 × dim doubles), then a literal argmax —
+    // the assignment carries NO join and no aggregation into the stream
+    val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val scored = cl.map { case (c, v) =>
+      struct(graft.ops.Similarity.cosine(col("embedding"), typedlit(v)).as("s"),
+        lit(-c).as("nc"))
+    }
+    val top = if (scored.length == 1) scored.head
+              else greatest(scored.toIndexedSeq: _*)
+    e.repartition(4).write.mode("overwrite").parquet(feed)
+    val stream = StreamOps.fileFeed(spark, feed, e, maxFilesPerTrigger = 1)
+    val q = stream.withColumn("cluster", (-top.getField("nc")).cast("long"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("cluster").parquet(index); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(index)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"), sum(col("vec_id")).as("id_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_stream_ivf_ingest" -> (t15StreamIvfIngest _),
     "t14_checkpoint_recovery" -> (t14CheckpointRecovery _),
     "t13_stream_frequent_items" -> (t13StreamFrequentItems _),
     "t12_warm_start_state" -> (t12WarmStartState _),
@@ -590,6 +648,9 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the frozen-quantizer assignment replayed batch-wise in SQL (the
+    // ivf_append CTEs); integer sums make exactly-once checkable exactly
+    "t15_stream_ivf_ingest" -> SimilarityQueries.ivfIngestCountsSql,
     // counter budget exceeds the key cardinality, so the streamed MG
     // summary is exact regardless of microbatch merge order
     "t13_stream_frequent_items" ->

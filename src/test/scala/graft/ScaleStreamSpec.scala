@@ -185,6 +185,42 @@ class ScaleStreamSpec extends SparkSpecBase {
       "streamed sessions diverge from the batch session_window")
   }
 
+  test("t15 streaming IVF ingest equals the batch assignment and lands partitioned") {
+    val got = StreamingQueries.t15StreamIvfIngest(spark, sfDir)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // batch recompute through the SAME frozen-quantizer build: equality
+    // across the 4-file micro-batched feed is the exactly-once proof —
+    // a lost batch breaks n/id_sum, a replayed one breaks id_sum first
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val (_, cents) = graft.ops.Similarity.ivfIndex(
+      e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", k = 8, iters = 1)
+    val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val scored = cl.map { case (c, v) =>
+      struct(graft.ops.Similarity.cosine(col("embedding"),
+        typedlit(v)).as("s"), lit(-c).as("nc"))
+    }
+    val want = e.withColumn("cluster",
+        (-greatest(scored.toIndexedSeq: _*).getField("nc")).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"), sum(col("vec_id")).as("id_sum"))
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want.toSeq,
+      s"streamed index diverges from batch assignment: ${got.toSeq} vs ${want.toSeq}")
+    // the index must land as a cluster-partitioned layout (the searchable
+    // shape ann_ivf_partitioned prunes on) written across >= 4 micro-batches
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val idx = new java.io.File(graft.ScratchDirs.dir("stream", tag, "ivf_ingest", "index"))
+    assert(idx.listFiles().exists(f => f.isDirectory && f.getName.startsWith("cluster=")),
+      "index is not partitioned by cluster")
+    val offsets = new java.io.File(
+      graft.ScratchDirs.dir("stream", tag, "ivf_ingest", "checkpoint", "offsets"))
+    assert(offsets.listFiles().count(!_.getName.endsWith(".crc")) >= 4,
+      "feed should drain in >= 4 micro-batches")
+  }
+
   test("t5 stream-stream join reaches batch interval-join parity") {
     val streamed = StreamingQueries.t5StreamStreamJoin(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
