@@ -23,6 +23,63 @@ import graft.streaming.StreamOps
   */
 object StreamingQueries {
 
+  /** Row count of the staged events feed — the drain-completeness
+    * expectation for every events-fed streaming query. */
+  private def eventRows(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/events.parquet").count()
+
+  /** Start an AvailableNow drain and VERIFY it consumed the whole staged
+    * feed, retrying with a fresh query if it came up short. Observed
+    * about once in ten full-sweep drains: a query completed
+    * "successfully" having ingested exactly 2 of the 4 staged files —
+    * the source's start-time snapshot missed files — which downstream is
+    * indistinguishable from a correctness bug. The source-reported
+    * `numInputRows` total is the input-completeness accounting a
+    * production pipeline alarms on; here a short drain restarts from
+    * scratch (memory-sink queries are stateless across attempts — a
+    * fresh start re-registers the sink table empty and re-snapshots the
+    * feed). `expectedFactor` covers plans that scan the feed once per
+    * SIDE (the stream-stream self-join counts its input per branch). */
+  private def drainVerified(expectedRows: Long, what: String, expectedFactor: Int = 1)
+                           (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val want = expectedRows * expectedFactor
+    var attempt = 0
+    var consumed = -1L
+    while (consumed != want && attempt < 3) {
+      val q = start
+      q.awaitTermination()
+      consumed = q.recentProgress.map(_.numInputRows).sum
+      attempt += 1
+      if (consumed != want)
+        System.err.println(s"[graft] $what drained $consumed of $want staged rows " +
+          s"(attempt $attempt) — retrying from a fresh snapshot")
+    }
+    require(consumed == want,
+      s"$what drained $consumed of $want staged rows after $attempt attempts")
+  }
+
+  /** [[drainVerified]] for queries on a DURABLE checkpoint: a retry
+    * CONTINUES from the committed offsets (restart semantics), so
+    * consumed totals accumulate across attempts instead of each attempt
+    * re-draining everything. */
+  private def drainResumable(expectedRows: Long, what: String)
+                            (start: => org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    var attempt = 0
+    var total = 0L
+    while (total < expectedRows && attempt < 3) {
+      val q = start
+      q.awaitTermination()
+      total += q.recentProgress.map(_.numInputRows).sum
+      attempt += 1
+      if (total < expectedRows)
+        System.err.println(s"[graft] $what drained $total of $expectedRows staged rows " +
+          s"(attempt $attempt) — resuming from the checkpoint")
+    }
+    require(total == expectedRows,
+      s"$what drained $total of $expectedRows staged rows after $attempt attempts")
+    total
+  }
+
   /** Stage `events.parquet` into a drop-folder (the T1 file feed is a
     * DIRECTORY of arriving files — baseline + updatefiles) and open it
     * as a streaming source with the file's raw schema (long nanos OR
@@ -65,10 +122,12 @@ object StreamingQueries {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
     val qname = "t1_stream_tumbling_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = eventRows(spark, dir)
     withStatePartitions(spark, 8) {
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(nStaged, qname) {
+        agg.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
   }
@@ -88,10 +147,12 @@ object StreamingQueries {
     val deduped = StreamOps.dedupByKeys(stream, Seq("user_id", "event_type"), "ts", "24 hours")
       .select(col("user_id"), col("event_type"))
     val qname = "t2_stream_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = eventRows(spark, dir)
     withStatePartitions(spark, 8) {
-      val q = deduped.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(nStaged, qname) {
+        deduped.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
   }
@@ -110,10 +171,12 @@ object StreamingQueries {
       .select(col("user_id"), col("n_events"),
         col("last_event_id"), col("last_type"))
     val qname = "t4_stream_stateful_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = eventRows(spark, dir)
     withStatePartitions(spark, 8) {
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(nStaged, qname) {
+        agg.writeStream.format("memory").queryName(qname)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
   }
@@ -143,10 +206,14 @@ object StreamingQueries {
              "purchase_ts <= click_ts + interval 30 minutes"))
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
     val qname = "t5_stream_stream_join_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = eventRows(spark, dir)
     withStatePartitions(spark, 8) {
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // the self-join scans the one staged feed once PER SIDE, so the
+      // progress metric reports every staged row twice (measured)
+      drainVerified(nStaged, qname, expectedFactor = 2) {
+        joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
   }
@@ -165,10 +232,12 @@ object StreamingQueries {
     val stream = decodeTs(stagedEventFeed(spark, dir))
     val agg = StreamOps.sessionCounts(stream, "30 minutes", "1 hour")
     val qname = "t6_stream_session_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = eventRows(spark, dir)
     withStatePartitions(spark, 8) {
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(nStaged, qname) {
+        agg.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
   }
@@ -207,10 +276,12 @@ object StreamingQueries {
       .select(col("w.start").as("window_start"), col("category"),
         col("n_events"), col("wsum"))
     val qname = "t9_stream_static_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = eventRows(spark, dir)
     withStatePartitions(spark, 8) {
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(nStaged, qname) {
+        agg.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
   }
@@ -227,18 +298,20 @@ object StreamingQueries {
   def t10CustomSourceStream(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.ScratchDirs.dir("streaming",
       dir.replaceAll("[^a-zA-Z0-9]", "_"), "linelist_stream")
-    Tables.documents(spark, dir)
+    val terms = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("value"))
       .filter(col("value") =!= "").distinct()
-      .repartition(3).write.mode("overwrite").text(out)
+    terms.repartition(3).write.mode("overwrite").text(out)
+    val nStaged = terms.count()
     val stream = spark.readStream.format("graft.sources.LineListSource")
       .option("path", out).option("maxFilesPerTrigger", "1").load()
     val qname = "t10_custom_stream_" + java.lang.Integer.toHexString(dir.hashCode)
     withStatePartitions(spark, 8) {
-      val q = stream.select(col("value"), col("len"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(nStaged, qname) {
+        stream.select(col("value"), col("len"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
       .groupBy(substring(col("value"), 1, 1).as("letter"))
@@ -254,10 +327,12 @@ object StreamingQueries {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
     val qname = "t1_stream_tumbling_append_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = eventRows(spark, dir)
     withStatePartitions(spark, 8) {
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(nStaged, qname) {
+        agg.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
   }
@@ -271,10 +346,12 @@ object StreamingQueries {
     val stream = decodeTs(stagedEventFeed(spark, dir))
     val agg = StreamOps.sessionCounts(stream, "30 minutes", "1 hour")
     val qname = "t6_stream_session_append_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = eventRows(spark, dir)
     withStatePartitions(spark, 8) {
-      val q = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(nStaged, qname) {
+        agg.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
   }
@@ -304,11 +381,13 @@ object StreamingQueries {
     val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
     val banded = DedupQueries.streamBandedDocs(stream)
     val qname = "t7_stream_lsh_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = raw.count()
     withStatePartitions(spark, 8) {
-      val q = StreamOps.lshCandidatePairs(spark, banded).toDF("id_a", "id_b")
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(nStaged, qname) {
+        StreamOps.lshCandidatePairs(spark, banded).toDF("id_a", "id_b")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
     }
     DedupQueries.verifyPairs(spark, dir, spark.table(qname))
   }
@@ -349,7 +428,6 @@ object StreamingQueries {
       if (p.isDirectory) p.listFiles().foreach(rmrf)
       p.delete(); ()
     }
-    rmrf(new java.io.File(state)) // idempotent re-run
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     // ROUND-ROBIN staging (not user-hashed): keys must span batches or
@@ -357,8 +435,13 @@ object StreamingQueries {
     // for a key and the cross-batch path would go untested
     ev.repartition(4).write.mode("overwrite").parquet(feed)
     val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
+    val nStaged = eventRows(spark, dir)
     withStatePartitions(spark, 8) {
-      val q = stream.writeStream
+      drainVerified(nStaged, "t8_stream_merge_upsert") {
+        // reset the merge target per attempt (idempotent re-run AND a
+        // clean slate if a short drain retries with a fresh checkpoint)
+        rmrf(new java.io.File(state))
+        stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val sp = batch.sparkSession
           val delta = batch.groupBy(col("user_id")).agg(
@@ -383,7 +466,7 @@ object StreamingQueries {
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      }
     }
     spark.read.parquet(state).select(col("user_id"), col("n_events"),
       col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"),
@@ -404,7 +487,7 @@ object StreamingQueries {
   def t11TransformWithState(spark: SparkSession, dir: String): DataFrame = {
     val stream = stagedTwsFeed(spark, dir)
     val qname = "t11_tws_" + java.lang.Integer.toHexString(dir.hashCode)
-    drainUpdateToMemory(spark, qname) {
+    drainUpdateToMemory(spark, qname, eventRows(spark, dir)) {
       StreamOps.userProfiles(spark, stream).toDF()
     }
     spark.table(qname)
@@ -433,13 +516,15 @@ object StreamingQueries {
   /** Shared drain scaffold for the typed-state queries: RocksDB
     * provider + narrow state partitioning + update-mode memory sink,
     * AvailableNow backlog drain. */
-  private def drainUpdateToMemory(spark: SparkSession, qname: String)
+  private def drainUpdateToMemory(spark: SparkSession, qname: String,
+                                  expectedRows: Long)
                                  (frame: => DataFrame): Unit =
     StreamOps.withRocksDBStateStore(spark) {
       withStatePartitions(spark, 8) {
-        val q = frame.writeStream.format("memory").queryName(qname)
-          .outputMode("update").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        drainVerified(expectedRows, qname) {
+          frame.writeStream.format("memory").queryName(qname)
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        }
       }
     }
 
@@ -465,7 +550,7 @@ object StreamingQueries {
         (lit(1000) * pmod(col("user_id"), lit(3)) + col("user_id")).as("n_events"),
         pmod(col("user_id"), lit(7)).cast("double").as("max_value"))
     val qname = "t12_warm_" + java.lang.Integer.toHexString(dir.hashCode)
-    drainUpdateToMemory(spark, qname) {
+    drainUpdateToMemory(spark, qname, eventRows(spark, dir)) {
       StreamOps.warmStartTotals(spark, stream, initial).toDF()
     }
     spark.table(qname)
@@ -491,11 +576,12 @@ object StreamingQueries {
     val stream = stagedTwsFeed(spark, dir)
     val qname = "t13_mg_" + java.lang.Integer.toHexString(dir.hashCode)
     withStatePartitions(spark, 8) {
-      val q = stream.groupBy()
-        .agg(misra_gries(col("event_type"), 16).as("sk"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainVerified(eventRows(spark, dir), qname) {
+        stream.groupBy()
+          .agg(misra_gries(col("event_type"), 16).as("sk"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      }
     }
     spark.table(qname)
       .select(explode(col("sk")).as("e"))
@@ -544,7 +630,7 @@ object StreamingQueries {
     // the memory sink refuses checkpoint recovery, so each session's
     // update-mode emissions land in a per-session parquet dir via
     // foreachBatch — the recoverable-sink shape production uses
-    def drainSession(out: String): Unit =
+    def drainSession(out: String): Long =
       StreamOps.withRocksDBStateStore(spark) {
         withStatePartitions(spark, 8) {
           val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
@@ -556,12 +642,26 @@ object StreamingQueries {
             .outputMode("update").option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
+          q.recentProgress.map(_.numInputRows).sum
         }
       }
     ship(firstHalf)
-    drainSession(s"$base/out_p1") // session 1: half the feed, then stop
+    var consumed = drainSession(s"$base/out_p1") // session 1: half the feed, then stop
     ship(secondHalf)
-    drainSession(s"$base/out_p2") // session 2: same checkpoint, new files only
+    consumed += drainSession(s"$base/out_p2") // session 2: same checkpoint, new files only
+    // drain-completeness accounting across BOTH sessions (see
+    // drainVerified): on a short total the durable checkpoint makes
+    // another session a pure RESUME — it picks up exactly the unseen
+    // files, so the restart-recovery semantics under test are preserved
+    val nStaged = eventRows(spark, dir)
+    var extra = 0
+    while (consumed < nStaged && extra < 2) {
+      System.err.println(s"[graft] t14 drained $consumed of $nStaged staged rows — resuming")
+      consumed += drainSession(s"$base/out_p2")
+      extra += 1
+    }
+    require(consumed == nStaged,
+      s"t14 drained $consumed of $nStaged staged rows across sessions")
     spark.read.parquet(s"$base/out_p1").unionByName(spark.read.parquet(s"$base/out_p2"))
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("n_types"), col("max_value"))).as("s"))
@@ -613,14 +713,15 @@ object StreamingQueries {
               else greatest(scored.toIndexedSeq: _*)
     e.repartition(4).write.mode("overwrite").parquet(feed)
     val stream = StreamOps.fileFeed(spark, feed, e, maxFilesPerTrigger = 1)
-    val q = stream.withColumn("cluster", (-top.getField("nc")).cast("long"))
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").partitionBy("cluster").parquet(index); ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    drainResumable(e.count(), "t15_stream_ivf_ingest") {
+      stream.withColumn("cluster", (-top.getField("nc")).cast("long"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").partitionBy("cluster").parquet(index); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     spark.read.parquet(index)
       .groupBy(col("cluster").cast("long").as("cluster"))
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
