@@ -96,9 +96,15 @@ object DedupQueries {
     * candidate join already shuffles once. Verification is
     * order-independent, so the output pair set is IDENTICAL
     * (spec-measured: fewer candidates, same pairs). */
+  /** Global shingle → document frequency — the rarest-first ordering
+    * statistic (per-doc shingles are distinct, so count = doc count). */
+  private[graft] def shingleDfreq(sh: DataFrame): DataFrame =
+    sh.select(explode(col("hs")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+
   private[graft] def rarestFirst(sh: DataFrame): DataFrame = {
     val post = sh.select(col("doc_id"), explode(col("hs")).as("shingle"))
-    val dfreq = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val dfreq = shingleDfreq(sh)
     post.join(dfreq, "shingle")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ds"))
@@ -611,6 +617,48 @@ object DedupQueries {
       .select(col("id_a"), col("id_b")).distinct()
     cand.join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("id_a").as("new_doc"), col("id_b").as("container_doc"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** Containment of an arriving DELTA of raw documents against a STORED
+    * container index — the per-micro-batch kernel behind
+    * `t16_stream_containment` (the streaming twin of
+    * [[dedupContainmentIncremental]]). The static sides travel with the
+    * index, exactly as production stores them: `dfreq` (global shingle →
+    * document frequency — the rarest-first ordering statistic),
+    * `containers` (the stored side's full postings, (id_b, shingle)),
+    * and `stored` (the stored side's exact shingle sets for the
+    * verify). The delta's shingles are computed HERE, from text, per
+    * batch — identical expressions to [[shingleTable]] — then only the
+    * rarest-first PREFIX shingles join the postings; exact containment
+    * verifies on candidates. Per-delta-doc independence makes the
+    * result batching-invariant: the union over any partition of the
+    * delta equals the one-shot batch relation. */
+  private[graft] def containmentOfDelta(delta: DataFrame, dfreq: DataFrame,
+                                        containers: DataFrame, stored: DataFrame): DataFrame = {
+    import graft.expr.hashfunctions.word_gram_poly61
+    val hsA = delta
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= ShingleN)
+      .select(col("doc_id"),
+        array_sort(array_distinct(word_gram_poly61(col("ws"), ShingleN))).as("hs"))
+    val rf = hsA.select(col("doc_id"), explode(col("hs")).as("shingle"))
+      .join(dfreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ds"))
+      .select(col("doc_id"), transform(col("ds"), _.getField("shingle")).as("rhs"),
+        size(col("ds")).as("sz"))
+    val plen = (col("sz") - ceil(col("sz") * lit(ContainmentThreshold)).cast("int")) + 1
+    val a = rf.select(col("doc_id").as("id_a"),
+      explode(slice(col("rhs"), lit(1), plen)).as("shingle"))
+    val cand = a.join(containers, Seq("shingle"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand.join(hsA.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(stored.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("containment",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
       .filter(col("containment") >= ContainmentThreshold)

@@ -62,21 +62,22 @@ object StreamingQueries {
     * CONTINUES from the committed offsets (restart semantics), so
     * consumed totals accumulate across attempts instead of each attempt
     * re-draining everything. */
-  private def drainResumable(expectedRows: Long, what: String)
+  private def drainResumable(expectedRows: Long, what: String, expectedFactor: Int = 1)
                             (start: => org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val want = expectedRows * expectedFactor
     var attempt = 0
     var total = 0L
-    while (total < expectedRows && attempt < 3) {
+    while (total < want && attempt < 3) {
       val q = start
       q.awaitTermination()
       total += q.recentProgress.map(_.numInputRows).sum
       attempt += 1
-      if (total < expectedRows)
-        System.err.println(s"[graft] $what drained $total of $expectedRows staged rows " +
+      if (total < want)
+        System.err.println(s"[graft] $what drained $total of $want staged rows " +
           s"(attempt $attempt) — resuming from the checkpoint")
     }
-    require(total == expectedRows,
-      s"$what drained $total of $expectedRows staged rows after $attempt attempts")
+    require(total == want,
+      s"$what drained $total of $want staged rows after $attempt attempts")
     total
   }
 
@@ -728,7 +729,59 @@ object StreamingQueries {
         max(col("vec_id")).as("max_id"), sum(col("vec_id")).as("id_sum"))
   }
 
+  /** T16 (net-new): streaming set-containment against a stored index —
+    * the streaming twin of [[DedupQueries.dedupContainmentIncremental]]
+    * and the partner of t15's index maintenance: t15 keeps the index
+    * fresh, t16 answers "is this arriving doc an excerpt of the stored
+    * corpus?" per ingest micro-batch. The STORED side is built once and
+    * persisted, exactly the artifacts a production index keeps: the
+    * container postings (even-id docs, full shingles), the exact
+    * shingle sets for the verify, and the global document-frequency
+    * table that orders prefixes rarest-first. Each micro-batch of raw
+    * delta docs (odd ids) computes its own shingles from text, joins
+    * only its PREFIX shingles against the postings, exact-verifies the
+    * candidates, and appends the confirmed pairs via foreachBatch.
+    * Per-delta-doc independence makes the union over micro-batches
+    * equal the one-shot batch relation — so the streamed result shares
+    * `dedup_containment_incremental`'s full DuckDB oracle. */
+  def t16StreamContainment(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.ScratchDirs.dir("stream", tag, "containment_stream")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base)) // fresh feed + out + checkpoint per run
+    val feed = s"$base/feed"; val out = s"$base/out"; val ckpt = s"$base/checkpoint"
+    // the stored index artifacts, built once and persisted across batches
+    val sh = DedupQueries.shingleTable(spark, dir)
+    val dfreq = DedupQueries.shingleDfreq(sh).persist()
+    val containers = sh.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle")).persist()
+    val stored = sh.filter(col("doc_id") % 2 === 0)
+    dfreq.count(); containers.count()
+    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    delta.repartition(4).write.mode("overwrite").parquet(feed)
+    val stream = StreamOps.fileFeed(spark, feed, delta, maxFilesPerTrigger = 1)
+    // the containment kernel scans the arriving batch twice (prefix
+    // side + verify side), so the progress metric reports each staged
+    // row twice (measured) — same class as t5's per-side counting
+    drainResumable(delta.count(), "t16_stream_containment", expectedFactor = 2) {
+      stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          DedupQueries.containmentOfDelta(batch.toDF(), dfreq, containers, stored)
+            .write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    dfreq.unpersist(); containers.unpersist()
+    spark.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_stream_containment" -> (t16StreamContainment _),
     "t15_stream_ivf_ingest" -> (t15StreamIvfIngest _),
     "t14_checkpoint_recovery" -> (t14CheckpointRecovery _),
     "t13_stream_frequent_items" -> (t13StreamFrequentItems _),
@@ -749,6 +802,9 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // batching-invariant by per-delta-doc independence, so the streamed
+    // union shares the batch incremental-containment replay verbatim
+    "t16_stream_containment" -> DedupQueries.oracle("dedup_containment_incremental"),
     // the frozen-quantizer assignment replayed batch-wise in SQL (the
     // ivf_append CTEs); integer sums make exactly-once checkable exactly
     "t15_stream_ivf_ingest" -> SimilarityQueries.ivfIngestCountsSql,

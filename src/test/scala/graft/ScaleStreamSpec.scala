@@ -221,6 +221,21 @@ class ScaleStreamSpec extends SparkSpecBase {
       "feed should drain in >= 4 micro-batches")
   }
 
+  test("t16 streaming containment equals the batch incremental relation") {
+    val streamed = StreamingQueries.t16StreamContainment(spark, sfDir)
+    val batch = graft.queries.DedupQueries.dedupContainmentIncremental(spark, sfDir)
+    assert(streamed.count() > 0, "no containment pairs drained")
+    // per-delta-doc independence: the union over the 4 micro-batches
+    // must equal the one-shot batch join exactly (pairs AND scores)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed containment diverges from the batch incremental relation")
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val offsets = new java.io.File(
+      graft.ScratchDirs.dir("stream", tag, "containment_stream", "checkpoint", "offsets"))
+    assert(offsets.listFiles().count(!_.getName.endsWith(".crc")) >= 4,
+      "delta should drain in >= 4 micro-batches")
+  }
+
   test("t5 stream-stream join reaches batch interval-join parity") {
     val streamed = StreamingQueries.t5StreamStreamJoin(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
