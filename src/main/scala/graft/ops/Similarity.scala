@@ -81,17 +81,32 @@ object Similarity {
                iters: Int): (DataFrame, DataFrame) = {
     var assigned = df.withColumn("cluster", col(idCol) % k)
     (0 until iters).foreach { _ =>
-      val cents = roundedCentroids(assigned, vecCol).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      val scored = cents.map { case (c, v) =>
-        struct(cosine(col(vecCol), typedlit(v)).as("s"), lit(-c).as("nc"))
-      }
-      val top = if (scored.length == 1) scored.head
-                else greatest(scored.toIndexedSeq: _*)
-      assigned = df.withColumn("cluster", (-top.getField("nc")).cast("long"))
+      assigned = df.withColumn("cluster",
+        nearestCluster(roundedCentroids(assigned, vecCol), col(vecCol)))
     }
     (assigned, roundedCentroids(assigned, vecCol))
+  }
+
+  /** Literal-argmax nearest-centroid assignment: collect the (tiny)
+    * `(cluster, centroid)` table to the driver — a model-parameter
+    * transfer, k × dim doubles — and emit a PURE PROJECTION column:
+    * `greatest` over (cosine, -cluster) structs, i.e. highest cosine
+    * with ties to the SMALLEST cluster id (the convention every DuckDB
+    * oracle mirrors as `ORDER BY cos DESC, cluster ASC`). One
+    * definition serves the k-means loop, the frozen-quantizer append
+    * and streaming-ingest paths, and their specs — the tie-break must
+    * never fork. Being literal-only, the column is usable inside a
+    * streaming projection (no join, no state). */
+  def nearestCluster(cents: DataFrame, vec: Column): Column = {
+    val cl = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val scored = cl.map { case (c, v) =>
+      struct(cosine(vec, typedlit(v)).as("s"), lit(-c).as("nc"))
+    }
+    val top = if (scored.length == 1) scored.head
+              else greatest(scored.toIndexedSeq: _*)
+    (-top.getField("nc")).cast("long")
   }
 
   /** Centroids with components ROUNDED to 9 dp: the per-dimension mean

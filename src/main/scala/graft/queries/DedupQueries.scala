@@ -605,23 +605,17 @@ object DedupQueries {
     * its own prefix shingles against it). Exact containment verify on
     * candidates, as the batch form. */
   def dedupContainmentIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // the one-shot form IS the kernel applied to the whole delta at
+    // once — the same code path t16 drives per micro-batch, so the two
+    // cannot desynchronize on threshold/prefix/verify semantics
     val sh = shingleTable(spark, dir)
-    val withSz = rarestFirst(sh).filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
-    val plen = (col("sz") - ceil(col("sz") * lit(ContainmentThreshold)).cast("int")) + 1
-    val a = withSz.select(col("doc_id").as("id_a"),
-      explode(slice(col("hs"), lit(1), plen)).as("shingle"))
-    val b = sh.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle"))
-    val cand = a.join(b, Seq("shingle"))
-      .select(col("id_a"), col("id_b")).distinct()
-    cand.join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("containment",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
-      .filter(col("containment") >= ContainmentThreshold)
-      .select(col("id_a").as("new_doc"), col("id_b").as("container_doc"),
-        round(col("containment"), 6).as("containment"))
+    containmentOfDelta(
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text")),
+      shingleDfreq(sh),
+      sh.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle")),
+      sh.filter(col("doc_id") % 2 === 0))
   }
 
   /** Containment of an arriving DELTA of raw documents against a STORED

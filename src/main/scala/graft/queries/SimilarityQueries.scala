@@ -232,13 +232,8 @@ object SimilarityQueries {
     val e = Tables.embeddings(spark, dir)
     val base = e.filter(col("vec_id") % 5 =!= 0)
     val (_, cents) = ivfIndex(base, "vec_id", "embedding", k = 8, iters = 1)
-    val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    val scored = cl.map { case (c, v) =>
-      struct(cosine(col("embedding"), typedlit(v)).as("s"), lit(-c).as("nc"))
-    }
-    val top = if (scored.length == 1) scored.head
-              else greatest(scored.toIndexedSeq: _*)
-    val idx = e.withColumn("cluster", (-top.getField("nc")).cast("long"))
+    val idx = e.withColumn("cluster",
+      graft.ops.Similarity.nearestCluster(cents, col("embedding")))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val probes = probeClusters(q, cents, nprobe = 3)

@@ -28,6 +28,13 @@ object StreamingQueries {
   private def eventRows(spark: SparkSession, dir: String): Long =
     spark.read.parquet(s"$dir/events.parquet").count()
 
+  /** Recursive delete for per-run scratch roots (feeds, checkpoints,
+    * state/index targets). */
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rmrf)
+    p.delete(); ()
+  }
+
   /** Start an AvailableNow drain and VERIFY it consumed the whole staged
     * feed, retrying with a fresh query if it came up short. Observed
     * about once in ten full-sweep drains: a query completed
@@ -50,12 +57,15 @@ object StreamingQueries {
       q.awaitTermination()
       consumed = q.recentProgress.map(_.numInputRows).sum
       attempt += 1
-      if (consumed != want)
+      if (consumed > want) attempt = 3 // plan-determined (scan-count change), retry can't converge
+      else if (consumed != want)
         System.err.println(s"[graft] $what drained $consumed of $want staged rows " +
           s"(attempt $attempt) — retrying from a fresh snapshot")
     }
     require(consumed == want,
-      s"$what drained $consumed of $want staged rows after $attempt attempts")
+      s"$what drained $consumed of $want staged rows after $attempt attempts" +
+      (if (consumed > want) " — an overcount means the plan's source-scan count " +
+        "changed; update this call's expectedFactor" else ""))
   }
 
   /** [[drainVerified]] for queries on a DURABLE checkpoint: a retry
@@ -77,7 +87,9 @@ object StreamingQueries {
           s"(attempt $attempt) — resuming from the checkpoint")
     }
     require(total == want,
-      s"$what drained $total of $want staged rows after $attempt attempts")
+      s"$what drained $total of $want staged rows after $attempt attempts" +
+      (if (total > want) " — an overcount means the plan's source-scan count " +
+        "changed; update this call's expectedFactor" else ""))
     total
   }
 
@@ -299,11 +311,13 @@ object StreamingQueries {
   def t10CustomSourceStream(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.ScratchDirs.dir("streaming",
       dir.replaceAll("[^a-zA-Z0-9]", "_"), "linelist_stream")
-    val terms = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("value"))
       .filter(col("value") =!= "").distinct()
-    terms.repartition(3).write.mode("overwrite").text(out)
-    val nStaged = terms.count()
+      .repartition(3).write.mode("overwrite").text(out)
+    // count the staged artifact itself (one line per term) — cheaper
+    // than re-running the distinct pipeline, and it IS the feed
+    val nStaged = spark.read.text(out).count()
     val stream = spark.readStream.format("graft.sources.LineListSource")
       .option("path", out).option("maxFilesPerTrigger", "1").load()
     val qname = "t10_custom_stream_" + java.lang.Integer.toHexString(dir.hashCode)
@@ -425,10 +439,6 @@ object StreamingQueries {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val feed = graft.ScratchDirs.dir("stream", tag, "upsert_feed")
     val state = graft.ScratchDirs.dir("stream", tag, "upsert_state")
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf)
-      p.delete(); ()
-    }
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     // ROUND-ROBIN staging (not user-hashed): keys must span batches or
@@ -608,10 +618,6 @@ object StreamingQueries {
   def t14CheckpointRecovery(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = graft.ScratchDirs.dir("stream", tag, "ckpt_recovery")
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(base)) // fresh feed + checkpoint per invocation
     val stage = s"$base/stage"; val feed = s"$base/feed"; val ckpt = s"$base/checkpoint"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
@@ -694,10 +700,6 @@ object StreamingQueries {
   def t15StreamIvfIngest(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = graft.ScratchDirs.dir("stream", tag, "ivf_ingest")
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(base)) // fresh feed + index + checkpoint per run
     val feed = s"$base/feed"; val index = s"$base/index"; val ckpt = s"$base/checkpoint"
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -705,17 +707,11 @@ object StreamingQueries {
       e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", k = 8, iters = 1)
     // model-parameter transfer (8 × dim doubles), then a literal argmax —
     // the assignment carries NO join and no aggregation into the stream
-    val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    val scored = cl.map { case (c, v) =>
-      struct(graft.ops.Similarity.cosine(col("embedding"), typedlit(v)).as("s"),
-        lit(-c).as("nc"))
-    }
-    val top = if (scored.length == 1) scored.head
-              else greatest(scored.toIndexedSeq: _*)
+    val assign = graft.ops.Similarity.nearestCluster(cents, col("embedding"))
     e.repartition(4).write.mode("overwrite").parquet(feed)
     val stream = StreamOps.fileFeed(spark, feed, e, maxFilesPerTrigger = 1)
     drainResumable(e.count(), "t15_stream_ivf_ingest") {
-      stream.withColumn("cluster", (-top.getField("nc")).cast("long"))
+      stream.withColumn("cluster", assign)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           batch.write.mode("append").partitionBy("cluster").parquet(index); ()
@@ -747,10 +743,6 @@ object StreamingQueries {
   def t16StreamContainment(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = graft.ScratchDirs.dir("stream", tag, "containment_stream")
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rmrf)
-      p.delete(); ()
-    }
     rmrf(new java.io.File(base)) // fresh feed + out + checkpoint per run
     val feed = s"$base/feed"; val out = s"$base/out"; val ckpt = s"$base/checkpoint"
     // the stored index artifacts, built once and persisted across batches
@@ -767,16 +759,21 @@ object StreamingQueries {
     // the containment kernel scans the arriving batch twice (prefix
     // side + verify side), so the progress metric reports each staged
     // row twice (measured) — same class as t5's per-side counting
-    drainResumable(delta.count(), "t16_stream_containment", expectedFactor = 2) {
-      stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          DedupQueries.containmentOfDelta(batch.toDF(), dfreq, containers, stored)
-            .write.mode("append").parquet(out); ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+    try {
+      drainResumable(delta.count(), "t16_stream_containment", expectedFactor = 2) {
+        stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            DedupQueries.containmentOfDelta(batch.toDF(), dfreq, containers, stored)
+              .write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+    } finally {
+      // unpersist on the failure path too — a leaked postings cache
+      // would pin corpus-scale blocks for the rest of the session
+      dfreq.unpersist(); containers.unpersist()
     }
-    dfreq.unpersist(); containers.unpersist()
     spark.read.parquet(out)
   }
 

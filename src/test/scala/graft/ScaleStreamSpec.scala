@@ -195,13 +195,8 @@ class ScaleStreamSpec extends SparkSpecBase {
     val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val (_, cents) = graft.ops.Similarity.ivfIndex(
       e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", k = 8, iters = 1)
-    val cl = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    val scored = cl.map { case (c, v) =>
-      struct(graft.ops.Similarity.cosine(col("embedding"),
-        typedlit(v)).as("s"), lit(-c).as("nc"))
-    }
     val want = e.withColumn("cluster",
-        (-greatest(scored.toIndexedSeq: _*).getField("nc")).cast("long"))
+        graft.ops.Similarity.nearestCluster(cents, col("embedding")))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"),
         max(col("vec_id")).as("max_id"), sum(col("vec_id")).as("id_sum"))
