@@ -207,9 +207,18 @@ class ScaleStreamSpec extends SparkSpecBase {
     // the index must land as a cluster-partitioned layout (the searchable
     // shape ann_ivf_partitioned prunes on) written across >= 4 micro-batches
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    val idx = new java.io.File(graft.ScratchDirs.dir("stream", tag, "ivf_ingest", "index"))
+    val idxDir = graft.ScratchDirs.dir("stream", tag, "ivf_ingest", "index")
+    val idx = new java.io.File(idxDir)
     assert(idx.listFiles().exists(f => f.isDirectory && f.getName.startsWith("cluster=")),
       "index is not partitioned by cluster")
+    // and a probe against the streamed index must PRUNE on the partition
+    // column before IO — the ingest output is the searchable shape, not
+    // just a directory layout
+    val probe = spark.read.parquet(idxDir).filter(col("cluster") === 3)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1").nonEmpty,
+      s"probe of the streamed index has no partition filters:\n$scan")
     val offsets = new java.io.File(
       graft.ScratchDirs.dir("stream", tag, "ivf_ingest", "checkpoint", "offsets"))
     assert(offsets.listFiles().count(!_.getName.endsWith(".crc")) >= 4,
