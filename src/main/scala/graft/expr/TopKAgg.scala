@@ -16,23 +16,31 @@ final class TopKBuffer(val k: Int) {
   val heap = new Array[Double](k) // min-heap on heap(0)
   var size = 0
 
+  // NaN-total greater-than: NaN ranks above every finite value (Spark's
+  // and DuckDB's double ordering), so admission cannot depend on
+  // arrival/merge order when a NaN appears; -0.0 == 0.0 stays primitive.
+  @inline private def gt(a: Double, b: Double): Boolean = {
+    val na = java.lang.Double.isNaN(a); val nb = java.lang.Double.isNaN(b)
+    if (na || nb) na && !nb else a > b
+  }
+
   def insert(v: Double): Unit = {
     if (size < k) {
       heap(size) = v; size += 1
       var i = size - 1 // sift up
-      while (i > 0 && heap((i - 1) / 2) > heap(i)) {
+      while (i > 0 && gt(heap((i - 1) / 2), heap(i))) {
         val t = heap(i); heap(i) = heap((i - 1) / 2); heap((i - 1) / 2) = t
         i = (i - 1) / 2
       }
-    } else if (v > heap(0)) {
+    } else if (gt(v, heap(0))) {
       heap(0) = v
       var i = 0 // sift down
       var done = false
       while (!done) {
         val l = 2 * i + 1; val r = l + 1
         var m = i
-        if (l < size && heap(l) < heap(m)) m = l
-        if (r < size && heap(r) < heap(m)) m = r
+        if (l < size && gt(heap(m), heap(l))) m = l
+        if (r < size && gt(heap(m), heap(r))) m = r
         if (m == i) done = true
         else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
       }

@@ -23,9 +23,17 @@ final class TopKPairsBuffer(val k: Int) {
   val id = new Array[Long](k)
   var size = 0
 
-  // true iff (s1,i1) ranks WORSE than (s2,i2) under (score desc, id asc)
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  // true iff (s1,i1) ranks WORSE than (s2,i2) under (score desc, id asc).
+  // NaN ranks BEST: Spark's double ordering (and DuckDB's) places NaN
+  // above every finite value, so a desc sort puts it first — the raw
+  // </== form would leave NaN incomparable and make admission depend
+  // on partition merge order. -0.0 == 0.0 stays primitive (Spark's
+  // normalized comparison), so only the NaN arm special-cases.
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val n1 = java.lang.Double.isNaN(s1); val n2 = java.lang.Double.isNaN(s2)
+    if (n1 || n2) { if (n1 == n2) i1 > i2 else n2 }
+    else s1 < s2 || (s1 == s2 && i1 > i2)
+  }
 
   private def swap(a: Int, b: Int): Unit = {
     val ts = score(a); score(a) = score(b); score(b) = ts

@@ -146,7 +146,13 @@ object DedupQueries {
     // (array_intersect is order-independent) — shuffle joins keyed on
     // doc_id (linear in candidates; the 100 TB shape, and no
     // driver-side collect of the persisted shingle table).
-    val cand = ppjoinCandidates(rarestFirst(sh))
+    // rarestFirst is persisted (like shingleTable; Verify/Bench clear
+    // the cache per query): its df-join + per-doc re-sort subtree sits
+    // on BOTH sides of the prefix self-join, and exchange reuse is not
+    // guaranteed to cover it once AQE re-plans.
+    val ordered = rarestFirst(sh).persist()
+    ordered.count()
+    val cand = ppjoinCandidates(ordered)
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -173,8 +179,12 @@ object DedupQueries {
   private lazy val sessionTag = java.lang.Long.toHexString(System.nanoTime())
   private[graft] def exactPairs(spark: SparkSession, dir: String): DataFrame = {
     val path = exactPairsMemo.computeIfAbsent(dir, _ => {
+      // full sanitized dir (not a 32-bit hash): two dirs can never
+      // alias one scratch file. Keyed per (JVM, dir) — assumes the
+      // dir's contents are immutable within a session, which the
+      // harness guarantees (testdata regen restarts the JVM).
       val p = graft.ScratchDirs.dir("exact_pairs", sessionTag,
-        java.lang.Integer.toHexString(dir.hashCode))
+        dir.replaceAll("[^a-zA-Z0-9]", "_"))
       ngramPairsFrom(shingleTable(spark, dir)).write.mode("overwrite").parquet(p)
       p
     })
@@ -569,28 +579,15 @@ object DedupQueries {
     * in corpus shingle volume, never all-pairs. Exact verify on
     * candidates only. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    // rarest-first prefix on the CONTAINED side (completeness holds for
+    // ANY per-doc prefix order — df order is purely the fan-out win);
+    // the container side contributes its FULL postings. All-pairs =
+    // the kernel with delta = containers = the whole corpus.
     val sh = shingleTable(spark, dir)
-    // rarest-first prefix on the CONTAINED side (for containment the
-    // pigeonhole bound holds for ANY per-doc prefix of sz-α+1 elements,
-    // so completeness never depended on a shared order — df order is
-    // purely the fan-out win): the container side contributes its FULL
-    // postings, so a hot shingle in A's prefix multiplies against every
-    // container that mentions it; rare shingles have the short lists.
-    val withSz = rarestFirst(sh)
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
-    val plen = (col("sz") - ceil(col("sz") * lit(ContainmentThreshold)).cast("int")) + 1
-    val a = withSz.select(col("doc_id").as("id_a"), explode(slice(col("hs"), lit(1), plen)).as("shingle"))
-    val b = sh.select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle"))
-    val cand = a.join(b, Seq("shingle"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    cand.join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("containment",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
-      .filter(col("containment") >= ContainmentThreshold)
+    containmentOfDelta(sh, shingleDfreq(sh),
+      sh.select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle")), sh)
       .select(col("id_a").as("contained_doc"), col("id_b").as("container_doc"),
-        round(col("containment"), 6).as("containment"))
+        col("containment"))
   }
 
   /** Incremental containment join (net-new; the [[dedupIncremental]]
@@ -610,37 +607,46 @@ object DedupQueries {
     // cannot desynchronize on threshold/prefix/verify semantics
     val sh = shingleTable(spark, dir)
     containmentOfDelta(
-      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("text")),
+      sh.filter(col("doc_id") % 2 === 1),
       shingleDfreq(sh),
       sh.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle")),
       sh.filter(col("doc_id") % 2 === 0))
+      .select(col("id_a").as("new_doc"), col("id_b").as("container_doc"),
+        col("containment"))
   }
 
-  /** Containment of an arriving DELTA of raw documents against a STORED
-    * container index — the per-micro-batch kernel behind
-    * `t16_stream_containment` (the streaming twin of
-    * [[dedupContainmentIncremental]]). The static sides travel with the
-    * index, exactly as production stores them: `dfreq` (global shingle →
-    * document frequency — the rarest-first ordering statistic),
-    * `containers` (the stored side's full postings, (id_b, shingle)),
-    * and `stored` (the stored side's exact shingle sets for the
-    * verify). The delta's shingles are computed HERE, from text, per
-    * batch — identical expressions to [[shingleTable]] — then only the
-    * rarest-first PREFIX shingles join the postings; exact containment
-    * verifies on candidates. Per-delta-doc independence makes the
-    * result batching-invariant: the union over any partition of the
-    * delta equals the one-shot batch relation. */
-  private[graft] def containmentOfDelta(delta: DataFrame, dfreq: DataFrame,
-                                        containers: DataFrame, stored: DataFrame): DataFrame = {
+  /** (doc_id, hs) sorted-distinct shingle hashes from raw (doc_id,
+    * text) rows — [[shingleTable]]'s expressions without the persist,
+    * usable on a streaming micro-batch. */
+  private[graft] def shingleDocs(raw: DataFrame): DataFrame = {
     import graft.expr.hashfunctions.word_gram_poly61
-    val hsA = delta
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    raw.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= ShingleN)
       .select(col("doc_id"),
         array_sort(array_distinct(word_gram_poly61(col("ws"), ShingleN))).as("hs"))
-    val rf = hsA.select(col("doc_id"), explode(col("hs")).as("shingle"))
+  }
+
+  /** THE containment kernel: pre-shingled `deltaSh` (doc_id, hs) rows
+    * checked for ≥ [[ContainmentThreshold]] containment in a container
+    * index. One definition serves all three shapes — the all-pairs
+    * batch join (`dedup_containment`: delta = containers = the whole
+    * corpus), the batch incremental form (delta = odd ids vs stored
+    * even ids), and t16's streaming per-micro-batch form — so the
+    * threshold/prefix/verify semantics cannot fork. The static sides
+    * travel with the index, exactly as production stores them: `dfreq`
+    * (global shingle → document frequency, the rarest-first ordering
+    * statistic), `containers` ((id_b, shingle) full postings), and
+    * `stored` (exact shingle sets for the verify). Only the delta's
+    * rarest-first PREFIX shingles join the postings (pigeonhole: a
+    * qualifying pair must collide within the first sz−ceil(t·sz)+1
+    * elements of ANY per-doc order); exact verify on candidates;
+    * self-pairs excluded. Per-delta-doc independence makes the result
+    * batching-invariant: the union over any partition of the delta
+    * equals the one-shot relation. Returns (id_a, id_b, containment). */
+  private[graft] def containmentOfDelta(deltaSh: DataFrame, dfreq: DataFrame,
+                                        containers: DataFrame, stored: DataFrame): DataFrame = {
+    val rf = deltaSh.select(col("doc_id"), explode(col("hs")).as("shingle"))
       .join(dfreq, "shingle")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ds"))
@@ -650,14 +656,14 @@ object DedupQueries {
     val a = rf.select(col("doc_id").as("id_a"),
       explode(slice(col("rhs"), lit(1), plen)).as("shingle"))
     val cand = a.join(containers, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand.join(hsA.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+    cand.join(deltaSh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(stored.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .withColumn("containment",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") / size(col("hs_a")))
       .filter(col("containment") >= ContainmentThreshold)
-      .select(col("id_a").as("new_doc"), col("id_b").as("container_doc"),
-        round(col("containment"), 6).as("containment"))
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
   }
 
   val KcoreK = 2

@@ -763,7 +763,10 @@ object StreamingQueries {
       drainResumable(delta.count(), "t16_stream_containment", expectedFactor = 2) {
         stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            DedupQueries.containmentOfDelta(batch.toDF(), dfreq, containers, stored)
+            DedupQueries.containmentOfDelta(
+                DedupQueries.shingleDocs(batch.toDF()), dfreq, containers, stored)
+              .select(col("id_a").as("new_doc"), col("id_b").as("container_doc"),
+                col("containment"))
               .write.mode("append").parquet(out); ()
           }
           .option("checkpointLocation", ckpt)

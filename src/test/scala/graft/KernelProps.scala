@@ -174,6 +174,44 @@ object KernelProps extends Properties("kernels") {
       a.sortedPairs.toList == all.sortedPairs.toList
     }
 
+  // NaN regression net: both heaps must rank NaN ABOVE every finite
+  // value (Spark's and DuckDB's double ordering — a desc sort puts NaN
+  // first), independent of arrival order. The raw </> comparators left
+  // NaN incomparable, making admission merge-order dependent.
+  private def pairBetter(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val n1 = a._1.isNaN; val n2 = b._1.isNaN
+    if (n1 || n2) { if (n1 == n2) a._2 < b._2 else n1 }
+    else a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  }
+
+  private val nanScore: Gen[Double] =
+    Gen.frequency(4 -> Gen.chooseNum(-1e6, 1e6), 1 -> Gen.const(Double.NaN))
+
+  property("topk buffer ranks NaN as the greatest value") =
+    forAll(Gen.nonEmptyListOf(nanScore), Gen.chooseNum(1, 10)) { (xs, k) =>
+      val buf = new TopKBuffer(k)
+      xs.foreach(buf.insert)
+      val down = Ordering.Double.TotalOrdering.reverse
+      val expect = xs.sorted(down).take(k)
+      val got = buf.values.sorted(down).toList
+      Prop(got.size == expect.size &&
+        got.zip(expect).forall { case (a, b) => a == b || (a.isNaN && b.isNaN) }) :|
+        s"got $got expect $expect"
+    }
+
+  property("topk_pairs buffer ranks NaN scores first") =
+    forAll(Gen.nonEmptyListOf(for {
+      s <- nanScore; i <- Gen.chooseNum(0L, 50L)
+    } yield (s, i)), Gen.chooseNum(1, 8)) { (ps, k) =>
+      val buf = new TopKPairsBuffer(k)
+      ps.foreach { case (s, i) => buf.insert(s, i) }
+      val expect = ps.sortWith(pairBetter).take(k)
+      val got = buf.sortedPairs.toList
+      Prop(got.size == expect.size && got.zip(expect).forall {
+        case ((s1, i1), (s2, i2)) => i1 == i2 && (s1 == s2 || (s1.isNaN && s2.isNaN))
+      }) :| s"got $got expect $expect"
+    }
+
   property("simhash of identical multisets is equal; hamming 0") =
     forAll(Gen.listOf(Gen.alphaStr)) { words =>
       import org.apache.spark.sql.catalyst.util.GenericArrayData
