@@ -68,30 +68,89 @@ object StreamingQueries {
         "changed; update this call's expectedFactor" else ""))
   }
 
-  /** [[drainVerified]] for queries on a DURABLE checkpoint: a retry
-    * CONTINUES from the committed offsets (restart semantics), so
-    * consumed totals accumulate across attempts instead of each attempt
-    * re-draining everything. */
-  private def drainResumable(expectedRows: Long, what: String, expectedFactor: Int = 1)
-                            (start: => org.apache.spark.sql.streaming.StreamingQuery): Long = {
-    val want = expectedRows * expectedFactor
+  /** The staged feed files a drain is expected to consume (FileStream
+    * sources skip hidden/metadata names, so the expectation does too). */
+  private def stagedFileNames(feed: String): Set[String] =
+    Option(new java.io.File(feed).listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(_.getName)
+      .filter(n => !n.startsWith(".") && !n.startsWith("_") && !n.endsWith(".crc"))
+      .toSet
+
+  /** Feed files recorded in the checkpoint's file-source log for
+    * batches with a COMMIT entry — the committed-offset view of what a
+    * drain actually consumed. This is the completeness signal for
+    * durable-checkpoint drains: unlike the progress metric's
+    * numInputRows it is plan-independent (a kernel that scans the
+    * arriving batch twice, or an exchange-reuse re-plan, never changes
+    * it) and unbounded (recentProgress retains only the last
+    * numRecentProgressUpdates entries). Reads the two driver-local
+    * metadata logs directly: `sources/0/<batchId>` lists the files a
+    * batch ingests (JSON entries, `.compact` files absorb earlier
+    * ones), `commits/<batchId>` marks the batch fully processed. */
+  private def committedFeedFiles(ckpt: String): Set[String] = {
+    def logFiles(d: String): Array[java.io.File] =
+      Option(new java.io.File(s"$ckpt/$d").listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("[0-9]+(\\.compact)?"))
+    val committed = logFiles("commits").map(_.getName.toLong)
+    if (committed.isEmpty) return Set.empty
+    val maxCommitted = committed.max
+    val pathRe = java.util.regex.Pattern.compile("\"path\":\"([^\"]+)\"")
+    logFiles("sources/0")
+      .filter(_.getName.stripSuffix(".compact").toLong <= maxCommitted)
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try {
+          val m = pathRe.matcher(src.mkString)
+          val b = Array.newBuilder[String]
+          while (m.find()) b += m.group(1).split('/').last
+          b.result()
+        } finally src.close()
+      }.toSet
+  }
+
+  /** Drain-completeness loop for queries on a DURABLE checkpoint: a
+    * retry CONTINUES from the committed offsets (restart semantics),
+    * picking up exactly the staged files the previous attempt left
+    * uncommitted. Completeness is judged from the checkpoint itself
+    * ([[committedFeedFiles]]), so there is no per-plan scan-count
+    * factor to maintain and no overcount mode at all. */
+  private def drainCommitted(feed: String, ckpt: String, what: String)
+                            (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val staged = stagedFileNames(feed)
+    require(staged.nonEmpty, s"$what has no staged feed files under $feed")
     var attempt = 0
-    var total = 0L
-    while (total < want && attempt < 3) {
+    var missing = staged
+    while (missing.nonEmpty && attempt < 3) {
       val q = start
       q.awaitTermination()
-      total += q.recentProgress.map(_.numInputRows).sum
+      missing = staged -- committedFeedFiles(ckpt)
       attempt += 1
-      if (total < want)
-        System.err.println(s"[graft] $what drained $total of $want staged rows " +
-          s"(attempt $attempt) — resuming from the checkpoint")
+      if (missing.nonEmpty)
+        System.err.println(s"[graft] $what left ${missing.size} of ${staged.size} staged " +
+          s"files uncommitted (attempt $attempt) — resuming from the checkpoint")
     }
-    require(total == want,
-      s"$what drained $total of $want staged rows after $attempt attempts" +
-      (if (total > want) " — an overcount means the plan's source-scan count " +
-        "changed; update this call's expectedFactor" else ""))
-    total
+    require(missing.isEmpty,
+      s"$what left ${missing.size} of ${staged.size} staged files uncommitted " +
+      s"after $attempt attempts: ${missing.toSeq.sorted.take(5).mkString(", ")}")
   }
+
+  /** Idempotent per-batch parquet publish for `foreachBatch` sinks: the
+    * batch lands under an `ingest_batch=<id>` partition via DYNAMIC
+    * partition overwrite, so a batch replayed after a crash between the
+    * sink write and the offset commit REPLACES its own partition
+    * instead of double-appending — the exactly-once half a blind
+    * `mode("append")` cannot give. Extra partition columns go FIRST so
+    * any caller-supplied partitioning (e.g. t15's cluster) stays the
+    * top-level layout. */
+  private def publishBatch(batch: DataFrame, batchId: Long, out: String,
+                           partitionCols: Seq[String] = Nil): Unit =
+    graft.Confs.withSessionConf(batch.sparkSession,
+      "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      batch.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .partitionBy(partitionCols :+ "ingest_batch": _*)
+        .parquet(out)
+    }
 
   /** Stage `events.parquet` into a drop-folder (the T1 file feed is a
     * DIRECTORY of arriving files — baseline + updatefiles) and open it
@@ -124,7 +183,15 @@ object StreamingQueries {
     * knob goes the other way — state partitioning is sized at FIRST
     * start and pinned by the checkpoint. */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
-    graft.Confs.withShufflePartitions(spark, n)(body)
+    graft.Confs.withShufflePartitions(spark, n) {
+      // the drain accounting sums q.recentProgress, whose retention is
+      // capped at numRecentProgressUpdates (default 100): a feed that
+      // drains in more micro-batches would silently undercount and
+      // hard-fail the completeness require. Raise the buffer far past
+      // any plausible drain length; restored with the session conf.
+      graft.Confs.withSessionConf(spark,
+        "spark.sql.streaming.numRecentProgressUpdates", "100000")(body)
+    }
 
   def t1StreamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val stream = decodeTs(stagedEventFeed(spark, dir))
@@ -636,40 +703,52 @@ object StreamingQueries {
     val (firstHalf, secondHalf) = parts.splitAt(parts.length / 2)
     // the memory sink refuses checkpoint recovery, so each session's
     // update-mode emissions land in a per-session parquet dir via
-    // foreachBatch — the recoverable-sink shape production uses
-    def drainSession(out: String): Long =
+    // foreachBatch — the recoverable-sink shape production uses, made
+    // replay-idempotent by batch-keyed dynamic-overwrite partitions
+    def drainSession(out: String): Unit =
       StreamOps.withRocksDBStateStore(spark) {
         withStatePartitions(spark, 8) {
           val stream = StreamOps.fileFeed(spark, feed, ev, maxFilesPerTrigger = 1)
           val q = StreamOps.userProfiles(spark, stream.toDF()).toDF()
             .writeStream
-            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-              batch.write.mode("append").parquet(out); ()
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+              publishBatch(batch.toDF(), bid, out)
             }
             .outputMode("update").option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-          q.recentProgress.map(_.numInputRows).sum
         }
       }
     ship(firstHalf)
-    var consumed = drainSession(s"$base/out_p1") // session 1: half the feed, then stop
+    drainSession(s"$base/out_p1") // session 1: half the feed, then stop
     ship(secondHalf)
-    consumed += drainSession(s"$base/out_p2") // session 2: same checkpoint, new files only
-    // drain-completeness accounting across BOTH sessions (see
-    // drainVerified): on a short total the durable checkpoint makes
-    // another session a pure RESUME — it picks up exactly the unseen
-    // files, so the restart-recovery semantics under test are preserved
-    val nStaged = eventRows(spark, dir)
+    drainSession(s"$base/out_p2") // session 2: same checkpoint, new files only
+    // drain-completeness accounting across BOTH sessions, judged from
+    // the checkpoint's committed file-source log (plan-independent and
+    // immune to the recentProgress retention cap): on a short drain the
+    // durable checkpoint makes another session a pure RESUME — it picks
+    // up exactly the unseen files, so the restart-recovery semantics
+    // under test are preserved
+    val staged = stagedFileNames(feed)
+    def missing: Set[String] = staged -- committedFeedFiles(ckpt)
     var extra = 0
-    while (consumed < nStaged && extra < 2) {
-      System.err.println(s"[graft] t14 drained $consumed of $nStaged staged rows — resuming")
-      consumed += drainSession(s"$base/out_p2")
+    while (missing.nonEmpty && extra < 2) {
+      System.err.println(s"[graft] t14 left ${missing.size} of ${staged.size} staged " +
+        "files uncommitted — resuming")
+      drainSession(s"$base/out_p2")
       extra += 1
     }
-    require(consumed == nStaged,
-      s"t14 drained $consumed of $nStaged staged rows across sessions")
-    spark.read.parquet(s"$base/out_p1").unionByName(spark.read.parquet(s"$base/out_p2"))
+    require(missing.isEmpty,
+      s"t14 left ${missing.size} of ${staged.size} staged files uncommitted across sessions")
+    // a session whose drain landed zero micro-batches (documented
+    // partial-snapshot flake) writes no parquet dir at all — read each
+    // side back guarded, with the other side's schema as the fallback
+    def sessionOut(p: String): DataFrame =
+      if (new java.io.File(p).exists()) spark.read.parquet(p)
+        .select(col("user_id"), col("n_events"), col("n_types"), col("max_value"))
+      else spark.range(0).select(col("id").as("user_id"), lit(0L).as("n_events"),
+        lit(0L).as("n_types"), lit(0.0).as("max_value"))
+    sessionOut(s"$base/out_p1").unionByName(sessionOut(s"$base/out_p2"))
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("n_types"), col("max_value"))).as("s"))
       .select(col("user_id"), col("s.n_events").as("n_events"),
@@ -710,11 +789,14 @@ object StreamingQueries {
     val assign = graft.ops.Similarity.nearestCluster(cents, col("embedding"))
     e.repartition(4).write.mode("overwrite").parquet(feed)
     val stream = StreamOps.fileFeed(spark, feed, e, maxFilesPerTrigger = 1)
-    drainResumable(e.count(), "t15_stream_ivf_ingest") {
+    drainCommitted(feed, ckpt, "t15_stream_ivf_ingest") {
       stream.withColumn("cluster", assign)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("append").partitionBy("cluster").parquet(index); ()
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          // cluster stays the TOP-LEVEL partition (the searchable prune
+          // layout); the nested ingest_batch key makes replays overwrite
+          // their own leaf dirs instead of double-appending
+          publishBatch(batch.toDF(), bid, index, partitionCols = Seq("cluster"))
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -756,18 +838,20 @@ object StreamingQueries {
       .select(col("doc_id"), col("text"))
     delta.repartition(4).write.mode("overwrite").parquet(feed)
     val stream = StreamOps.fileFeed(spark, feed, delta, maxFilesPerTrigger = 1)
-    // the containment kernel scans the arriving batch twice (prefix
-    // side + verify side), so the progress metric reports each staged
-    // row twice (measured) — same class as t5's per-side counting
+    // completeness comes from the checkpoint's committed file log, so
+    // the kernel scanning the arriving batch twice (prefix side +
+    // verify side) needs no per-plan scan factor here — a plan change
+    // (exchange reuse, batch materialization) cannot break the drain
     try {
-      drainResumable(delta.count(), "t16_stream_containment", expectedFactor = 2) {
+      drainCommitted(feed, ckpt, "t16_stream_containment") {
         stream.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            DedupQueries.containmentOfDelta(
-                DedupQueries.shingleDocs(batch.toDF()), dfreq, containers, stored)
-              .select(col("id_a").as("new_doc"), col("id_b").as("container_doc"),
-                col("containment"))
-              .write.mode("append").parquet(out); ()
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            publishBatch(
+              DedupQueries.containmentOfDelta(
+                  DedupQueries.shingleDocs(batch.toDF()), dfreq, containers, stored)
+                .select(col("id_a").as("new_doc"), col("id_b").as("container_doc"),
+                  col("containment")),
+              bid, out)
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
@@ -778,6 +862,7 @@ object StreamingQueries {
       dfreq.unpersist(); containers.unpersist()
     }
     spark.read.parquet(out)
+      .select(col("new_doc"), col("container_doc"), col("containment"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
