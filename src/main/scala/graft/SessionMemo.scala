@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped parquet memo for SHARED derived tables: expensive
+  * pipelines whose output is the common INPUT of several registered
+  * queries (the exact near-dup pair table feeding the graph/recall
+  * pack, the ANN search results feeding the recall/drift contracts).
+  * A production pipeline materializes these once and fans consumers
+  * out from the artifact; this mirrors that — the first consumer
+  * computes and writes a session-scoped scratch parquet, the rest
+  * read it.
+  *
+  * Future-holder memoization: the build job + parquet write happen
+  * OUTSIDE the map's bin lock (computeIfAbsent would pin it for the
+  * whole job), and the path publishes only AFTER the write succeeds —
+  * on failure the entry is retracted so the next caller recomputes
+  * instead of reading a half-written scratch file.
+  *
+  * Keys embed a per-JVM tag, so a fresh session (fresh data) never
+  * reads a stale file, plus the FULL sanitized data dir (not a 32-bit
+  * hash): two dirs can never alias one scratch file. Assumes a dir's
+  * contents are immutable within a session, which the harness
+  * guarantees (testdata regen restarts the JVM). */
+object SessionMemo {
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
+  private lazy val sessionTag = java.lang.Long.toHexString(System.nanoTime())
+
+  /** The memoized frame for (`kind`, `dir`), building it via `build`
+    * exactly once per JVM. */
+  def parquet(spark: SparkSession, kind: String, dir: String)(build: => DataFrame): DataFrame = {
+    val key = s"$kind|$dir"
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = memo.putIfAbsent(key, fresh)
+    val holder = if (prior == null) fresh else prior
+    if (prior == null) {
+      try {
+        val p = ScratchDirs.dir("memo", sessionTag, kind, dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        build.write.mode("overwrite").parquet(p)
+        fresh.complete(p)
+      } catch {
+        case t: Throwable =>
+          memo.remove(key, fresh)
+          fresh.completeExceptionally(t)
+          throw t
+      }
+    }
+    spark.read.parquet(holder.join())
+  }
+}

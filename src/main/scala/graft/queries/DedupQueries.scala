@@ -168,44 +168,12 @@ object DedupQueries {
     * canonical pick, triangles, PageRank, components, and both recall
     * contracts all consume the same (id_a, id_b) set, and each used to
     * re-run the full PPJoin pipeline from the raw corpus (8 identical
-    * passes per Verify/Bench session). A production pipeline
-    * materializes the pair table once and fans consumers out from it;
-    * this mirrors that: first consumer computes and writes a
-    * session-scoped scratch parquet, the rest read it. The scratch path
-    * embeds a per-JVM tag, so a fresh session (fresh data) never reads
-    * a stale file. [[dedupNgramJaccard]] itself stays on the live
-    * pipeline — it IS the measurement of pair generation. */
-  private val exactPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
-  private lazy val sessionTag = java.lang.Long.toHexString(System.nanoTime())
-  private[graft] def exactPairs(spark: SparkSession, dir: String): DataFrame = {
-    // future-holder memoization: the PPJoin run + parquet write happen
-    // OUTSIDE the map's bin lock (computeIfAbsent would pin it for the
-    // whole job), and the path publishes only AFTER the write succeeds —
-    // on failure the entry is retracted so the next caller recomputes
-    // instead of reading a half-written scratch file.
-    val fresh = new java.util.concurrent.CompletableFuture[String]()
-    val prior = exactPairsMemo.putIfAbsent(dir, fresh)
-    val holder = if (prior == null) fresh else prior
-    if (prior == null) {
-      try {
-        // full sanitized dir (not a 32-bit hash): two dirs can never
-        // alias one scratch file. Keyed per (JVM, dir) — assumes the
-        // dir's contents are immutable within a session, which the
-        // harness guarantees (testdata regen restarts the JVM).
-        val p = graft.ScratchDirs.dir("exact_pairs", sessionTag,
-          dir.replaceAll("[^a-zA-Z0-9]", "_"))
-        ngramPairsFrom(shingleTable(spark, dir)).write.mode("overwrite").parquet(p)
-        fresh.complete(p)
-      } catch {
-        case t: Throwable =>
-          exactPairsMemo.remove(dir, fresh)
-          fresh.completeExceptionally(t)
-          throw t
-      }
-    }
-    spark.read.parquet(holder.join())
-  }
+    * passes per Verify/Bench session) — see [[graft.SessionMemo]].
+    * [[dedupNgramJaccard]] itself stays on the live pipeline — it IS
+    * the measurement of pair generation. */
+  private[graft] def exactPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemo.parquet(spark, "exact_pairs", dir)(
+      ngramPairsFrom(shingleTable(spark, dir)))
 
   /** MinHash+LSH: signature → bands → bucket equi-join → exact verify.
     * Every step (poly61 shingle hash, affine perms, folded band keys)
