@@ -585,17 +585,39 @@ object DedupQueries {
     * stored table partitioned by shingle, so each batch shuffles only
     * its own prefix shingles against it). Exact containment verify on
     * candidates, as the batch form. */
+  /** The STORED containment-index artifacts (even-id docs as the
+    * indexed corpus), session-memoized ([[graft.SessionMemo]]) because
+    * they are exactly what a production index persists ACROSS ingests:
+    * the global shingle→document-frequency table (the rarest-first
+    * ordering statistic), the container postings, and the exact
+    * shingle sets for the verify. Both consumers — the batch
+    * incremental query and t16's streaming form — measure the
+    * delta-vs-index KERNEL; the index build amortizes over every
+    * ingest, so it materializes once and the ingest paths read the
+    * artifact. */
+  private[graft] def containmentIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dfreq = graft.SessionMemo.parquet(spark, "containment_dfreq", dir)(
+      shingleDfreq(shingleTable(spark, dir)))
+    val containers = graft.SessionMemo.parquet(spark, "containment_postings", dir)(
+      shingleTable(spark, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle")))
+    val stored = graft.SessionMemo.parquet(spark, "containment_stored", dir)(
+      shingleTable(spark, dir).filter(col("doc_id") % 2 === 0))
+    (dfreq, containers, stored)
+  }
+
   def dedupContainmentIncremental(spark: SparkSession, dir: String): DataFrame = {
     // the one-shot form IS the kernel applied to the whole delta at
     // once — the same code path t16 drives per micro-batch, so the two
-    // cannot desynchronize on threshold/prefix/verify semantics
-    val sh = shingleTable(spark, dir)
+    // cannot desynchronize on threshold/prefix/verify semantics. The
+    // delta shingles from RAW text (shingleDocs), exactly as a t16
+    // micro-batch does; the stored sides come from the shared index.
+    val (dfreq, containers, stored) = containmentIndex(spark, dir)
     containmentOfDelta(
-      sh.filter(col("doc_id") % 2 === 1),
-      shingleDfreq(sh),
-      sh.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle")),
-      sh.filter(col("doc_id") % 2 === 0))
+      shingleDocs(Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))),
+      dfreq, containers, stored)
       .select(col("id_a").as("new_doc"), col("id_b").as("container_doc"),
         col("containment"))
   }

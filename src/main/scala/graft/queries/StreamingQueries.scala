@@ -827,12 +827,12 @@ object StreamingQueries {
     val base = graft.ScratchDirs.dir("stream", tag, "containment_stream")
     rmrf(new java.io.File(base)) // fresh feed + out + checkpoint per run
     val feed = s"$base/feed"; val out = s"$base/out"; val ckpt = s"$base/checkpoint"
-    // the stored index artifacts, built once and persisted across batches
-    val sh = DedupQueries.shingleTable(spark, dir)
-    val dfreq = DedupQueries.shingleDfreq(sh).persist()
-    val containers = sh.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle")).persist()
-    val stored = sh.filter(col("doc_id") % 2 === 0)
+    // the stored index artifacts, session-memoized (shared with the
+    // batch incremental query — see DedupQueries.containmentIndex) and
+    // cached in memory across this drain's micro-batches
+    val (dfreqRaw, containersRaw, stored) = DedupQueries.containmentIndex(spark, dir)
+    val dfreq = dfreqRaw.persist()
+    val containers = containersRaw.persist()
     dfreq.count(); containers.count()
     val delta = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), col("text"))
