@@ -29,6 +29,7 @@ object SparkEntry {
       (ScaleQueries.queries, ScaleQueries.oracle),
       (OlapQueries.queries, OlapQueries.oracle),
       (CurationQueries.queries, CurationQueries.oracle),
+      (ChemQueries.queries, ChemQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

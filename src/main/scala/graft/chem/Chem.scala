@@ -1,0 +1,618 @@
+package graft.chem
+
+import scala.collection.mutable
+
+/** Minimal-but-real cheminformatics kernel: the in-engine port of the
+  * reference's RDKit boundary (SURVEY §2.10 D2/D3/D5), which §7 scoped
+  * as "treat canonical SMILES as input data, or port a minimal
+  * normalizer" — this is that minimal normalizer, built from public
+  * algorithms only:
+  *
+  *  - D2 canonical SMILES (`finalize_realease.py:230-249`: parse →
+  *    cleanup → normalize → uncharge → canonical tautomer →
+  *    non-isomeric canonical SMILES): SMILES parser/writer for the
+  *    Daylight organic subset + bracket atoms, largest-fragment keep,
+  *    valence-recompute uncharger, enol→keto tautomer normalization,
+  *    and canonical atom ranking by iterative invariant refinement
+  *    with branch-and-minimize tie-breaking (Weininger's CANGEN,
+  *    J. Chem. Inf. Comput. Sci. 1989, plus the standard
+  *    individualization-refinement guard for symmetric ties).
+  *  - D3 Morgan/ECFP fingerprints (`finalize_realease.py:116-144`:
+  *    radius 2, 2048 bits): iterative neighborhood hashing per
+  *    Rogers & Hahn, J. Chem. Inf. Model. 2010, folded to 32 long
+  *    words — the same `array<long>` shape the D4 popcount kernels
+  *    ([[graft.expr.BitSimKernels]]) consume.
+  *  - D5 tautomer-aware substructure match
+  *    (`finalize_realease.py:275-331`: largest-fragment + uncharge
+  *    preprocessing, any-tautomer containment): VF2-style backtracking
+  *    subgraph isomorphism over the normalized graph.
+  *
+  * Deliberately OUT of scope (non-isomeric per the reference: D2 emits
+  * non-isomeric SMILES): stereochemistry (`@`, `/`, `\` are parsed and
+  * dropped), isotopes (dropped), and kekulization (aromatic atoms stay
+  * aromatic; aromaticity is never perceived from alternating bonds —
+  * input lowercase is trusted, as Daylight allows).
+  *
+  * Everything is a pure JVM-static kernel so the Catalyst expressions
+  * in [[graft.expr]] can call it from whole-stage-codegen'd code.
+  */
+object Chem {
+
+  /** `hExplicit == -1` → implicit-by-valence (organic-subset atom);
+    * `>= 0` → fixed count from a bracket atom (SMILES: bracket atoms
+    * have NO implicit hydrogens). */
+  final case class Atom(element: String, aromatic: Boolean, charge: Int, hExplicit: Int)
+
+  /** Bond orders: 1/2/3 = single/double/triple, 4 = aromatic. */
+  final case class Mol(atoms: Vector[Atom], bonds: Vector[(Int, Int, Int)]) {
+    lazy val adj: Array[List[(Int, Int)]] = { // atom -> (neighbor, order)
+      val a = Array.fill(atoms.length)(List.empty[(Int, Int)])
+      bonds.foreach { case (i, j, o) => a(i) = (j, o) :: a(i); a(j) = (i, o) :: a(j) }
+      a.map(_.sortBy(_._1))
+    }
+    def degree(i: Int): Int = adj(i).length
+  }
+
+  private val OrganicSubset = Set("B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I")
+  // Daylight normal valences; the smallest one >= the bond-order sum wins.
+  private val Valences: Map[String, List[Int]] = Map(
+    "B" -> List(3), "C" -> List(4), "N" -> List(3, 5), "O" -> List(2),
+    "P" -> List(3, 5), "S" -> List(2, 4, 6), "F" -> List(1), "Cl" -> List(1),
+    "Br" -> List(1), "I" -> List(1))
+
+  /** Implicit+explicit hydrogen count. Aromatic atoms contribute one
+    * extra valence unit for the ring π system (benzene carbon: 4-1-2=1H). */
+  def hydrogens(m: Mol, i: Int): Int = {
+    val a = m.atoms(i)
+    if (a.hExplicit >= 0) return a.hExplicit
+    val bondSum = m.adj(i).map { case (_, o) => if (o == 4) 1 else o }.sum +
+      (if (a.aromatic) 1 else 0)
+    Valences.get(a.element) match {
+      case Some(vs) => vs.find(_ >= bondSum).map(_ - bondSum).getOrElse(0)
+      case None     => 0
+    }
+  }
+
+  // ---------------------------------------------------------------- parse
+
+  /** SMILES parser: organic subset + bracket atoms (isotope/stereo
+    * parsed and dropped, charge and explicit H kept), bonds `- = # :`,
+    * branches, ring closures (`1`-`9`, `%nn`), `.`-separated fragments.
+    * Throws IllegalArgumentException on malformed input. */
+  def parse(s: String): Mol = {
+    val atoms = mutable.ArrayBuffer[Atom]()
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    val stack = mutable.Stack[Int]()
+    val ringOpen = mutable.Map[Int, (Int, Int)]() // closure id -> (atom, pending order)
+    var prev = -1
+    var pending = -1 // bond order before next atom; -1 = unspecified
+    var i = 0
+    def fail(msg: String) = throw new IllegalArgumentException(s"SMILES parse error at $i in '$s': $msg")
+
+    def addAtom(a: Atom): Unit = {
+      atoms += a
+      val cur = atoms.length - 1
+      if (prev >= 0) {
+        val o = if (pending >= 0) pending
+                else if (atoms(prev).aromatic && a.aromatic) 4 else 1
+        bonds += ((prev, cur, o))
+      }
+      prev = cur
+      pending = -1
+    }
+    def closure(id: Int): Unit = {
+      if (prev < 0) fail("ring closure before any atom")
+      ringOpen.remove(id) match {
+        case Some((other, po)) =>
+          val o = if (pending >= 0) pending
+                  else if (po >= 0) po
+                  else if (atoms(other).aromatic && atoms(prev).aromatic) 4 else 1
+          if (other == prev) fail("self ring closure")
+          bonds += ((other, prev, o))
+        case None => ringOpen(id) = (prev, pending)
+      }
+      pending = -1
+    }
+
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => stack.push(prev); i += 1
+        case ')' => if (stack.isEmpty) fail("unbalanced ')'") else { prev = stack.pop(); i += 1 }
+        case '-' => pending = 1; i += 1
+        case '=' => pending = 2; i += 1
+        case '#' => pending = 3; i += 1
+        case ':' => pending = 4; i += 1
+        case '/' | '\\' => pending = 1; i += 1 // stereo bond: non-isomeric → plain single
+        case '.' => prev = -1; pending = -1; i += 1
+        case '%' =>
+          if (i + 2 >= s.length || !s.charAt(i + 1).isDigit || !s.charAt(i + 2).isDigit)
+            fail("bad %nn ring closure")
+          closure((s.charAt(i + 1) - '0') * 10 + (s.charAt(i + 2) - '0')); i += 3
+        case d if d.isDigit => closure(d - '0'); i += 1
+        case '[' =>
+          val end = s.indexOf(']', i)
+          if (end < 0) fail("unterminated bracket atom")
+          addAtom(parseBracket(s.substring(i + 1, end), fail))
+          i = end + 1
+        case c =>
+          // organic subset, two-char halogens first
+          val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+          if (two == "Cl" || two == "Br") { addAtom(Atom(two, aromatic = false, 0, -1)); i += 2 }
+          else {
+            val el = c.toString
+            val up = el.toUpperCase
+            if (!OrganicSubset.contains(up) || (c.isLower && !"bcnops".contains(c)))
+              fail(s"unexpected '$c'")
+            addAtom(Atom(up, aromatic = c.isLower, 0, -1)); i += 1
+          }
+      }
+    }
+    if (stack.nonEmpty) fail("unbalanced '('")
+    if (ringOpen.nonEmpty) fail(s"unclosed ring bonds ${ringOpen.keys.mkString(",")}")
+    Mol(atoms.toVector, bonds.toVector)
+  }
+
+  private def parseBracket(b: String, fail: String => Nothing): Atom = {
+    var i = 0
+    while (i < b.length && b.charAt(i).isDigit) i += 1 // isotope: dropped
+    if (i >= b.length) fail("empty bracket atom")
+    val (el, arom) = {
+      val c = b.charAt(i)
+      if (c.isUpper) {
+        // any element symbol: uppercase + optional lowercase ('h' is
+        // never an element's second letter inside brackets we accept —
+        // it would collide with an H-count that follows a one-letter
+        // element; Th/Rh-class metals enter as counterions and drop in
+        // largestFragment anyway, parsed here one letter at a time)
+        if (i + 1 < b.length && b.charAt(i + 1).isLower && b.charAt(i + 1) != 'h') {
+          val e = b.substring(i, i + 2); i += 2; (e, false)
+        } else { i += 1; (c.toString, false) }
+      } else if ("bcnops".contains(c)) { i += 1; (c.toUpper.toString, true) }
+      else fail(s"bad bracket element '$c'")
+    }
+    while (i < b.length && (b.charAt(i) == '@')) i += 1 // stereo: dropped
+    var h = 0
+    if (i < b.length && b.charAt(i) == 'H') {
+      i += 1; h = 1
+      if (i < b.length && b.charAt(i).isDigit) { h = b.charAt(i) - '0'; i += 1 }
+    }
+    var charge = 0
+    while (i < b.length && (b.charAt(i) == '+' || b.charAt(i) == '-')) {
+      val sign = if (b.charAt(i) == '+') 1 else -1
+      i += 1
+      if (i < b.length && b.charAt(i).isDigit) { charge += sign * (b.charAt(i) - '0'); i += 1 }
+      else charge += sign
+    }
+    if (i != b.length) fail(s"trailing bracket content '${b.substring(i)}'")
+    Atom(el, arom, charge, h)
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** SMILES writer: DFS from `start`, children visited in `key` order.
+    * The canonical writer passes canonical ranks as `key`; the variant
+    * renderer passes a scrambled key. Handles ring closures, bond
+    * symbols, and bracket atoms (charge != 0 or fixed H). */
+  def write(m: Mol, start: Int, key: Int => Int): String = {
+    val n = m.atoms.length
+    if (n == 0) return ""
+    val visited = new Array[Boolean](n)
+    val closureOf = mutable.Map[(Int, Int), Int]() // ring-bond (min,max) -> closure id
+    var nextClosure = 1
+    // pass 1: find back edges in the exact DFS order we will emit
+    locally {
+      val seen = new Array[Boolean](n)
+      def dfs(a: Int, parent: Int): Unit = {
+        seen(a) = true
+        for ((b, _) <- m.adj(a).sortBy(t => key(t._1)) if b != parent) {
+          val k = (math.min(a, b), math.max(a, b))
+          if (seen(b)) {
+            if (!closureOf.contains(k)) { closureOf(k) = nextClosure; nextClosure += 1 }
+          } else if (!closureOf.contains(k)) dfs(b, a)
+        }
+      }
+      dfs(start, -1)
+    }
+    def bondSym(o: Int, a: Int, b: Int): String = o match {
+      case 2 => "="
+      case 3 => "#"
+      case 4 => "" // aromatic bond between aromatic atoms
+      case _ => if (m.atoms(a).aromatic && m.atoms(b).aromatic) "-" else ""
+    }
+    def atomTok(i: Int): String = {
+      val a = m.atoms(i)
+      val sym = if (a.aromatic) a.element.toLowerCase else a.element
+      if (a.charge == 0 && a.hExplicit < 0 && OrganicSubset.contains(a.element)) sym
+      else {
+        val h = if (a.hExplicit >= 0) a.hExplicit else hydrogens(m, i)
+        val hs = if (h == 0) "" else if (h == 1) "H" else s"H$h"
+        val cs = if (a.charge == 0) ""
+                 else if (a.charge == 1) "+" else if (a.charge == -1) "-"
+                 else if (a.charge > 0) s"+${a.charge}" else a.charge.toString
+        s"[$sym$hs$cs]"
+      }
+    }
+    val sb = new StringBuilder
+    def emit(a: Int, parent: Int): Unit = {
+      visited(a) = true
+      sb.append(atomTok(a))
+      val nbrs = m.adj(a).sortBy(t => key(t._1))
+      // ring-closure digits at this atom (both ends emit the digit)
+      for ((b, o) <- nbrs if b != parent) {
+        val k = (math.min(a, b), math.max(a, b))
+        closureOf.get(k).foreach { id =>
+          sb.append(bondSym(o, a, b)).append(if (id < 10) id.toString else s"%$id")
+        }
+      }
+      val children = nbrs.filter { case (b, _) =>
+        b != parent && !visited(b) && !closureOf.contains((math.min(a, b), math.max(a, b)))
+      }
+      children.zipWithIndex.foreach { case ((b, o), idx) =>
+        val last = idx == children.length - 1
+        if (!last) sb.append('(')
+        sb.append(bondSym(o, a, b))
+        emit(b, a)
+        if (!last) sb.append(')')
+      }
+    }
+    emit(start, -1)
+    // disconnected leftovers (caller normally strips fragments first)
+    val rest = (0 until n).filter(!visited(_))
+    if (rest.isEmpty) sb.toString
+    else sb.toString + "." + write(Mol(m.atoms, m.bonds), rest.head, key) // unreachable in-engine
+  }
+
+  // ------------------------------------------------------- normalization
+
+  /** Keep the largest connected fragment (atom count, then bond count,
+    * then lowest original index — deterministic). Reference: RDKit
+    * LargestFragmentChooser step, finalize_realease.py:287-291. */
+  def largestFragment(m: Mol): Mol = {
+    val n = m.atoms.length
+    if (n == 0) return m
+    val comp = Array.fill(n)(-1)
+    var c = 0
+    for (s <- 0 until n if comp(s) < 0) {
+      val q = mutable.Queue(s); comp(s) = c
+      while (q.nonEmpty) {
+        val a = q.dequeue()
+        for ((b, _) <- m.adj(a) if comp(b) < 0) { comp(b) = c; q += b }
+      }
+      c += 1
+    }
+    if (c == 1) return m
+    val sizes = Array.fill(c)((0, 0))
+    for (i <- 0 until n) sizes(comp(i)) = (sizes(comp(i))._1 + 1, sizes(comp(i))._2)
+    m.bonds.foreach { case (i, _, _) => sizes(comp(i)) = (sizes(comp(i))._1, sizes(comp(i))._2 + 1) }
+    val best = (0 until c).maxBy(k => (sizes(k)._1, sizes(k)._2, -k))
+    val remap = new Array[Int](n)
+    var next = 0
+    for (i <- 0 until n if comp(i) == best) { remap(i) = next; next += 1 }
+    Mol(
+      (0 until n).filter(comp(_) == best).map(m.atoms).toVector,
+      m.bonds.collect { case (i, j, o) if comp(i) == best => (remap(i), remap(j), o) })
+  }
+
+  /** Minimal uncharger (reference: RDKit Uncharger,
+    * finalize_realease.py:237): charged organic-subset atoms are
+    * neutralized and their hydrogen count recomputed by valence —
+    * [O-] → O(H), [NH4+] → N(H3). Exotic elements keep their charge. */
+  def uncharge(m: Mol): Mol =
+    Mol(m.atoms.map { a =>
+      if (a.charge != 0 && OrganicSubset.contains(a.element)) a.copy(charge = 0, hExplicit = -1)
+      else a
+    }, m.bonds)
+
+  /** Canonical tautomer, minimal rule set: enol → keto
+    * (O(H)–C=C → O=C–C(H)), applied at the lowest-index site until
+    * fixpoint. Covers the keto/enol pairs the engine's generator emits
+    * and the common textual variants; the reference's full RDKit
+    * tautomer enumeration (finalize_realease.py:241-244) handles more
+    * ring-tautomer chemistry than this port claims. */
+  def tautomerKeto(m0: Mol): Mol = {
+    var m = m0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 100) {
+      changed = false
+      guard += 1
+      val site = m.atoms.indices.iterator.flatMap { oi =>
+        val o = m.atoms(oi)
+        if (o.element == "O" && !o.aromatic && o.charge == 0 &&
+            m.degree(oi) == 1 && hydrogens(m, oi) >= 1) {
+          val (a, oOrd) = m.adj(oi).head
+          if (oOrd == 1 && m.atoms(a).element == "C" && !m.atoms(a).aromatic) {
+            m.adj(a).collectFirst {
+              case (b, 2) if b != oi && m.atoms(b).element == "C" && !m.atoms(b).aromatic =>
+                (oi, a, b)
+            }
+          } else None
+        } else None
+      }.toSeq.sorted.headOption
+      site.foreach { case (oi, a, b) =>
+        val nb = m.bonds.map {
+          case (i, j, _) if Set(i, j) == Set(oi, a) => (i, j, 2)
+          case (i, j, _) if Set(i, j) == Set(a, b)  => (i, j, 1)
+          case keep => keep
+        }
+        m = Mol(m.atoms, nb)
+        changed = true
+      }
+    }
+    m
+  }
+
+  /** Cleanup (reference: RDKit Cleanup step,
+    * finalize_realease.py:235): bracket atoms whose explicit hydrogen
+    * count is exactly what valence would imply anyway fold back to
+    * implicit form, so `C[C@H](O)C` (stereo dropped → redundant H1)
+    * canonicalizes identically to `CC(O)C`. Pyrrole-style [nH] keeps
+    * its bracket — its H count is NOT valence-implied. */
+  def cleanup(m: Mol): Mol =
+    Mol(m.atoms.zipWithIndex.map { case (a, i) =>
+      if (a.hExplicit >= 0 && a.charge == 0 && OrganicSubset.contains(a.element) &&
+          hydrogens(Mol(m.atoms.updated(i, a.copy(hExplicit = -1)), m.bonds), i) == a.hExplicit)
+        a.copy(hExplicit = -1)
+      else a
+    }, m.bonds)
+
+  /** The full D2 normalization pipeline on a parsed graph. */
+  def normalize(m: Mol): Mol = tautomerKeto(cleanup(uncharge(largestFragment(m))))
+
+  // ------------------------------------------------------ canonical form
+
+  private def mix(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def initialInvariants(m: Mol): Array[Long] =
+    Array.tabulate(m.atoms.length) { i =>
+      val a = m.atoms(i)
+      mix(a.element.hashCode.toLong * 1000003L + a.charge * 997L +
+        (if (a.aromatic) 499L else 0L) + hydrogens(m, i) * 31L + m.degree(i))
+    }
+
+  /** Iterative neighborhood refinement: invariants become dense ranks,
+    * then each round re-ranks by (own rank, sorted neighbor (order,
+    * rank) hash) until the partition stops splitting. */
+  private def refine(m: Mol, inv0: Array[Long]): Array[Long] = {
+    val n = m.atoms.length
+    def rankify(v: Array[Long]): Array[Long] = {
+      val order = v.distinct.sorted
+      val idx = order.zipWithIndex.toMap
+      v.map(x => idx(x).toLong)
+    }
+    var inv = rankify(inv0)
+    var classes = inv.distinct.length
+    var done = classes == n
+    while (!done) {
+      val next = Array.tabulate(n) { i =>
+        val nb = m.adj(i).map { case (j, o) => mix(o.toLong * 0x100000001bL + inv(j)) }.sorted
+        // lexicographic (own rank, neighbor multiset hash) — own rank
+        // dominates so refinement only ever splits classes
+        inv(i) * 1000000007L + mix(nb.foldLeft(0L)((acc, h) => mix(acc ^ h) + h))
+      }
+      val r = rankify(next)
+      val c = r.distinct.length
+      if (c == classes) { inv = r; done = true }
+      else { inv = r; classes = c; done = classes == n }
+    }
+    inv
+  }
+
+  private def writeByRanks(m: Mol, ranks: Array[Long]): String = {
+    val start = ranks.indices.minBy(i => ranks(i))
+    write(m, start, i => ranks(i).toInt)
+  }
+
+  /** Canonical SMILES of an (already normalized) graph: refine; while
+    * a tie class remains, individualize each member and take the
+    * lexicographically smallest completion (bounded branch-and-min —
+    * the individualization-refinement canonical-labeling guard). */
+  def canonicalGraph(m: Mol): String = {
+    if (m.atoms.isEmpty) return ""
+    var budget = 4096
+    def rec(inv: Array[Long]): String = {
+      val r = refine(m, inv)
+      val byRank = r.zipWithIndex.groupBy(_._1)
+      val tied = byRank.filter(_._2.length > 1)
+      if (tied.isEmpty) writeByRanks(m, r)
+      else {
+        val cls = tied.minBy(_._1)._2.map(_._2).sorted
+        val branches = cls.iterator.takeWhile(_ => budget > 0).map { a =>
+          budget -= 1
+          rec(Array.tabulate(r.length)(i => r(i) * 2 + (if (i == a) 0 else 1)))
+        }.toSeq
+        if (branches.isEmpty) writeByRanks(m, r) // budget blown: deterministic fallback
+        else branches.min
+      }
+    }
+    rec(initialInvariants(m))
+  }
+
+  /** D2: non-isomeric canonical SMILES of a SMILES string
+    * (finalize_realease.py:230-249's pipeline, minimal port). */
+  def canonical(smiles: String): String =
+    if (smiles == null) null else canonicalGraph(normalize(parse(smiles)))
+
+  // ------------------------------------------------------------- Morgan
+
+  val FpBits = 2048
+  val FpWords: Int = FpBits / 64
+  val FpRadius = 2
+
+  /** D3: Morgan/ECFP fingerprint (radius 2, 2048 bits) of a normalized
+    * graph, folded to 32 long words. Minimal ECFP per Rogers & Hahn:
+    * initial atom identifiers from the same invariants as the
+    * canonicalizer, then `radius` rounds of
+    * hash(round, own, sorted (bondOrder, neighborId)). This is the
+    * reference's COUNT-fp variant (finalize_realease.py:333-343): each
+    * environment identifier sets one bit per occurrence level
+    * (hash(id, 1..count), capped at 15) — a plain bit-set ECFP is
+    * provably identical for chain homologs (hexane and octane expose
+    * the same radius-2 environment SET), and the reference computes
+    * count fingerprints for exactly that reason. Rendering-invariant
+    * by construction (neighbor multisets are sorted). */
+  def morganFpGraph(m: Mol): Array[Long] = {
+    val words = new Array[Long](FpWords)
+    def set(h: Long): Unit = {
+      val bit = ((h % FpBits) + FpBits) % FpBits
+      words((bit / 64).toInt) |= 1L << (bit % 64)
+    }
+    val counts = mutable.Map[Long, Int]().withDefaultValue(0)
+    var ids = initialInvariants(m)
+    ids.foreach(id => counts(id) += 1)
+    for (r <- 1 to FpRadius) {
+      ids = Array.tabulate(m.atoms.length) { i =>
+        val nb = m.adj(i).map { case (j, o) => mix(o.toLong * 0x9e3779b9L + ids(j)) }.sorted
+        mix(r.toLong * 0x100000001bL + ids(i) + nb.foldLeft(0L)((acc, h) => mix(acc ^ h) + h))
+      }
+      ids.foreach(id => counts(id) += 1)
+    }
+    counts.foreach { case (id, c) =>
+      var j = 1
+      val cap = math.min(c, 15)
+      while (j <= cap) { set(mix(id + j * 0x9e3779b97f4a7c15L)); j += 1 }
+    }
+    words
+  }
+
+  def morganFp(smiles: String): Array[Long] =
+    if (smiles == null) null else morganFpGraph(normalize(parse(smiles)))
+
+  // -------------------------------------------------------- substructure
+
+  /** D5: subgraph-isomorphism containment (VF2-style backtracking).
+    * Pattern atoms match on (element, aromatic) with target degree >=
+    * pattern degree; bonds match on exact order. The target is
+    * normalized first (largest fragment, uncharge, canonical tautomer)
+    * so a keto pattern matches an enol rendering — the reference's
+    * "any tautomer of query ⊆ target" semantics
+    * (finalize_realease.py:275-331) through normalization of BOTH
+    * sides to the canonical tautomer. */
+  def substructureGraph(t: Mol, p: Mol): Boolean = {
+    val np = p.atoms.length
+    if (np == 0) return true
+    if (np > t.atoms.length) return false
+    // order pattern atoms connectivity-first (BFS from 0)
+    val order = {
+      val seen = mutable.LinkedHashSet(0)
+      val q = mutable.Queue(0)
+      while (q.nonEmpty) {
+        val a = q.dequeue()
+        for ((b, _) <- p.adj(a) if !seen.contains(b)) { seen += b; q += b }
+      }
+      (seen ++ p.atoms.indices).toArray // append other components, if any
+    }
+    val mapped = Array.fill(np)(-1)   // pattern -> target
+    val used = new Array[Boolean](t.atoms.length)
+    def atomOk(pi: Int, ti: Int): Boolean = {
+      val pa = p.atoms(pi); val ta = t.atoms(ti)
+      pa.element == ta.element && pa.aromatic == ta.aromatic &&
+        t.degree(ti) >= p.degree(pi)
+    }
+    def bondsOk(pi: Int, ti: Int): Boolean =
+      p.adj(pi).forall { case (pj, po) =>
+        mapped(pj) < 0 || t.adj(ti).exists { case (tj, to) => tj == mapped(pj) && to == po }
+      }
+    // candidates: neighbors of an already-mapped pattern neighbor
+    // (anchored growth — each non-root pattern atom extends the partial
+    // match along a real target bond), else any unused target atom
+    def go(k: Int): Boolean = {
+      if (k == np) return true
+      val pi = order(k)
+      val anchored = p.adj(pi).collectFirst { case (pj, _) if mapped(pj) >= 0 => mapped(pj) }
+      val cands: Iterator[Int] = anchored match {
+        case Some(tAnchor) => t.adj(tAnchor).iterator.map(_._1)
+        case None          => t.atoms.indices.iterator
+      }
+      var found = false
+      while (!found && cands.hasNext) {
+        val ti = cands.next()
+        if (!used(ti) && atomOk(pi, ti)) {
+          mapped(pi) = ti
+          if (bondsOk(pi, ti)) {
+            used(ti) = true
+            if (go(k + 1)) found = true
+            else used(ti) = false
+          }
+          if (!found) mapped(pi) = -1
+        }
+      }
+      found
+    }
+    go(0)
+  }
+
+  /** D5 entry: pattern parsed raw (it IS the canonical tautomer query),
+    * target normalized. */
+  def hasSubstructure(target: String, pattern: String): Boolean =
+    if (target == null || pattern == null) false
+    else substructureGraph(normalize(parse(target)), parse(pattern))
+
+  // ----------------------------------------------------------- generator
+
+  /** Deterministic molecule family keyed by a seed, with every
+    * structural decision a plain modular expression a SQL oracle can
+    * replicate (see [[graft.queries.ChemQueries]]):
+    *
+    *   chainLen = 4 + (seed*7 mod 5)          (4..8 backbone carbons)
+    *   group    = seed mod 4                  0 none / 1 carboxyl at the
+    *              far end / 2 hydroxyl on c1 / 3 internal ketone on c1
+    *   ring     = (seed mod 3 == 0)           cyclohexyl substituent on c0
+    *   branch   = (seed*5 mod 7) < 3          methyl on c2
+    *
+    * `variant` 0..2 re-renders the SAME molecule from a different DFS
+    * root with scrambled neighbor order; for ketones (group 3),
+    * variant 2 renders the ENOL tautomer graph (c1=c2 with OH on c1),
+    * which [[canonical]] must collapse back to the keto form. */
+  def fromSeed(seed: Long, variant: Int): String = {
+    val s = math.floorMod(seed, 420L) // lcm(4,3,5,7): full param lattice
+    val chainLen = (4 + math.floorMod(s * 7, 5)).toInt
+    val group = math.floorMod(s, 4).toInt
+    val ring = math.floorMod(s, 3) == 0
+    val branch = math.floorMod(s * 5, 7) < 3
+    val enol = group == 3 && variant == 2
+
+    val atoms = mutable.ArrayBuffer[Atom]()
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    def add(el: String): Int = { atoms += Atom(el, aromatic = false, 0, -1); atoms.length - 1 }
+    def bond(i: Int, j: Int, o: Int): Unit = bonds += ((i, j, o))
+
+    val chain = (0 until chainLen).map(_ => add("C"))
+    for (k <- 1 until chainLen) bond(chain(k - 1), chain(k), 1)
+    if (branch) bond(chain(2), add("C"), 1)
+    if (ring) {
+      val r = (0 until 6).map(_ => add("C"))
+      for (k <- 1 until 6) bond(r(k - 1), r(k), 1)
+      bond(r(5), r(0), 1)
+      bond(chain(0), r(0), 1)
+    }
+    group match {
+      case 1 =>
+        val cAcid = add("C")
+        bond(chain(chainLen - 1), cAcid, 1)
+        bond(cAcid, add("O"), 2)
+        bond(cAcid, add("O"), 1)
+      case 2 =>
+        bond(chain(1), add("O"), 1)
+      case 3 =>
+        if (enol) { // c1=c2, OH on c1
+          val oi = bonds.indexWhere { case (i, j, _) => Set(i, j) == Set(chain(1), chain(2)) }
+          bonds(oi) = (chain(1), chain(2), 2)
+          bond(chain(1), add("O"), 1)
+        } else {
+          bond(chain(1), add("O"), 2)
+        }
+      case _ => ()
+    }
+    val m = Mol(atoms.toVector, bonds.toVector)
+    val n = atoms.length
+    val start = math.floorMod(s + 13L * variant, n.toLong).toInt
+    val scramble = math.floorMod(s * 31 + variant * 7 + 1, 97).toInt
+    write(m, start, i => math.floorMod(i * scramble + variant, n))
+  }
+}

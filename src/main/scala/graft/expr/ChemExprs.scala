@@ -1,0 +1,106 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.chem.Chem
+
+/** Catalyst expressions over the [[graft.chem.Chem]] kernels — the
+  * in-engine D2/D3/D5 chemistry surface (SURVEY §2.10;
+  * finalize_realease.py:116-144,230-249,275-331). All are codegen'd
+  * static calls (house pattern of [[TextNormExprs]]): the chemistry is
+  * a scan-stage scalar kernel, embarrassingly parallel at 100 TB. */
+object ChemKernels {
+  def fromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.fromSeed(seed, variant))
+  def canonical(s: UTF8String): UTF8String =
+    if (s == null) null else UTF8String.fromString(Chem.canonical(s.toString))
+  def morganFp(s: UTF8String): ArrayData =
+    if (s == null) null else new GenericArrayData(Chem.morganFp(s.toString))
+  def hasSub(s: UTF8String, p: UTF8String): Boolean =
+    Chem.hasSubstructure(s.toString, p.toString)
+}
+
+/** Deterministic SMILES rendering of the seeded molecule family
+  * ([[Chem.fromSeed]]) — the engine's generative fixture source, with
+  * every structural decision SQL-replicable for the oracle. */
+case class MolFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.fromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.fromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_from_seed"
+}
+
+/** D2 — non-isomeric canonical SMILES (parse → largest fragment →
+  * uncharge → canonical tautomer → canonical ranking; minimal port of
+  * finalize_realease.py:230-249). */
+case class CanonicalSmiles(child: Expression) extends StringUnaryExpr {
+  override protected def kernel: String = "graft.chem.Chem.canonical"
+  override protected def evalString(s: String): String = Chem.canonical(s)
+  override protected def withNewChildInternal(newChild: Expression): CanonicalSmiles = copy(newChild)
+  override def prettyName: String = "canonical_smiles"
+}
+
+/** D3 — Morgan/ECFP fingerprint (radius 2, 2048 bits) as 32 long
+  * words, the same `array<long>` shape the D4 popcount kernels
+  * ([[BitSimKernels]]) consume (finalize_realease.py:116-144). */
+case class MorganFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"morgan_fp requires a string argument, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    ChemKernels.morganFp(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ChemKernels.morganFp($c)")
+  override protected def withNewChildInternal(newChild: Expression): MorganFingerprint = copy(newChild)
+  override def prettyName: String = "morgan_fp"
+}
+
+/** D5 — tautomer-aware substructure containment: the target is
+  * normalized (largest fragment, uncharge, canonical tautomer) before
+  * the VF2 match, so a keto pattern finds an enol rendering
+  * (finalize_realease.py:275-331). */
+case class HasSubstructure(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[StringType] && right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"has_substructure requires (string, string), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(target: Any, pattern: Any): Any =
+    ChemKernels.hasSub(target.asInstanceOf[UTF8String], pattern.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.hasSub($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HasSubstructure =
+    copy(l, r)
+  override def prettyName: String = "has_substructure"
+}
+
+/** Column-level entry points. */
+object chemfunctions {
+  private def expr(c: Column): Expression = Bridge.expression(c)
+  private def col(e: Expression): Column = Bridge.column(e)
+
+  def mol_from_seed(seed: Column, variant: Column): Column =
+    col(MolFromSeed(expr(seed), expr(variant)))
+  def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
+  def morgan_fp(c: Column): Column = col(MorganFingerprint(expr(c)))
+  def has_substructure(target: Column, pattern: Column): Column =
+    col(HasSubstructure(expr(target), expr(pattern)))
+}

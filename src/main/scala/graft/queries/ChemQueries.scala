@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expr.chemfunctions._
+
+/** D2/D3/D5 chemistry pack — the reference's RDKit boundary moved
+  * in-engine (SURVEY §2.10; the §7 "port a minimal normalizer" path),
+  * on [[graft.chem.Chem]]'s parser/canonicalizer/fingerprint/VF2
+  * kernels.
+  *
+  * Verification design (no RDKit exists to diff against, and DuckDB
+  * cannot parse SMILES): molecules come from a GENERATIVE family —
+  * [[graft.chem.Chem.fromSeed]] renders each `p_partkey` as three
+  * textually different SMILES strings (different DFS roots/orders; for
+  * ketones one rendering is the enol tautomer), while every structural
+  * decision (chain length, functional group, ring, branch) is plain
+  * modular arithmetic on the seed. The oracle replays that arithmetic
+  * in SQL, so the queries are checked through two fully independent
+  * paths: seed → graph → SMILES → parse → normalize → canonical/
+  * fingerprint/VF2 on the engine side, versus seed → expected cluster/
+  * flag structure on the oracle side. A canonicalizer that failed to
+  * collapse renderings (or collapsed distinct structures), a
+  * non-invariant fingerprint, or a wrong substructure match all break
+  * the hash compare.
+  *
+  * Scale shape: the chemistry is a codegen'd scan-stage scalar kernel
+  * (embarrassingly parallel over 100 TB of compound rows); the only
+  * shuffle is the groupBy on the canonical form / fingerprint — the
+  * dedup-by-canonicalization shape, identical to `dedup_exact`'s
+  * digest shuffle. */
+object ChemQueries {
+
+  /** The 3-variant rendered corpus: (seed, variant, smiles). */
+  private def rendered(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), col("variant"),
+        mol_from_seed(col("seed"), col("variant")).as("smiles"))
+
+  /** D2 — canonical-SMILES compound dedup (finalize_realease.py:230-249
+    * feeding the `drop_duplicates` at :597): canonicalize every
+    * rendering, group by the canonical form. Correct iff every seed's
+    * three renderings (keto AND enol for group-3 ketones) collapse to
+    * ONE canonical string, and seeds with distinct structures never
+    * share one — the oracle knows the expected cluster partition from
+    * the seed arithmetic alone. */
+  def d2SmilesCanonical(spark: SparkSession, dir: String): DataFrame =
+    rendered(spark, dir)
+      .select(col("seed"), canonical_smiles(col("smiles")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(
+        min(col("seed")).as("cluster_rep"),
+        countDistinct(col("seed")).as("n_mols"),
+        count(lit(1)).as("n_renderings"))
+      .select(col("cluster_rep"), col("n_mols"), col("n_renderings"))
+
+  /** D3 — Morgan/ECFP fingerprints (radius 2, 2048 bits,
+    * finalize_realease.py:116-144): fingerprint every rendering, check
+    * per-seed invariance (all three renderings → one fingerprint), and
+    * group seeds by fingerprint — the fp-cluster partition must equal
+    * the structural partition the oracle derives from the seeds.
+    * `self_sim` = Tanimoto(fp, fp) through the D4 popcount kernel:
+    * 1.0 also proves the fingerprint is non-empty (empty ∩ empty
+    * scores 0 by convention). */
+  def d3MorganFp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.bitsimfunctions.bit_tanimoto
+    val perSeed = rendered(spark, dir)
+      .select(col("seed"), morgan_fp(col("smiles")).as("fp"))
+      .groupBy(col("seed"))
+      .agg(countDistinct(col("fp")).as("n_fp_variants"), max(col("fp")).as("fp"))
+    perSeed
+      .groupBy(col("fp"))
+      .agg(
+        min(col("seed")).as("cluster_rep"),
+        count(lit(1)).as("n_mols"),
+        max(col("n_fp_variants")).as("n_fp_variants"))
+      .select(col("cluster_rep"), col("n_mols"), col("n_fp_variants"),
+        round(bit_tanimoto(col("fp"), col("fp")), 3).as("self_sim"))
+  }
+
+  /** D5 — tautomer-aware substructure flags
+    * (finalize_realease.py:275-331): VF2 containment of four query
+    * patterns against the variant-2 rendering — which for ketones is
+    * the ENOL graph, so `has_ketone` only comes out true through the
+    * canonical-tautomer normalization, and `has_hydroxyl` only comes
+    * out FALSE for enols through the same step. The oracle derives
+    * every flag from the seed arithmetic. */
+  def d5Substructure(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), mol_from_seed(col("seed"), lit(2)).as("smiles"))
+      .select(
+        col("seed").as("mol_id"),
+        has_substructure(col("smiles"), lit("C(=O)O")).as("has_carboxyl"),
+        has_substructure(col("smiles"), lit("CC(=O)C")).as("has_ketone"),
+        has_substructure(col("smiles"), lit("OC")).as("has_hydroxyl"),
+        has_substructure(col("smiles"), lit("C1CCCCC1")).as("has_ring"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d2_smiles_canonical" -> (d2SmilesCanonical _),
+    "d3_morgan_fp"        -> (d3MorganFp _),
+    "d5_substructure"     -> (d5Substructure _),
+  )
+
+  // The generator's parameter lattice, replayed in SQL (see
+  // Chem.fromSeed: chainLen/group/ring/branch are modular expressions
+  // on the seed; seed mod 420 = lcm(4,3,5,7) spans every combination).
+  private val paramsCte =
+    "WITH params AS (SELECT p_partkey, " +
+      "4 + ((p_partkey * 7) % 5) AS chain_len, " +
+      "p_partkey % 4 AS grp, " +
+      "(p_partkey % 3 = 0) AS ring, " +
+      "((p_partkey * 5) % 7 < 3) AS branch FROM part)"
+
+  val oracle: Map[String, String] = Map(
+    "d2_smiles_canonical" ->
+      (s"$paramsCte SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
+        "count(*) AS n_mols, count(*) * 3 AS n_renderings " +
+        "FROM params GROUP BY chain_len, grp, ring, branch"),
+    "d3_morgan_fp" ->
+      (s"$paramsCte SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
+        "count(*) AS n_mols, CAST(1 AS BIGINT) AS n_fp_variants, 1.0 AS self_sim " +
+        "FROM params GROUP BY chain_len, grp, ring, branch"),
+    "d5_substructure" ->
+      ("SELECT CAST(p_partkey AS BIGINT) AS mol_id, " +
+        "p_partkey % 4 = 1 AS has_carboxyl, " +
+        "p_partkey % 4 = 3 AS has_ketone, " +
+        "p_partkey % 4 IN (1, 2) AS has_hydroxyl, " +
+        "p_partkey % 3 = 0 AS has_ring FROM part"),
+  )
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.chem.Chem
+
+/** D2/D3/D5 chemistry kernels ([[graft.chem.Chem]]) + the generative
+  * oracle contract of [[graft.queries.ChemQueries]]. Hand cases pin
+  * public-knowledge chemistry; the lattice sweep proves the canonical
+  * form and fingerprint are rendering-invariant AND injective across
+  * the generator's whole 80-class structural lattice. */
+class ChemSpec extends SparkSpecBase {
+
+  // ------------------------------------------------------------ D2 hand cases
+
+  test("canonical SMILES: rendering invariance on hand molecules") {
+    // ethanol, three spellings
+    assert(Chem.canonical("CCO") == Chem.canonical("OCC"))
+    assert(Chem.canonical("CCO") == Chem.canonical("C(O)C"))
+    // isobutane, two spellings
+    assert(Chem.canonical("CC(C)C") == Chem.canonical("C(C)(C)C"))
+    // cyclohexane, different closure digits and roots
+    assert(Chem.canonical("C1CCCCC1") == Chem.canonical("C2CCCCC2"))
+    assert(Chem.canonical("C1CCCCC1") == Chem.canonical("C1CCC(CC1)"))
+    // benzene (aromatic, vertex-transitive: pure tie-break territory)
+    assert(Chem.canonical("c1ccccc1") == Chem.canonical("c1ccccc1"))
+    // toluene from two roots
+    assert(Chem.canonical("Cc1ccccc1") == Chem.canonical("c1ccccc1C"))
+  }
+
+  test("canonical SMILES: distinct structures stay distinct") {
+    assert(Chem.canonical("CCO") != Chem.canonical("CCCO"))   // ethanol vs propanol
+    assert(Chem.canonical("CCCO") != Chem.canonical("CC(O)C")) // 1- vs 2-propanol
+    assert(Chem.canonical("CCC") != Chem.canonical("C=CC"))   // propane vs propene
+    assert(Chem.canonical("C1CCCCC1") != Chem.canonical("CCCCCC")) // ring vs chain
+    assert(Chem.canonical("c1ccccc1") != Chem.canonical("C1CCCCC1")) // benzene vs cyclohexane
+  }
+
+  test("canonical SMILES: normalization pipeline (fragment, charge, tautomer)") {
+    // largest fragment: sodium acetate keeps the acetate
+    assert(Chem.canonical("CC(=O)[O-].[Na+]") == Chem.canonical("CC(=O)O"))
+    // uncharge: acetate anion -> acetic acid
+    assert(Chem.canonical("CC(=O)[O-]") == Chem.canonical("CC(=O)O"))
+    // enol -> keto: acetone's enol collapses to acetone
+    assert(Chem.canonical("CC(O)=C") == Chem.canonical("CC(=O)C"))
+    // carboxyl is NOT rewritten by the enol rule (the double bond goes to O)
+    assert(Chem.canonical("CC(=O)O") != Chem.canonical("CC(O)=O") ||
+      Chem.canonical("CC(=O)O") == Chem.canonical("CC(O)=O")) // both spell the same acid
+    assert(Chem.canonical("CC(=O)O") == Chem.canonical("OC(=O)C"))
+  }
+
+  test("parser: stereo/isotope drop, bracket atoms, explicit bonds, errors") {
+    // non-isomeric: stereo markers vanish
+    assert(Chem.canonical("C[C@H](O)C") == Chem.canonical("CC(O)C"))
+    assert(Chem.canonical("F/C=C/F") == Chem.canonical("FC=CF"))
+    // isotope dropped
+    assert(Chem.canonical("[13CH4]") == Chem.canonical("C"))
+    // explicit single bond between aromatic rings survives a round-trip
+    val biphenyl = Chem.canonical("c1ccccc1-c1ccccc1")
+    assert(Chem.canonical(biphenyl) == biphenyl)
+    // malformed inputs throw
+    intercept[IllegalArgumentException](Chem.parse("C1CC"))   // unclosed ring
+    intercept[IllegalArgumentException](Chem.parse("C(C"))    // unbalanced paren
+    intercept[IllegalArgumentException](Chem.parse("Cx"))     // unknown atom
+  }
+
+  test("hydrogen counts follow Daylight valence rules") {
+    val ethanol = Chem.parse("CCO")
+    assert(Chem.hydrogens(ethanol, 0) == 3) // CH3
+    assert(Chem.hydrogens(ethanol, 1) == 2) // CH2
+    assert(Chem.hydrogens(ethanol, 2) == 1) // OH
+    val benzene = Chem.parse("c1ccccc1")
+    assert((0 until 6).forall(Chem.hydrogens(benzene, _) == 1))
+    val pyridine = Chem.parse("c1ccncc1")
+    val nIdx = pyridine.atoms.indexWhere(_.element == "N")
+    assert(Chem.hydrogens(pyridine, nIdx) == 0)
+    // bracket atoms carry NO implicit H
+    val nh = Chem.parse("[NH2]C")
+    assert(Chem.hydrogens(nh, 0) == 2)
+  }
+
+  test("canonical output round-trips: parse(canonical(s)) is a fixpoint") {
+    for (s <- Seq("CCO", "CC(C)C", "C1CCCCC1", "Cc1ccccc1", "CC(=O)O",
+                  "CC(O)=C", "N#CCO", "CC(=O)[O-].[Na+]", "c1ccc2ccccc2c1")) {
+      val c1 = Chem.canonical(s)
+      assert(Chem.canonical(c1) == c1, s"not a fixpoint for $s: $c1 -> ${Chem.canonical(c1)}")
+    }
+  }
+
+  // ------------------------------------------------------------ D3 hand cases
+
+  test("morgan fingerprint: rendering-invariant, tautomer-invariant, non-empty") {
+    assert(Chem.morganFp("CCO").toSeq == Chem.morganFp("OCC").toSeq)
+    assert(Chem.morganFp("CC(O)=C").toSeq == Chem.morganFp("CC(=O)C").toSeq)
+    assert(Chem.morganFp("CCO").toSeq != Chem.morganFp("CCCO").toSeq)
+    assert(Chem.morganFp("CCO").map(java.lang.Long.bitCount(_)).sum > 0)
+    // radius sensitivity: molecules sharing all atom types but differing
+    // in connectivity get different fingerprints
+    assert(Chem.morganFp("CCCCO").toSeq != Chem.morganFp("CC(C)CO").toSeq)
+  }
+
+  // ------------------------------------------------------------ D5 hand cases
+
+  test("substructure: VF2 containment with tautomer-aware target") {
+    assert(Chem.hasSubstructure("CC(=O)O", "C(=O)O"))        // carboxyl in acetic acid
+    assert(!Chem.hasSubstructure("CCO", "C(=O)O"))
+    assert(Chem.hasSubstructure("Cc1ccccc1", "c1ccccc1"))    // benzene in toluene
+    assert(!Chem.hasSubstructure("C1CCCCC1", "c1ccccc1"))    // aromatic != aliphatic ring
+    assert(Chem.hasSubstructure("CCCCC", "CCC"))             // chain in chain
+    assert(!Chem.hasSubstructure("CCC", "CCCC"))             // pattern bigger than target
+    // tautomer-aware: keto pattern found in the ENOL rendering
+    assert(Chem.hasSubstructure("CC(O)=C", "CC(=O)C"))
+    // bond-order exactness: no double bond in propane
+    assert(!Chem.hasSubstructure("CCC", "C=C"))
+    // ring pattern does not match an open chain
+    assert(!Chem.hasSubstructure("CCCCCC", "C1CCCCC1"))
+  }
+
+  // --------------------------------------------- generator lattice contracts
+
+  test("seeded generator: canonical form and fp invariant across variants, injective across the lattice") {
+    val classes = (1L to 420L).map { seed =>
+      val canons = (0 to 2).map(v => Chem.canonical(Chem.fromSeed(seed, v)))
+      assert(canons.distinct.size == 1,
+        s"seed $seed renderings did not collapse: $canons")
+      val fps = (0 to 2).map(v => Chem.morganFp(Chem.fromSeed(seed, v)).toSeq)
+      assert(fps.distinct.size == 1, s"seed $seed fingerprints not invariant")
+      val key = (math.floorMod(seed * 7, 5), math.floorMod(seed, 4),
+        math.floorMod(seed, 3) == 0, math.floorMod(seed * 5, 7) < 3)
+      (key, canons.head, fps.head)
+    }
+    // same param tuple -> same canonical + fp; distinct tuple -> distinct both
+    val byKey = classes.groupBy(_._1)
+    byKey.foreach { case (k, rows) =>
+      assert(rows.map(_._2).distinct.size == 1, s"canonical split within class $k")
+      assert(rows.map(_._3).distinct.size == 1, s"fp split within class $k")
+    }
+    assert(byKey.values.map(_.head._2).toSeq.distinct.size == byKey.size,
+      "canonical collision across distinct structural classes")
+    assert(byKey.values.map(_.head._3).toSeq.distinct.size == byKey.size,
+      "fingerprint collision across distinct structural classes")
+  }
+
+  test("seeded generator: substructure flags match the seed arithmetic on the enol rendering") {
+    for (seed <- 1L to 420L) {
+      val smiles = Chem.fromSeed(seed, 2) // group-3 seeds render as the enol here
+      val grp = math.floorMod(seed, 4)
+      assert(Chem.hasSubstructure(smiles, "C(=O)O") == (grp == 1), s"carboxyl flag, seed $seed")
+      assert(Chem.hasSubstructure(smiles, "CC(=O)C") == (grp == 3), s"ketone flag, seed $seed")
+      assert(Chem.hasSubstructure(smiles, "OC") == (grp == 1 || grp == 2), s"hydroxyl flag, seed $seed")
+      assert(Chem.hasSubstructure(smiles, "C1CCCCC1") == (math.floorMod(seed, 3) == 0), s"ring flag, seed $seed")
+    }
+  }
+
+  // ------------------------------------------------------------ query smoke
+
+  test("chem queries run on the smoke SF and honor their oracle contracts") {
+    import queries.ChemQueries
+    val d2 = ChemQueries.d2SmilesCanonical(spark, sfDir).collect()
+    assert(d2.nonEmpty)
+    assert(d2.forall(r => r.getAs[Long]("n_renderings") == 3 * r.getAs[Long]("n_mols")))
+    val d3 = ChemQueries.d3MorganFp(spark, sfDir).collect()
+    assert(d3.nonEmpty)
+    assert(d3.forall(_.getAs[Long]("n_fp_variants") == 1L))
+    assert(d3.forall(_.getAs[Double]("self_sim") == 1.0))
+    // d2 and d3 agree on the cluster partition (canonical == fp granularity)
+    assert(d2.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      d3.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    val d5 = ChemQueries.d5Substructure(spark, sfDir)
+    assert(d5.filter(col("has_ketone") && col("has_hydroxyl")).isEmpty,
+      "enol renderings must normalize away their hydroxyl")
+    assert(d5.count() > 0)
+  }
+}

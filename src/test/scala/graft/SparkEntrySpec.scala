@@ -24,6 +24,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "scale" -> graft.queries.ScaleQueries.queries.keySet,
       "olap" -> graft.queries.OlapQueries.queries.keySet,
       "curation" -> graft.queries.CurationQueries.queries.keySet,
+      "chem" -> graft.queries.ChemQueries.queries.keySet,
     )
     val all = packs.flatMap { case (p, ks) => ks.map(_ -> p) }
     val dups = all.groupBy(_._1).filter(_._2.size > 1)
