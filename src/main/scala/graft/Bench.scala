@@ -127,7 +127,7 @@ object Bench {
       "sem_dedup", "ta_bm25_topk", "lm_bigram_score", "fuzzy_join_jw",
       "q9_product_type_profit", "dedup_canonical",
       // round-5 additions (~70 B; both copies still fit the tail window)
-      "t11_transform_with_state", "k2_excel_roundtrip",
+      "t11_transform_with_state", "k2_excel_roundtrip", "d2_smiles_canonical",
       // round-6 flagship (~30 B)
       "t14_checkpoint_recovery")
     // explicit root locale: the default f"" interpolator is

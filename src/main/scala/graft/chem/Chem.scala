@@ -433,10 +433,35 @@ object Chem {
     rec(initialInvariants(m))
   }
 
+  /** Bounded pure-function memo for the string-level kernels: compound
+    * corpora are massively repetitive (the reference's pipeline
+    * canonicalizes per UNIQUE compound for the same reason,
+    * finalize_realease.py:597 dedups before enrichment), so each
+    * executor JVM caches input→output. Cleared wholesale at the cap —
+    * no LRU bookkeeping in the hot path; correctness never depends on
+    * it (pure functions). */
+  private final class Memo[V](cap: Int) {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
+    def get(k: String)(f: => V): V = {
+      val hit = m.get(k)
+      if (hit != null) hit
+      else {
+        val v = f
+        if (m.size >= cap) m.clear()
+        m.put(k, v)
+        v
+      }
+    }
+  }
+  private val canonMemo = new Memo[String](65536)
+  private val fpMemo = new Memo[Array[Long]](65536)
+  private val subMemo = new Memo[java.lang.Boolean](65536)
+
   /** D2: non-isomeric canonical SMILES of a SMILES string
     * (finalize_realease.py:230-249's pipeline, minimal port). */
   def canonical(smiles: String): String =
-    if (smiles == null) null else canonicalGraph(normalize(parse(smiles)))
+    if (smiles == null) null
+    else canonMemo.get(smiles)(canonicalGraph(normalize(parse(smiles))))
 
   // ------------------------------------------------------------- Morgan
 
@@ -481,7 +506,8 @@ object Chem {
   }
 
   def morganFp(smiles: String): Array[Long] =
-    if (smiles == null) null else morganFpGraph(normalize(parse(smiles)))
+    if (smiles == null) null
+    else fpMemo.get(smiles)(morganFpGraph(normalize(parse(smiles))))
 
   // -------------------------------------------------------- substructure
 
@@ -551,7 +577,8 @@ object Chem {
     * target normalized. */
   def hasSubstructure(target: String, pattern: String): Boolean =
     if (target == null || pattern == null) false
-    else substructureGraph(normalize(parse(target)), parse(pattern))
+    else subMemo.get(target + " " + pattern)(
+      substructureGraph(normalize(parse(target)), parse(pattern))).booleanValue()
 
   // ----------------------------------------------------------- generator
 

@@ -143,6 +143,47 @@ object SourceQueries {
       .select(regexp_replace(col("value"), "^TYPE:", "").as("p_type"))
   }
 
+  /** K4 — per-file sink + concat publish (process_pubmed.sh:147-151:
+    * each worker writes its own part file, the publish step `cat`s
+    * them into ONE artifact in worker order). The Spark-native
+    * equivalent: a range-partitioned, within-partition-sorted text
+    * write (part files in filename order ARE global order — the
+    * parallel-write half stays fully distributed), then a driver-side
+    * FileSystem stream-stitch of the part files (bounded by file
+    * COUNT, one buffered byte-copy per part; no row ever materializes
+    * on the driver). The read-back pairs each line with its position
+    * in the published file, so the oracle (row_number over the sorted
+    * projection) checks the CONCAT ORDER end-to-end, not just the line
+    * set. */
+  def k4FileConcatPublish(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val outDir = tmp(dir, "k4_parts")
+    Tables.supplier(spark, dir)
+      .select(col("s_name").as("value"))
+      .repartitionByRange(4, col("value"))
+      .sortWithinPartitions("value")
+      .write.mode("overwrite").text(outDir)
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(outDir))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val single = new Path(tmp(dir, "k4_published") + "/all.txt")
+    val out = fs.create(single, true)
+    try parts.foreach { p =>
+      val in = fs.open(p.getPath)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      finally in.close()
+    } finally out.close()
+    val lines = spark.read.text(single.toString)
+    // zipWithIndex over the single-file scan: split order == byte order
+    // == published line order, so rn is the file position
+    val bySession = lines.sparkSession
+    import bySession.implicits._
+    lines.rdd.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getString(0)) }
+      .toDF("rn", "s_name")
+  }
+
   /** S3: MeSH-style nested XML scan (process_mesh.py:85-111) — records
     * carrying a repeated child list (`HeadingMappedToList`), parsed to
     * an array column, `*`-prefix stripped (process_mesh.py:36,107),
@@ -357,6 +398,7 @@ object SourceQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k4_file_concat_publish" -> (k4FileConcatPublish _),
     "k2_excel_roundtrip" -> (k2ExcelRoundtrip _),
     "s13_custom_sink" -> (s13CustomSink _),
     "s12_custom_source" -> (s12CustomSource _),
@@ -375,6 +417,9 @@ object SourceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "k4_file_concat_publish" ->
+      ("SELECT CAST(row_number() OVER (ORDER BY s_name) AS BIGINT) AS rn, s_name " +
+       "FROM supplier"),
     "k2_excel_roundtrip" ->
       ("SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 3) AS avg_price, " +
        "'=HYPERLINK(\"https://example.org/brand/' || p_brand || '\",\"' || p_brand || '\")' AS link " +
