@@ -304,11 +304,17 @@ object Chem {
     }, m.bonds)
 
   /** Canonical tautomer, minimal rule set: enol → keto
-    * (O(H)–C=C → O=C–C(H)), applied at the lowest-index site until
-    * fixpoint. Covers the keto/enol pairs the engine's generator emits
-    * and the common textual variants; the reference's full RDKit
-    * tautomer enumeration (finalize_realease.py:241-244) handles more
-    * ring-tautomer chemistry than this port claims. */
+    * (O(H)–C=C → O=C–C(H)) until fixpoint. The rewrite SITE is chosen
+    * by canonical rank, not atom index: with two interacting enol
+    * sites (an enediol — rewriting one kills the other), an
+    * index-order choice would normalize different RENDERINGS of the
+    * same molecule to different tautomers; ranks are graph-invariant,
+    * so every rendering picks the same site (tied sites are automorphic
+    * — either choice yields isomorphic results). Covers the keto/enol
+    * pairs the engine's generator emits and the common textual
+    * variants; the reference's full RDKit tautomer enumeration
+    * (finalize_realease.py:241-244) handles more ring-tautomer
+    * chemistry than this port claims. */
   def tautomerKeto(m0: Mol): Mol = {
     var m = m0
     var guard = 0
@@ -316,19 +322,26 @@ object Chem {
     while (changed && guard < 100) {
       changed = false
       guard += 1
-      val site = m.atoms.indices.iterator.flatMap { oi =>
+      val sites = m.atoms.indices.iterator.flatMap { oi =>
         val o = m.atoms(oi)
         if (o.element == "O" && !o.aromatic && o.charge == 0 &&
             m.degree(oi) == 1 && hydrogens(m, oi) >= 1) {
           val (a, oOrd) = m.adj(oi).head
           if (oOrd == 1 && m.atoms(a).element == "C" && !m.atoms(a).aromatic) {
-            m.adj(a).collectFirst {
+            m.adj(a).collect {
               case (b, 2) if b != oi && m.atoms(b).element == "C" && !m.atoms(b).aromatic =>
                 (oi, a, b)
             }
-          } else None
-        } else None
-      }.toSeq.sorted.headOption
+          } else Nil
+        } else Nil
+      }.toSeq
+      val site =
+        if (sites.isEmpty) None
+        else if (sites.length == 1) sites.headOption
+        else {
+          val rank = refine(m, initialInvariants(m))
+          Some(sites.minBy { case (oi, a, b) => (rank(oi), rank(a), rank(b)) })
+        }
       site.foreach { case (oi, a, b) =>
         val nb = m.bonds.map {
           case (i, j, _) if Set(i, j) == Set(oi, a) => (i, j, 2)

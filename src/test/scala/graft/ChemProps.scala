@@ -1,0 +1,105 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.chem.Chem
+import graft.chem.Chem.{Atom, Mol}
+
+/** Property tests for the D2/D3 chemistry kernels over RANDOM molecule
+  * graphs — far past the hand cases and the generator's 80-class
+  * lattice: random connected graphs (spanning tree + up to two ring
+  * bonds, C/N/O/S, valence-legal double bonds), rendered from random
+  * roots with random neighbor-order scrambles. The canonical form and
+  * fingerprint must not see the rendering; parse∘write must preserve
+  * the graph. Symmetric/regular graphs land in the canonicalizer's
+  * branch-and-minimize tie-break path, which hand cases barely touch. */
+object ChemProps extends Properties("chem") {
+
+  private val valence = Map("C" -> 4, "N" -> 3, "O" -> 2, "S" -> 2)
+
+  /** Valence-legal connected random molecule. */
+  private val molGen: Gen[Mol] = for {
+    n <- Gen.choose(2, 12)
+    elems <- Gen.listOfN(n, Gen.frequency(5 -> "C", 2 -> "N", 2 -> "O", 1 -> "S"))
+    parentPick <- Gen.listOfN(n, Gen.choose(0, 1000))
+    ringPick <- Gen.listOfN(4, Gen.choose(0, 1000))
+    doublePick <- Gen.listOfN(n + 4, Gen.choose(0, 3))
+  } yield {
+    val atoms = elems.map(e => Atom(e, aromatic = false, 0, -1)).toVector
+    val used = new Array[Int](n)
+    val bonds = Vector.newBuilder[(Int, Int, Int)]
+    val adjacent = collection.mutable.Set[(Int, Int)]()
+    var kept = 1 // atoms actually wired in (prefix)
+    // spanning tree over the prefix with capacity; stop if stuck
+    var i = 1
+    var stuck = false
+    while (i < n && !stuck) {
+      val cands = (0 until kept).filter(j => used(j) < valence(atoms(j).element))
+      if (cands.isEmpty) stuck = true
+      else {
+        val j = cands(parentPick(i) % cands.length)
+        bonds += ((j, i, 1)); adjacent += ((math.min(i, j), math.max(i, j)))
+        used(j) += 1; used(i) += 1
+        kept += 1; i += 1
+      }
+    }
+    // ring bonds between spare-capacity non-adjacent pairs
+    ringPick.grouped(2).foreach {
+      case Seq(p1, p2) if kept >= 3 =>
+        val a = p1 % kept; val b = p2 % kept
+        val k = (math.min(a, b), math.max(a, b))
+        if (a != b && !adjacent(k) &&
+            used(a) < valence(atoms(a).element) && used(b) < valence(atoms(b).element)) {
+          bonds += ((k._1, k._2, 1)); adjacent += k
+          used(a) += 1; used(b) += 1
+        }
+      case _ => ()
+    }
+    // upgrade some bonds to double where both ends have spare valence
+    val b0 = bonds.result()
+    val upgraded = b0.zipWithIndex.map { case ((x, y, o), bi) =>
+      if (doublePick(bi % doublePick.length) == 0 &&
+          used(x) < valence(atoms(x).element) && used(y) < valence(atoms(y).element)) {
+        used(x) += 1; used(y) += 1; (x, y, 2)
+      } else (x, y, o)
+    }
+    Mol(atoms.take(kept), upgraded.filter(b => b._1 < kept && b._2 < kept))
+  }
+
+  private val rendering: Gen[(Mol, Int, Int)] = for {
+    m <- molGen
+    start <- Gen.choose(0, 1000)
+    scramble <- Gen.choose(1, 1000)
+  } yield (m, start % m.atoms.length, scramble)
+
+  property("D2 canonical form is rendering-invariant") = forAll(rendering) {
+    case (m, start, scramble) =>
+      val n = m.atoms.length
+      val base = Chem.canonical(Chem.write(m, 0, identity))
+      val alt = Chem.canonical(Chem.write(m, start, i => math.floorMod(i * scramble + 1, n)))
+      base == alt
+  }
+
+  property("parse . write preserves atoms, bonds, and element multiset") = forAll(rendering) {
+    case (m, start, scramble) =>
+      val n = m.atoms.length
+      val p = Chem.parse(Chem.write(m, start, i => math.floorMod(i * scramble, n)))
+      p.atoms.length == n && p.bonds.length == m.bonds.length &&
+        p.atoms.map(_.element).sorted == m.atoms.map(_.element).sorted &&
+        p.bonds.map(_._3).sorted == m.bonds.map(_._3).sorted
+  }
+
+  property("D2 canonical output is a fixpoint") = forAll(molGen) { m =>
+    val c = Chem.canonical(Chem.write(m, 0, identity))
+    Chem.canonical(c) == c
+  }
+
+  property("D3 fingerprint is rendering-invariant and non-empty") = forAll(rendering) {
+    case (m, start, scramble) =>
+      val n = m.atoms.length
+      val f1 = Chem.morganFp(Chem.write(m, 0, identity))
+      val f2 = Chem.morganFp(Chem.write(m, start, i => math.floorMod(i * scramble + 2, n)))
+      f1.toSeq == f2.toSeq && f1.map(java.lang.Long.bitCount(_)).sum > 0
+  }
+}

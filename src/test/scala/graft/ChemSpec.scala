@@ -43,6 +43,10 @@ class ChemSpec extends SparkSpecBase {
     assert(Chem.canonical("CC(=O)[O-]") == Chem.canonical("CC(=O)O"))
     // enol -> keto: acetone's enol collapses to acetone
     assert(Chem.canonical("CC(O)=C") == Chem.canonical("CC(=O)C"))
+    // confluence: an enediol has TWO interacting enol sites (rewriting
+    // one kills the other) — the rank-canonical site choice must pick
+    // the same one for both renderings of the asymmetric case
+    assert(Chem.canonical("CC(O)=C(O)CC") == Chem.canonical("CCC(O)=C(O)C"))
     // carboxyl is NOT rewritten by the enol rule (the double bond goes to O)
     assert(Chem.canonical("CC(=O)O") != Chem.canonical("CC(O)=O") ||
       Chem.canonical("CC(=O)O") == Chem.canonical("CC(O)=O")) // both spell the same acid
