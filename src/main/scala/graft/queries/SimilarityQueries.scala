@@ -434,6 +434,48 @@ object SimilarityQueries {
         acc + when(element_at(emb, (w * 16 + i).cast("int")) > 0f,
           pow(lit(2.0), (i - 1).cast("double")).cast("long")).otherwise(lit(0L))))
 
+  /** J6 at corpus scale — banded fingerprint similarity search
+    * (bit-sampling LSH for Hamming/Tanimoto, per Indyk–Motwani). The
+    * reference cross-scores every compound against every reference
+    * fingerprint (finalize_realease.py:199-219) — fine for 6 broadcast
+    * refs, quadratic for corpus-vs-corpus search. Here each 64-bit
+    * fingerprint splits into 8 one-byte bands and only pairs agreeing
+    * on at least one band are scored: an equi-shuffle on (band, bits)
+    * replaces the cross join, and the exact Tanimoto runs on
+    * candidates only — the same candidates-only discipline as
+    * dedup_minhash_lsh, with the bounded-heap top-3 tail. The oracle
+    * replays the whole pipeline (bands → candidate join → exact
+    * Tanimoto → heap-ordered rank) in SQL. */
+  def simFpLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.bitsimfunctions.bit_tanimoto
+    import graft.expr.topkpairs.topk_pairs
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bitFingerprint(col("embedding")).as("fp"))
+    val banded = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("band"), col("fp"))
+      .select(col("vec_id"), col("band"), {
+        val word = element_at(col("fp"), (col("band") / 2).cast("int") + 1)
+        when(pmod(col("band"), lit(2)) === 0, pmod(word, lit(256)))
+          .otherwise(floor(word / lit(256)).cast("long")).as("bits")
+      })
+    val cand = banded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("band"), col("bits"))
+      .join(banded.filter(col("vec_id") >= 5), Seq("band", "bits"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    // exact verify on candidates only: corpus fps arrive by id-keyed
+    // shuffle join; the 5-query fp side is a reduced broadcast
+    val scored = cand
+      .join(e.filter(col("vec_id") >= 5), "vec_id")
+      .join(broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("fp").as("qfp"))), "query_id")
+      .select(col("query_id"), col("vec_id"), bit_tanimoto(col("fp"), col("qfp")).as("sim"))
+    scored.groupBy(col("query_id"))
+      .agg(topk_pairs(col("sim"), col("vec_id"), 3).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        round(col("p.score"), 6).as("tanimoto"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** D4+J6/A5/A6 over bit fingerprints: per item, the best reference by
     * Tanimoto (argmax with ref-id tie-break), the max similarity, and
     * the top-3 mean — the reference's `add_tanimoto_scores` triple
@@ -755,6 +797,7 @@ object SimilarityQueries {
     "sim_centroid_confusion" -> (simCentroidConfusion _),
     "ann_lsh_neardup"        -> (annLshNearDup _),
     "sim_fp_tanimoto_topk"   -> (simFpTanimotoTopk _),
+    "sim_fp_lsh_topk"        -> (simFpLshTopk _),
     "sim_fp_tversky_dice"    -> (simFpTverskyDice _),
   )
 
@@ -1064,6 +1107,23 @@ object SimilarityQueries {
        s"${cos("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS rnk " +
        "FROM embeddings q, embeddings e WHERE q.vec_id < 5 AND e.vec_id != q.vec_id) " +
        "WHERE rnk <= 5"),
+    "sim_fp_lsh_topk" ->
+      (s"$fpCte, bands AS (SELECT vec_id, fp, b.band AS band, " +
+       "CASE WHEN b.band % 2 = 0 THEN fp[b.band // 2 + 1] % 256 " +
+       "ELSE fp[b.band // 2 + 1] // 256 END AS bits " +
+       "FROM fp, (SELECT unnest(generate_series(0, 7)) AS band) b), " +
+       "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id " +
+       "FROM bands q JOIN bands c ON q.band = c.band AND q.bits = c.bits " +
+       "WHERE q.vec_id < 5 AND c.vec_id >= 5), " +
+       "scored AS (SELECT cand.query_id, cand.vec_id, " +
+       "CASE WHEN list_sum(list_transform(generate_series(1,4), k -> bit_count(q.fp[k] | c.fp[k]))) = 0 THEN 0.0 " +
+       "ELSE list_sum(list_transform(generate_series(1,4), k -> bit_count(q.fp[k] & c.fp[k])))::DOUBLE / " +
+       "list_sum(list_transform(generate_series(1,4), k -> bit_count(q.fp[k] | c.fp[k]))) END AS sim " +
+       "FROM cand JOIN fp q ON q.vec_id = cand.query_id JOIN fp c ON c.vec_id = cand.vec_id), " +
+       "ranked AS (SELECT query_id, vec_id, sim, " +
+       "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rnk FROM scored) " +
+       "SELECT query_id, vec_id AS neighbor_id, round(sim, 6) AS tanimoto, CAST(rnk AS BIGINT) AS rnk " +
+       "FROM ranked WHERE rnk <= 3"),
     "sim_fp_tanimoto_topk" ->
       (s"$fpCte, scored AS (SELECT t.vec_id, r.vec_id AS ref_id, " +
        "CASE WHEN list_sum(list_transform(generate_series(1,4), k -> bit_count(t.fp[k] | r.fp[k]))) = 0 THEN 0.0 " +
