@@ -865,7 +865,59 @@ object StreamingQueries {
       .select(col("new_doc"), col("container_doc"), col("containment"))
   }
 
+  /** T17 — streaming canonical-form compound dedup (the chem pack's
+    * production ingest shape: D2 meets T1's complete-mode aggregation).
+    * Rendered SMILES arrive in three micro-batch files, ONE PER
+    * RENDERING VARIANT — every molecule's renderings are deliberately
+    * split across batch boundaries, so collapsing them requires the
+    * canonicalization to agree across batches and the aggregation
+    * state to survive them. Each row canonicalizes in the scan stage
+    * (codegen'd [[graft.expr.CanonicalSmiles]]); one streaming
+    * aggregation keyed on the canonical form maintains
+    * (cluster_rep, counts). Reuses d2_smiles_canonical's oracle
+    * VERBATIM — batching-invariance, exactly like t16 reuses the batch
+    * containment oracle. */
+  def t17StreamCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expr.chemfunctions._
+    val sane = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val rendered = graft.Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), col("variant"),
+        mol_from_seed(col("seed"), col("variant")).as("smiles"))
+    val feed = java.nio.file.Paths.get(graft.ScratchDirs.dir("stream", sane, "chem_feed"))
+    java.nio.file.Files.createDirectories(feed)
+    for (v <- 0 to 2) {
+      val stage = graft.ScratchDirs.dir("stream", sane, s"chem_stage_$v")
+      rendered.filter(col("variant") === v).select(col("seed"), col("smiles"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val partFile = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).head
+      java.nio.file.Files.copy(partFile.toPath, feed.resolve(s"batch_$v.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = StreamOps.fileFeed(spark,
+      feed.toString, rendered.select(col("seed"), col("smiles")), maxFilesPerTrigger = 1)
+    val agg = stream
+      .select(canonical_smiles(col("smiles")).as("canon"), col("seed"))
+      .groupBy(col("canon"))
+      .agg(min(col("seed")).as("cluster_rep"), count(lit(1)).as("n_renderings"))
+      .select(col("cluster_rep"),
+        (col("n_renderings") / 3).cast("long").as("n_mols"), col("n_renderings"))
+    val qname = "t17_chem_" + java.lang.Integer.toHexString(dir.hashCode)
+    val nStaged = rendered.count()
+    withStatePartitions(spark, 8) {
+      drainVerified(nStaged, qname) {
+        agg.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      }
+    }
+    spark.table(qname).select(col("cluster_rep"), col("n_mols"), col("n_renderings"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_stream_canonical_dedup" -> (t17StreamCanonicalDedup _),
     "t16_stream_containment" -> (t16StreamContainment _),
     "t15_stream_ivf_ingest" -> (t15StreamIvfIngest _),
     "t14_checkpoint_recovery" -> (t14CheckpointRecovery _),
@@ -889,6 +941,7 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     // batching-invariant by per-delta-doc independence, so the streamed
     // union shares the batch incremental-containment replay verbatim
+    "t17_stream_canonical_dedup" -> ChemQueries.oracle("d2_smiles_canonical"),
     "t16_stream_containment" -> DedupQueries.oracle("dedup_containment_incremental"),
     // the frozen-quantizer assignment replayed batch-wise in SQL (the
     // ivf_append CTEs); integer sums make exactly-once checkable exactly

@@ -240,6 +240,17 @@ class ScaleStreamSpec extends SparkSpecBase {
       "delta should drain in >= 4 micro-batches")
   }
 
+  test("t17 streaming canonical dedup equals the batch d2 partition") {
+    val streamed = StreamingQueries.t17StreamCanonicalDedup(spark, sfDir)
+    val batch = graft.queries.ChemQueries.d2SmilesCanonical(spark, sfDir)
+    assert(streamed.count() > 0, "no canonical clusters drained")
+    // each molecule's three renderings arrive in three DIFFERENT
+    // micro-batches, so cluster counts only close if canonicalization
+    // agrees across batches and the aggregation state survives them
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed canonical partition diverges from batch d2")
+  }
+
   test("t5 stream-stream join reaches batch interval-join parity") {
     val streamed = StreamingQueries.t5StreamStreamJoin(spark, sfDir)
     val ev = Tables.events(spark, sfDir)
