@@ -758,7 +758,38 @@ object CurationQueries {
         round(min(col("q")), 6).as("min_kept_q"))
   }
 
+  /** Deterministic global shuffle + sharding (net-new): the DELIVERY
+    * step of a training pipeline — hand the trainer a reproducible
+    * pseudo-random permutation of the corpus, split into shards. The
+    * permutation key is a seeded md5 of the doc id (the same
+    * engine-agreeing hash the sampling pack uses); the shard is a hash
+    * bucket of that key, and the within-shard ORDER is the key's sort
+    * order — rerunning with the same seed reproduces the epoch
+    * byte-for-byte, a different seed is a fresh epoch. Physically this
+    * is ONE hash exchange + per-shard sort (the window's
+    * partitionBy(shard) orderBy(key)) — exactly the
+    * `repartition(shard).sortWithinPartitions(key)` shape a 100 TB
+    * shard-writer runs; no global sort, no driver state. The output
+    * pins the permutation itself, not just membership: `order_digest`
+    * = Σ position·doc_id over each shard detects any transposition,
+    * and `head_doc` pins the shard's first delivery. */
+  def xGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("k"),
+        (ascii(substring(key, 1, 1)) % 8).cast("long").as("shard_id"))
+    val pos = row_number()
+      .over(Window.partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id")))
+      .cast("long")
+    d.withColumn("pos", pos)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos") * col("doc_id")).as("order_digest"),
+        max(when(col("pos") === 1, col("doc_id"))).as("head_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_global_shuffle"      -> (xGlobalShuffle _),
     "x_quantile_select"     -> (xQuantileSelect _),
     "x_corpus_datacard"     -> (xCorpusDatacard _),
     "x_k_anonymity"         -> (xKAnonymity _),
@@ -929,6 +960,14 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_global_shuffle" ->
+      ("WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || ':shuf42') AS k, " +
+       "(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % 8)::BIGINT AS shard_id " +
+       "FROM documents), " +
+       "p AS (SELECT shard_id, doc_id, " +
+       "row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)::BIGINT AS pos FROM s) " +
+       "SELECT shard_id, count(*) AS n_docs, sum(pos * doc_id)::BIGINT AS order_digest, " +
+       "max(CASE WHEN pos = 1 THEN doc_id END) AS head_doc FROM p GROUP BY shard_id"),
     "x_corpus_datacard" ->
       ("WITH s AS (SELECT lang, source, count(*) AS n_docs, " +
        "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens, " +

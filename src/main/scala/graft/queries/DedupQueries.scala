@@ -756,6 +756,37 @@ object DedupQueries {
         (-col("best.nd")).as("canonical_doc"), col("best.degree").as("degree"))
   }
 
+  /** Quality-aware canonical selection (net-new): [[dedupCanonical]]
+    * picks each cluster's most-CONNECTED member; production curation
+    * pipelines usually keep the highest-QUALITY member instead (the
+    * richest variant survives, boilerplate-padded or truncated copies
+    * drop). Same cluster machinery — one shared pair-gen pass feeds
+    * the label-propagation loop — but the per-member score is a
+    * document signal (distinct-word count, an exact integer both
+    * engines compute identically) joined onto the labels, and the
+    * arg-max is one `max(struct)` partial aggregate per cluster, no
+    * window, no sort. At 100 TB the quality join is a doc_id-keyed
+    * shuffle of the (tiny) cluster-member set against the corpus
+    * scores; ties break to the lowest doc_id, so the pick is total. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = exactPairs(spark, dir)
+      .select(col("id_a"), col("id_b")).persist()
+    pairs.count()
+    val labels = graft.Confs.withShufflePartitions(spark, 8) {
+      componentLabels(pairs.select(col("id_a"), col("id_b")))
+    }
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("size(array_distinct(filter(split(text, ' '), w -> length(w) > 0)))")
+          .cast("long").as("quality"))
+    labels.join(quality, col("node") === col("doc_id"))
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("best"))
+      .select(col("comp_id"), col("n_docs"),
+        (-col("best.nd")).as("keep_doc"), col("best.quality").as("quality"))
+  }
+
   /** Triangle count over the near-dup graph (the clustering-coefficient
     * numerator — how cliquish the duplicate neighborhoods are). The
     * 100 TB trick is the DEGREE-ORDERED ORIENTATION: each undirected
@@ -794,6 +825,7 @@ object DedupQueries {
     "dedup_containment_incremental" -> (dedupContainmentIncremental _),
     "dedup_incremental"    -> (dedupIncremental _),
     "dedup_canonical"      -> (dedupCanonical _),
+    "dedup_keep_best"      -> (dedupKeepBest _),
     "graph_pagerank"       -> (graphPagerank _),
     "dedup_exact"          -> (dedupExact _),
     "dedup_ngram_jaccard"  -> (dedupNgramJaccard _),
@@ -1004,5 +1036,14 @@ object DedupQueries {
       (s"WITH RECURSIVE $duckEdgesCte, $duckCompCte " +
        "SELECT comp_id, count(*) AS n_docs, max(node) AS max_doc FROM comp GROUP BY comp_id"),
     "dedup_canonical" -> canonicalSql,
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE $duckEdgesCte, $duckCompCte, " +
+       "q AS (SELECT doc_id, len(list_distinct(list_filter(string_split(text, ' '), " +
+       "w -> len(w) > 0)))::BIGINT AS quality FROM documents), " +
+       "x AS (SELECT c.comp_id, c.node, q.quality, " +
+       "row_number() OVER (PARTITION BY c.comp_id ORDER BY q.quality DESC, c.node ASC) AS rn, " +
+       "count(*) OVER (PARTITION BY c.comp_id) AS n_docs " +
+       "FROM comp c JOIN q ON q.doc_id = c.node) " +
+       "SELECT comp_id, n_docs, node AS keep_doc, quality FROM x WHERE rn = 1"),
   )
 }

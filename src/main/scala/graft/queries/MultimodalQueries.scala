@@ -234,7 +234,48 @@ object MultimodalQueries {
           lit(0.0), (a, x) => a + x) / col("n_rows"), 6).as("top10_share"))
   }
 
+  val VadFrameBytes = 50
+
+  /** Audio VAD-style segmentation over binary payloads (net-new): the
+    * voice-activity-detection shape — frame the payload, score each
+    * frame's "energy", mark frames above threshold, and coalesce the
+    * voiced frames into maximal RUNS (the speech segments a training
+    * pipeline clips out of long audio). The per-frame scorer here is
+    * the pack's honest stub (vowel-byte density standing in for PCM
+    * RMS energy — no audio codecs in this environment; a real
+    * deployment swaps the scorer, the segmentation algebra is
+    * unchanged). Frames come from the same codegen'd binary
+    * frame-explode as [[mmFrameSample]]; runs use the islands trick
+    * (frame_idx − row_number is constant within a consecutive run), a
+    * per-media-item window bounded by frames-per-item — never a
+    * corpus-wide sort. */
+  def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val frames = Multimodal.frameSample(media, "doc_id", "payload", VadFrameBytes)
+      .select(col("doc_id"), col("frame_idx"), col("frame").cast("string").as("fs"))
+      .withColumn("flen", length(col("fs")).cast("long"))
+      .withColumn("vowels",
+        (col("flen") - length(regexp_replace(col("fs"), "[aeiou]", ""))).cast("long"))
+      .withColumn("voiced", col("vowels") * 3 >= col("flen"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val runs = frames.filter(col("voiced"))
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), max(col("run_len")).as("longest_run"),
+        sum(col("run_len")).as("n_voiced"))
+    frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_vad"       -> (mmAudioVad _),
     "p5_skew_profile"    -> (p5SkewProfile _),
     "p4_profile_columns" -> (p4ProfileColumns _),
     "mm_decode_features" -> (mmDecodeFeatures _),
@@ -261,6 +302,24 @@ object MultimodalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // VARCHAR replay of the binary VAD path (ASCII-corpus assumption,
+    // same standing note as mm_frame_sample/mm_resize)
+    "mm_audio_vad" ->
+      (s"WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents), " +
+       s"fr AS (SELECT doc_id, i AS frame_idx, substr(text, (i * $VadFrameBytes + 1)::INT, $VadFrameBytes) AS fs " +
+       s"FROM (SELECT doc_id, text, unnest(generate_series(0, greatest(ceil(L / $VadFrameBytes.0)::BIGINT, 1) - 1)) AS i FROM d)), " +
+       "v AS (SELECT doc_id, frame_idx, length(fs)::BIGINT AS flen, " +
+       "(length(fs) - length(regexp_replace(fs, '[aeiou]', '', 'g')))::BIGINT AS vowels FROM fr), " +
+       "vo AS (SELECT doc_id, frame_idx FROM v WHERE vowels * 3 >= flen), " +
+       "g AS (SELECT doc_id, frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp FROM vo), " +
+       "r AS (SELECT doc_id, grp, count(*) AS run_len FROM g GROUP BY 1, 2), " +
+       "agg AS (SELECT doc_id, count(*) AS n_segments, max(run_len) AS longest_run, " +
+       "sum(run_len)::BIGINT AS n_voiced FROM r GROUP BY 1), " +
+       "nf AS (SELECT doc_id, count(*) AS n_frames FROM fr GROUP BY 1) " +
+       "SELECT nf.doc_id, nf.n_frames, coalesce(agg.n_voiced, 0)::BIGINT AS n_voiced, " +
+       "coalesce(agg.n_segments, 0)::BIGINT AS n_segments, " +
+       "coalesce(agg.longest_run, 0)::BIGINT AS longest_run " +
+       "FROM nf LEFT JOIN agg ON nf.doc_id = agg.doc_id"),
     "p5_skew_profile" ->
       ("WITH u AS (" +
        "SELECT 'lineitem.l_suppkey' AS column_name, l_suppkey::VARCHAR AS k FROM lineitem " +

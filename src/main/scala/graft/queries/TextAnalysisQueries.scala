@@ -619,7 +619,47 @@ object TextAnalysisQueries {
         (ent < EntropyFloor).as("low_entropy"))
   }
 
+  /** Segment size (words) for [[taParagraphDedup]] — the corpus is a
+    * flat word stream (no newline structure), so "paragraphs" are
+    * fixed word windows; a real corpus splits on blank lines with the
+    * identical downstream shape. */
+  val ParaSegWords = 20
+
+  /** Paragraph-level exact dedup with DOCUMENT RECONSTRUCTION
+    * (net-new): the CCNet shape — dedup the corpus at sub-document
+    * granularity (each document's segments hashed against the WHOLE
+    * corpus, keep only each segment's globally-first occurrence), then
+    * reassemble what remains of every document in original order. One
+    * content-keyed shuffle (groupBy segment text → first occurrence),
+    * one doc_id-keyed aggregate to rebuild — both scale linearly in
+    * corpus segment volume; the first-occurrence rule (lowest doc_id,
+    * then lowest position) makes the output deterministic. The
+    * reconstruction is pinned by md5 of the reassembled text, so the
+    * oracle checks the rebuilt BYTES, not just survivor counts. */
+  def taParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest(cast(ceil(size(ws) / $ParaSegWords.0) as int), 1) - 1), " +
+        s"i -> array_join(slice(ws, i * $ParaSegWords + 1, $ParaSegWords), ' '))"))
+        .as(Seq("seg_idx", "seg")))
+    val first = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+    segs.join(first, "seg")
+      .withColumn("keep",
+        col("doc_id") === col("f.doc_id") && col("seg_idx") === col("f.seg_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ")).as("retained_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_paragraph_dedup"    -> (taParagraphDedup _),
     "ta_entropy_quality"    -> (taEntropyQuality _),
     "ta_zipf_fit"           -> (taZipfFit _),
     "ta_cdc_chunks"         -> (taCdcChunks _),
@@ -761,6 +801,17 @@ object TextAnalysisQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "ta_paragraph_dedup" ->
+      (s"WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents), " +
+       s"n AS (SELECT doc_id, ws, greatest(ceil(len(ws) / $ParaSegWords.0)::BIGINT, 1) AS k FROM w), " +
+       s"seg AS (SELECT doc_id, i AS seg_idx, " +
+       s"array_to_string(ws[(i * $ParaSegWords + 1):((i + 1) * $ParaSegWords)], ' ') AS seg " +
+       "FROM (SELECT doc_id, ws, unnest(generate_series(0, k - 1)) AS i FROM n)), " +
+       "fl AS (SELECT doc_id, seg_idx, seg, " +
+       "(row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) AS keep FROM seg) " +
+       "SELECT doc_id, count(*) AS n_segs, sum(keep::BIGINT)::BIGINT AS n_kept, " +
+       "md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')) AS retained_md5 " +
+       "FROM fl GROUP BY doc_id"),
     "ta_entropy_quality" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
        "c AS (SELECT doc_id, w, count(*) AS c FROM t WHERE w <> '' GROUP BY 1, 2), " +

@@ -15,6 +15,30 @@ class CurationQueriesSpec extends SparkSpecBase {
   private def queryExchanges(plan: String): Int =
     "Exchange [a-z]+partitioning[^\n]*ENSURE_REQUIREMENTS".r.findAllIn(plan).size
 
+  test("x_global_shuffle: shards partition the corpus, digest pins the permutation") {
+    val out = CurationQueries.xGlobalShuffle(spark, sfDir).collect()
+    val n = graft.Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == n, "shards must partition the corpus")
+    assert(out.length <= 8 && out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+    // rerun reproduces the identical epoch (same digest per shard)
+    val again = CurationQueries.xGlobalShuffle(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out.foreach { r =>
+      assert(again(r.getLong(0)) == ((r.getLong(1), r.getLong(2), r.getLong(3))),
+        s"shuffle not reproducible for shard ${r.getLong(0)}")
+    }
+    // digest is order-sensitive: permuting two docs inside a shard
+    // must change Σ pos·doc_id unless the transposition is degenerate
+    val digest = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(digest.values.toSet.size > 1, "degenerate digests")
+    // the plan is one hash exchange on shard + per-shard sort (the
+    // repartition+sortWithinPartitions shard-writer shape): no global sort
+    val plan = CurationQueries.xGlobalShuffle(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort planned:\n${plan.take(1500)}")
+  }
+
   test("ta_pii_redact is a pure scan-stage projection and masks everything") {
     val df = CurationQueries.taPiiRedact(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

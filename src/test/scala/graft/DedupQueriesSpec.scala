@@ -125,6 +125,38 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("keep-best pick: same clusters as canonical, keeper has max quality") {
+    val best = DedupQueries.dedupKeepBest(spark, sfDir).collect()
+    val canon = DedupQueries.dedupCanonical(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(best.length == canon.size, "one keeper per component")
+    // per-doc quality recompute (distinct words), driver-side
+    val q = graft.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty).distinct.length.toLong).toMap
+    // cluster membership from the components labels via the pair graph
+    val pairs = DedupQueries.dedupNgramJaccard(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def component(seed: Long): Set[Long] = {
+      var seen = Set(seed); var frontier = List(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)).filterNot(seen)
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    best.foreach { r =>
+      val (comp, n, keep, quality) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(canon(comp) == n, s"component size mismatch: $r")
+      val members = component(comp)
+      assert(members.contains(keep), s"keeper $keep not a member of comp $comp")
+      assert(quality == q(keep), s"reported quality mismatch: $r vs ${q(keep)}")
+      assert(members.forall(m => q(m) < quality || (q(m) == quality && m >= keep)),
+        s"keeper $keep (q=$quality) is not the quality-argmax of $members")
+    }
+  }
+
   test("triangle count matches brute force over the collected edge set") {
     val row = DedupQueries.graphTriangles(spark, sfDir).collect().head
     val (nTri, nEdges) = (row.getLong(0), row.getLong(1))

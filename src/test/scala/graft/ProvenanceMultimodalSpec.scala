@@ -113,6 +113,31 @@ class ProvenanceMultimodalSpec extends SparkSpecBase {
     assert(got == (0x3FFFFFFFL << 30), f"kernel bits wrong: $got%x")
   }
 
+  test("mm_audio_vad: frame accounting and run algebra hold; synthetic segments pin") {
+    import graft.queries.MultimodalQueries
+    val out = MultimodalQueries.mmAudioVad(spark, sfDir).collect()
+    val chars = graft.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").length).toMap
+    out.foreach { r =>
+      val (doc, nf, nv, ns, lr) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nf == math.max(math.ceil(chars(doc) / 50.0).toLong, 1L), s"frame count: $r")
+      assert(nv <= nf && ns <= nv && lr <= nv, s"run algebra violated: $r")
+      assert((ns == 0) == (nv == 0), s"segments iff voiced frames: $r")
+    }
+    // synthetic pin: 50-byte frames of all-vowels (voiced) and
+    // all-consonants (unvoiced) in a known pattern V V U V → 2 segments,
+    // longest run 2, 3 voiced of 4 frames
+    import spark.implicits._
+    val v = "a" * 50; val u = "z" * 50
+    val dir = graft.ScratchDirs.dir("spec", "vad")
+    Seq((0L, v + v + u + v)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pin = MultimodalQueries.mmAudioVad(spark, dir).collect().head
+    assert((pin.getLong(1), pin.getLong(2), pin.getLong(3), pin.getLong(4)) ==
+      ((4L, 3L, 2L, 2L)), s"synthetic VAD pin failed: $pin")
+  }
+
   test("topk_mean aggregate matches the sort-based form") {
     val a = graft.queries.WindowQueries.a5TopkMean(spark, sfDir)
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1)))

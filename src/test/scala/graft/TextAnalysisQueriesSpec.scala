@@ -12,6 +12,35 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("paragraph dedup: survivors partition the segment space; duplicate doc empties") {
+    val out = TextAnalysisQueries.taParagraphDedup(spark, sfDir).cache()
+    // global invariant: Σ n_kept = number of DISTINCT segments corpus-wide
+    val kept = out.agg(sum(col("n_kept"))).collect().head.getLong(0)
+    out.unpersist()
+    // recompute distinct segments directly from the corpus
+    val segs = graft.Tables.documents(spark, sfDir)
+      .select(expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(0, greatest(cast(ceil(size(ws) / 20.0) as int), 1) - 1), " +
+        "i -> array_join(slice(ws, i * 20 + 1, 20), ' '))")).as("seg"))
+      .distinct().count()
+    assert(kept == segs, s"kept $kept != distinct segments $segs")
+    // synthetic pin: doc 1 is a verbatim copy of doc 0 → doc 1 keeps
+    // nothing and its reconstruction is the md5 of the empty string
+    import spark.implicits._
+    val text = (1 to 45).map(i => s"w$i").mkString(" ")
+    val dir = graft.ScratchDirs.dir("spec", "paradedup")
+    Seq((0L, text), (1L, text), (2L, "only unique words here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pin = TextAnalysisQueries.taParagraphDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(pin(0L)._1 == 3 && pin(0L)._2 == 3, s"original keeps all: $pin")
+    assert(pin(1L)._2 == 0, s"verbatim copy keeps nothing: $pin")
+    assert(pin(1L)._3 == "d41d8cd98f00b204e9800998ecf8427e", // md5("")
+      s"empty reconstruction hash: $pin")
+    assert(pin(2L)._2 == 1, s"unique doc survives: $pin")
+  }
+
   test("contamination: a verbatim leak is flagged at 1.0; ratios stay in [0,1]") {
     val real = TextAnalysisQueries.taContamination(spark, sfDir).cache()
     assert(real.filter(col("contamination") < 0 || col("contamination") > 1).count() == 0)
