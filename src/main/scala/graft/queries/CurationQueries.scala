@@ -788,7 +788,50 @@ object CurationQueries {
         max(when(col("pos") === 1, col("doc_id"))).as("head_doc"))
   }
 
+  /** Minimum document size (chars) admitted to the shard release. */
+  val ReleaseMinChars = 100
+
+  /** End-to-end shard release (net-new capstone): the full
+    * curate→dedup→deliver path as ONE composition — (1) a quality gate
+    * (pushdown-able `n_chars` filter, standing in for the score-based
+    * gates the pack measures separately), (2) near-dup collapse that
+    * keeps each cluster's highest-quality member
+    * ([[graft.queries.DedupQueries.dedupKeepBest]]'s pick; every other
+    * cluster member is anti-joined away), (3) the deterministic
+    * seeded shuffle-shard delivery of [[xGlobalShuffle]], with a
+    * per-shard byte accounting (`n_chars` sum) and the
+    * permutation-pinning digest. The dedup side rides the
+    * session-memoized exact-pairs artifact, so the composition adds
+    * two anti-joins and one shard exchange on top of work the
+    * pipeline already materialized — exactly how a production release
+    * job composes from shared artifacts rather than re-deriving them. */
+  def e2eShardRelease(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.exactPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    val members = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val keepers = DedupQueries.dedupKeepBest(spark, dir)
+      .select(col("keep_doc").as("doc_id"))
+    val dropped = members.join(keepers, Seq("doc_id"), "left_anti")
+    val survivors = Tables.documents(spark, dir)
+      .filter(col("n_chars") >= ReleaseMinChars)
+      .select(col("doc_id"), col("n_chars"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    val keyed = survivors.select(col("doc_id"), col("n_chars"), key.as("k"),
+      (ascii(substring(key, 1, 1)) % 8).cast("long").as("shard_id"))
+    val pos = row_number()
+      .over(Window.partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id")))
+      .cast("long")
+    keyed.withColumn("pos", pos)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(col("pos") * col("doc_id")).as("order_digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_shard_release"     -> (e2eShardRelease _),
     "x_global_shuffle"      -> (xGlobalShuffle _),
     "x_quantile_select"     -> (xQuantileSelect _),
     "x_corpus_datacard"     -> (xCorpusDatacard _),
@@ -960,6 +1003,24 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "e2e_shard_release" ->
+      (s"WITH RECURSIVE ${DedupQueries.duckEdgesCte}, ${DedupQueries.duckCompCte}, " +
+       "q AS (SELECT doc_id, len(list_distinct(list_filter(string_split(text, ' '), " +
+       "w -> len(w) > 0)))::BIGINT AS quality FROM documents), " +
+       "x AS (SELECT c.comp_id, c.node, " +
+       "row_number() OVER (PARTITION BY c.comp_id ORDER BY q.quality DESC, c.node ASC) AS rn " +
+       "FROM comp c JOIN q ON q.doc_id = c.node), " +
+       "keepers AS (SELECT node AS doc_id FROM x WHERE rn = 1), " +
+       "members AS (SELECT DISTINCT s AS doc_id FROM edges), " +
+       "dropped AS (SELECT doc_id FROM members WHERE doc_id NOT IN (SELECT doc_id FROM keepers)), " +
+       s"surv AS (SELECT doc_id, n_chars FROM documents WHERE n_chars >= $ReleaseMinChars " +
+       "AND doc_id NOT IN (SELECT doc_id FROM dropped)), " +
+       "s AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR || ':shuf42') AS k, " +
+       "(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % 8)::BIGINT AS shard_id FROM surv), " +
+       "p AS (SELECT shard_id, doc_id, n_chars, " +
+       "row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)::BIGINT AS pos FROM s) " +
+       "SELECT shard_id, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars_total, " +
+       "sum(pos * doc_id)::BIGINT AS order_digest FROM p GROUP BY shard_id"),
     "x_global_shuffle" ->
       ("WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || ':shuf42') AS k, " +
        "(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % 8)::BIGINT AS shard_id " +

@@ -908,7 +908,7 @@ object DedupQueries {
   /** Shared oracle prefix: replay the exact n-gram Jaccard pair
     * pipeline and symmetrize it into a directed edge list — used by
     * both the components closure and the PageRank unroll. */
-  private val duckEdgesCte =
+  private[graft] val duckEdgesCte =
     ("t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
      "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(" +
      "list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) " +
@@ -943,7 +943,7 @@ object DedupQueries {
 
   /** Transitive closure of the symmetric edge graph → per-node min
     * component label (shared by components and canonical-pick). */
-  private val duckCompCte =
+  private[graft] val duckCompCte =
     ("reach AS (SELECT s AS node, d AS r FROM edges " +
      "UNION SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s), " +
      "comp AS (SELECT node, least(node, min(r)) AS comp_id FROM reach GROUP BY node)")

@@ -15,6 +15,25 @@ class CurationQueriesSpec extends SparkSpecBase {
   private def queryExchanges(plan: String): Int =
     "Exchange [a-z]+partitioning[^\n]*ENSURE_REQUIREMENTS".r.findAllIn(plan).size
 
+  test("e2e_shard_release: survivors = quality-gated minus non-keeper cluster members") {
+    import graft.queries.DedupQueries
+    val out = CurationQueries.e2eShardRelease(spark, sfDir).collect()
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupQueries.dedupNgramJaccard(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val keepers = DedupQueries.dedupKeepBest(spark, sfDir).collect()
+      .map(_.getLong(2)).toSet
+    val survivors = docs.keySet
+      .filter(d => docs(d) >= CurationQueries.ReleaseMinChars &&
+        !(members(d) && !keepers(d)))
+    assert(out.map(_.getLong(1)).sum == survivors.size,
+      s"survivor count: ${out.map(_.getLong(1)).sum} != ${survivors.size}")
+    assert(out.map(_.getLong(2)).sum == survivors.toSeq.map(docs).sum,
+      "per-shard byte accounting must sum to the survivor corpus")
+  }
+
   test("x_global_shuffle: shards partition the corpus, digest pins the permutation") {
     val out = CurationQueries.xGlobalShuffle(spark, sfDir).collect()
     val n = graft.Tables.documents(spark, sfDir).count()
