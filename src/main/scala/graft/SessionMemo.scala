@@ -18,10 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * instead of reading a half-written scratch file.
   *
   * Keys embed a per-JVM tag, so a fresh session (fresh data) never
-  * reads a stale file, plus the FULL sanitized data dir (not a 32-bit
-  * hash): two dirs can never alias one scratch file. Assumes a dir's
-  * contents are immutable within a session, which the harness
-  * guarantees (testdata regen restarts the JVM). */
+  * reads a stale file, plus the data dir's sanitized name AND its
+  * SHA-256: the sanitizer alone is lossy (`/x/a.b` and `/x/a_b` both
+  * sanitize to `_x_a_b`), so the digest is what guarantees two dirs
+  * can never alias one scratch file. Assumes a dir's contents are
+  * immutable within a session, which the harness guarantees (testdata
+  * regen restarts the JVM). */
 object SessionMemo {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
@@ -36,7 +38,10 @@ object SessionMemo {
     val holder = if (prior == null) fresh else prior
     if (prior == null) {
       try {
-        val p = ScratchDirs.dir("memo", sessionTag, kind, dir.replaceAll("[^a-zA-Z0-9]", "_"))
+        val dirDigest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val p = ScratchDirs.dir("memo", sessionTag, kind,
+          dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + dirDigest)
         build.write.mode("overwrite").parquet(p)
         fresh.complete(p)
       } catch {

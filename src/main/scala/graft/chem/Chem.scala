@@ -108,6 +108,9 @@ object Chem {
                   else if (po >= 0) po
                   else if (atoms(other).aromatic && atoms(prev).aromatic) 4 else 1
           if (other == prev) fail("self ring closure")
+          if (bonds.exists { case (a, b, _) =>
+                (a == other && b == prev) || (a == prev && b == other) })
+            fail("ring closure duplicates an existing bond")
           bonds += ((other, prev, o))
         case None => ringOpen(id) = (prev, pending)
       }
@@ -470,11 +473,25 @@ object Chem {
   private val fpMemo = new Memo[Array[Long]](65536)
   private val subMemo = new Memo[java.lang.Boolean](65536)
 
+  // Memoizable stand-ins for "unparseable" (ConcurrentHashMap rejects
+  // null values): a NUL char never occurs in a written SMILES, and
+  // every valid fingerprint has FpWords words.
+  private val InvalidSmiles = "\u0000invalid"
+  private val InvalidFp = new Array[Long](0)
+
   /** D2: non-isomeric canonical SMILES of a SMILES string
-    * (finalize_realease.py:230-249's pipeline, minimal port). */
+    * (finalize_realease.py:230-249's pipeline, minimal port). Returns
+    * null for unparseable input — the reference's canonic() returns
+    * None and the pipeline drops the row (finalize_realease.py), so a
+    * malformed compound must not fail the whole job. */
   def canonical(smiles: String): String =
     if (smiles == null) null
-    else canonMemo.get(smiles)(canonicalGraph(normalize(parse(smiles))))
+    else {
+      val r = canonMemo.get(smiles)(
+        try canonicalGraph(normalize(parse(smiles)))
+        catch { case _: IllegalArgumentException => InvalidSmiles })
+      if (r == InvalidSmiles) null else r
+    }
 
   // ------------------------------------------------------------- Morgan
 
@@ -518,9 +535,16 @@ object Chem {
     words
   }
 
+  /** Null for unparseable input, mirroring [[canonical]]'s
+    * drop-the-row semantics. */
   def morganFp(smiles: String): Array[Long] =
     if (smiles == null) null
-    else fpMemo.get(smiles)(morganFpGraph(normalize(parse(smiles))))
+    else {
+      val r = fpMemo.get(smiles)(
+        try morganFpGraph(normalize(parse(smiles)))
+        catch { case _: IllegalArgumentException => InvalidFp })
+      if (r.length == 0) null else r
+    }
 
   // -------------------------------------------------------- substructure
 
@@ -590,8 +614,9 @@ object Chem {
     * target normalized. */
   def hasSubstructure(target: String, pattern: String): Boolean =
     if (target == null || pattern == null) false
-    else subMemo.get(target + " " + pattern)(
-      substructureGraph(normalize(parse(target)), parse(pattern))).booleanValue()
+    else subMemo.get(target + "\u0000" + pattern)(
+      try substructureGraph(normalize(parse(target)), parse(pattern))
+      catch { case _: IllegalArgumentException => java.lang.Boolean.FALSE }).booleanValue()
 
   // ----------------------------------------------------------- generator
 

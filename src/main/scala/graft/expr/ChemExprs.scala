@@ -21,8 +21,11 @@ object ChemKernels {
     UTF8String.fromString(Chem.fromSeed(seed, variant))
   def canonical(s: UTF8String): UTF8String =
     if (s == null) null else UTF8String.fromString(Chem.canonical(s.toString))
-  def morganFp(s: UTF8String): ArrayData =
-    if (s == null) null else new GenericArrayData(Chem.morganFp(s.toString))
+  def morganFp(s: UTF8String): ArrayData = {
+    if (s == null) return null
+    val fp = Chem.morganFp(s.toString)
+    if (fp == null) null else new GenericArrayData(fp)
+  }
   def hasSub(s: UTF8String, p: UTF8String): Boolean =
     Chem.hasSubstructure(s.toString, p.toString)
 }
@@ -47,10 +50,24 @@ case class MolFromSeed(left: Expression, right: Expression) extends BinaryExpres
 
 /** D2 — non-isomeric canonical SMILES (parse → largest fragment →
   * uncharge → canonical tautomer → canonical ranking; minimal port of
-  * finalize_realease.py:230-249). */
-case class CanonicalSmiles(child: Expression) extends StringUnaryExpr {
-  override protected def kernel: String = "graft.chem.Chem.canonical"
-  override protected def evalString(s: String): String = Chem.canonical(s)
+  * finalize_realease.py:230-249). NULL on unparseable input (the
+  * reference's canonic() returns None and drops the row), so the
+  * codegen tracks result-null, not just input-null — `defineCodeGen`
+  * alone would let a null kernel result flow as a "non-null" value. */
+case class CanonicalSmiles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"canonical_smiles requires a string argument, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    ChemKernels.canonical(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expr.ChemKernels.canonical($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   override protected def withNewChildInternal(newChild: Expression): CanonicalSmiles = copy(newChild)
   override def prettyName: String = "canonical_smiles"
 }
@@ -60,6 +77,7 @@ case class CanonicalSmiles(child: Expression) extends StringUnaryExpr {
   * ([[BitSimKernels]]) consume (finalize_realease.py:116-144). */
 case class MorganFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null on unparseable input, like [[CanonicalSmiles]]
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -67,7 +85,10 @@ case class MorganFingerprint(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     ChemKernels.morganFp(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.ChemKernels.morganFp($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expr.ChemKernels.morganFp($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   override protected def withNewChildInternal(newChild: Expression): MorganFingerprint = copy(newChild)
   override def prettyName: String = "morgan_fp"
 }

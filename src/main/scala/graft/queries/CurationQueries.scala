@@ -758,6 +758,17 @@ object CurationQueries {
         round(min(col("q")), 6).as("min_kept_q"))
   }
 
+  /** Shard count for [[xGlobalShuffle]] / [[e2eShardRelease]] — a
+    * HARNESS-SCALE parameter, not a design constant. Shards scale with
+    * the corpus (a 100 TB release runs thousands so each shard is a
+    * trainer-friendly few GB); the delivery shape is shard-count
+    * independent — the window-per-shard here is the
+    * `repartition(shard).sortWithinPartitions(key)` a shard-writer
+    * runs at any width, and the first-md5-hex-char bucketing extends
+    * to more hex chars as the count grows. 8 keeps every shard
+    * populated at the smoke SF so the oracle pins all rows. */
+  val NumShards = 8
+
   /** Deterministic global shuffle + sharding (net-new): the DELIVERY
     * step of a training pipeline — hand the trainer a reproducible
     * pseudo-random permutation of the corpus, split into shards. The
@@ -777,7 +788,7 @@ object CurationQueries {
     val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), key.as("k"),
-        (ascii(substring(key, 1, 1)) % 8).cast("long").as("shard_id"))
+        (ascii(substring(key, 1, 1)) % NumShards).cast("long").as("shard_id"))
     val pos = row_number()
       .over(Window.partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id")))
       .cast("long")
@@ -819,7 +830,7 @@ object CurationQueries {
       .join(dropped, Seq("doc_id"), "left_anti")
     val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
     val keyed = survivors.select(col("doc_id"), col("n_chars"), key.as("k"),
-      (ascii(substring(key, 1, 1)) % 8).cast("long").as("shard_id"))
+      (ascii(substring(key, 1, 1)) % NumShards).cast("long").as("shard_id"))
     val pos = row_number()
       .over(Window.partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id")))
       .cast("long")
@@ -830,9 +841,56 @@ object CurationQueries {
         sum(col("pos") * col("doc_id")).as("order_digest"))
   }
 
+  /** Incremental shard delivery (net-new): append a DELTA of new
+    * documents to an already-delivered epoch WITHOUT recomputing the
+    * epoch permutation — the ingest twin of [[xGlobalShuffle]], pairing
+    * with [[graft.queries.DedupQueries.dedupIncremental]]'s
+    * delta-vs-index shape (same convention: even doc ids are the
+    * delivered base, odd ids the arriving delta). A delta doc's shard
+    * is the SAME seeded-md5 bucket the base epoch used (assignment is
+    * pure arithmetic on the doc id, so it never depends on what was
+    * already delivered), and its position appends after the base
+    * shard's tail in key order — base positions are untouched, which
+    * is the whole point: re-sharding a 100 TB epoch to admit a day's
+    * delta would move every byte; appending moves only the delta.
+    * Physically: one window per side over the same (shard, key)
+    * ordering + a broadcast of the NumShards-row base tail counts onto
+    * the delta — delta-volume work, base crossed once for its counts.
+    * The output pins both permutations: `base_digest` must replay the
+    * base epoch byte-for-byte (Σ pos·doc_id), `epoch_digest` pins the
+    * combined order after the append. */
+  def xShardIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("k"),
+        (ascii(substring(key, 1, 1)) % NumShards).cast("long").as("shard_id"))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id"))
+    val baseAgg = keyed.filter(col("doc_id") % 2 === 0)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_base"),
+        sum(col("pos") * col("doc_id")).as("base_digest"))
+    val deltaAgg = keyed.filter(col("doc_id") % 2 === 1)
+      .withColumn("dpos", row_number().over(w).cast("long"))
+      .join(broadcast(baseAgg.select(col("shard_id"), col("n_base"))), Seq("shard_id"), "left")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_delta"),
+        min(when(col("dpos") === 1, col("doc_id"))).as("head_delta_doc"),
+        sum((col("dpos") + coalesce(col("n_base"), lit(0L))) * col("doc_id")).as("delta_digest"))
+    baseAgg.join(deltaAgg, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("base_digest"), lit(0L)).as("base_digest"),
+        (coalesce(col("base_digest"), lit(0L)) +
+          coalesce(col("delta_digest"), lit(0L))).as("epoch_digest"),
+        col("head_delta_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_shard_release"     -> (e2eShardRelease _),
     "x_global_shuffle"      -> (xGlobalShuffle _),
+    "x_shard_incremental"   -> (xShardIncremental _),
     "x_quantile_select"     -> (xQuantileSelect _),
     "x_corpus_datacard"     -> (xCorpusDatacard _),
     "x_k_anonymity"         -> (xKAnonymity _),
@@ -1016,19 +1074,42 @@ object CurationQueries {
        s"surv AS (SELECT doc_id, n_chars FROM documents WHERE n_chars >= $ReleaseMinChars " +
        "AND doc_id NOT IN (SELECT doc_id FROM dropped)), " +
        "s AS (SELECT doc_id, n_chars, md5(doc_id::VARCHAR || ':shuf42') AS k, " +
-       "(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % 8)::BIGINT AS shard_id FROM surv), " +
+       s"(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % $NumShards)::BIGINT AS shard_id FROM surv), " +
        "p AS (SELECT shard_id, doc_id, n_chars, " +
        "row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)::BIGINT AS pos FROM s) " +
        "SELECT shard_id, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars_total, " +
        "sum(pos * doc_id)::BIGINT AS order_digest FROM p GROUP BY shard_id"),
     "x_global_shuffle" ->
       ("WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || ':shuf42') AS k, " +
-       "(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % 8)::BIGINT AS shard_id " +
+       s"(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % $NumShards)::BIGINT AS shard_id " +
        "FROM documents), " +
        "p AS (SELECT shard_id, doc_id, " +
        "row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)::BIGINT AS pos FROM s) " +
        "SELECT shard_id, count(*) AS n_docs, sum(pos * doc_id)::BIGINT AS order_digest, " +
        "max(CASE WHEN pos = 1 THEN doc_id END) AS head_doc FROM p GROUP BY shard_id"),
+    "x_shard_incremental" ->
+      ("WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || ':shuf42') AS k, " +
+       s"(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % $NumShards)::BIGINT AS shard_id " +
+       "FROM documents), " +
+       "b AS (SELECT shard_id, doc_id, " +
+       "row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)::BIGINT AS pos " +
+       "FROM s WHERE doc_id % 2 = 0), " +
+       "ba AS (SELECT shard_id, count(*)::BIGINT AS n_base, " +
+       "sum(pos * doc_id)::BIGINT AS base_digest FROM b GROUP BY shard_id), " +
+       "d AS (SELECT shard_id, doc_id, " +
+       "row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)::BIGINT AS dpos " +
+       "FROM s WHERE doc_id % 2 = 1), " +
+       "da AS (SELECT d.shard_id, count(*)::BIGINT AS n_delta, " +
+       "min(CASE WHEN d.dpos = 1 THEN d.doc_id END)::BIGINT AS head_delta_doc, " +
+       "sum((d.dpos + coalesce(ba.n_base, 0)) * d.doc_id)::BIGINT AS delta_digest " +
+       "FROM d LEFT JOIN ba ON d.shard_id = ba.shard_id GROUP BY d.shard_id) " +
+       "SELECT coalesce(ba.shard_id, da.shard_id) AS shard_id, " +
+       "coalesce(ba.n_base, 0)::BIGINT AS n_base, " +
+       "coalesce(da.n_delta, 0)::BIGINT AS n_delta, " +
+       "coalesce(ba.base_digest, 0)::BIGINT AS base_digest, " +
+       "(coalesce(ba.base_digest, 0) + coalesce(da.delta_digest, 0))::BIGINT AS epoch_digest, " +
+       "da.head_delta_doc " +
+       "FROM ba FULL OUTER JOIN da ON ba.shard_id = da.shard_id"),
     "x_corpus_datacard" ->
       ("WITH s AS (SELECT lang, source, count(*) AS n_docs, " +
        "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens, " +

@@ -179,8 +179,20 @@ object DedupQueries {
     * Every step (poly61 shingle hash, affine perms, folded band keys)
     * has an exact DuckDB twin, so the driver hash-checks the full
     * pipeline; recall vs the exact baseline is ALSO asserted in
-    * DedupQueriesSpec and oracle-enforced via dedup_minhash_recall. */
+    * DedupQueriesSpec and oracle-enforced via dedup_minhash_recall.
+    * The REGISTERED query runs the live pipeline — it IS the
+    * measurement of LSH pair generation; consumers that only need the
+    * pair set read [[minhashPairsArtifact]] instead (memoizing the
+    * registered entry would turn the benchmark into a parquet read
+    * for every invocation after the first). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(shingleTable(spark, dir))
+
+  /** The session-memoized MinHash pair ARTIFACT (see
+    * [[graft.SessionMemo]]): the recall contract and any downstream
+    * consumer fan out from this one materialization, the way a
+    * production pipeline shares a persisted pair table. */
+  private[graft] def minhashPairsArtifact(spark: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.parquet(spark, "minhash_pairs", dir)(
       minhashPairsFrom(shingleTable(spark, dir)))
 
@@ -311,13 +323,16 @@ object DedupQueries {
     * oracle and spec pin it), but the join shuffles on a uniformly
     * distributed key instead of materializing N²/2 pairs.
     *
-    * Session-memoized like [[exactPairs]]: the pair table is also the
-    * truth-side input of [[dedupSimhashRecall]], and a production
-    * pipeline materializes the pair artifact once and fans consumers
-    * out from it. The registered query runs first alphabetically, so
-    * the bench still measures the live pipeline (plus the one
-    * artifact write); the recall contract reads the artifact. */
+    * The REGISTERED query runs the live pipeline (it is the benchmark
+    * of simhash pair generation, regardless of bench ordering); the
+    * recall contract reads [[simhashPairsArtifact]]. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsLive(spark, dir)
+
+  /** Session-memoized simhash pair ARTIFACT for downstream consumers
+    * ([[dedupSimhashRecall]]) — same sharing shape as
+    * [[minhashPairsArtifact]]. */
+  private[graft] def simhashPairsArtifact(spark: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.parquet(spark, "simhash_pairs", dir)(
       simhashPairsLive(spark, dir))
 
@@ -352,11 +367,11 @@ object DedupQueries {
   def dedupMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
     // both sides read the session-memoized pair ARTIFACTS (the exact
     // pipeline via [[exactPairs]], the LSH pipeline via
-    // [[dedupMinhashLsh]]) — the recall contract audits two persisted
-    // pair tables, it does not re-derive them from the corpus
+    // [[minhashPairsArtifact]]) — the recall contract audits two
+    // persisted pair tables, it does not re-derive them from the corpus
     val exact = exactPairs(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("t"))
-    val lsh = dedupMinhashLsh(spark, dir)
+    val lsh = minhashPairsArtifact(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("f"))
     // coalesce(...,0): a global agg over an empty (dup-free) corpus
     // yields NULL sums, and the oracle expects (0, TRUE, TRUE)
@@ -376,7 +391,7 @@ object DedupQueries {
   def dedupSimhashRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = exactPairs(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("t"))
-    val sh = dedupSimhash(spark, dir)
+    val sh = simhashPairsArtifact(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("f"))
     exact.join(sh, Seq("id_a", "id_b"), "left")
       .agg(coalesce(sum(col("t")), lit(0)).as("n_true"),

@@ -154,7 +154,19 @@ object SourceQueries {
     * on the driver). The read-back pairs each line with its position
     * in the published file, so the oracle (row_number over the sorted
     * projection) checks the CONCAT ORDER end-to-end, not just the line
-    * set. */
+    * set.
+    *
+    * SCALE NOTE — two publish shapes, choose by artifact size. This
+    * shape (stitch to ONE file) is the faithful mapping of the
+    * reference's `cat`, and its cost bound is explicit: the full
+    * artifact BYTE volume transits one driver-side copy loop (no rows,
+    * constant memory, but driver-NIC-bound — fine for the
+    * reference-sized exports this models, wrong for a 100 TB corpus).
+    * At corpus scale, publish the range-partitioned sorted part files
+    * AS the artifact (filename order IS global order, so consumers
+    * stream `part-00000, part-00001, …` as if concatenated) and
+    * concat, if ever, at the download edge — the write stays fully
+    * distributed and no byte ever crosses the driver. */
   def k4FileConcatPublish(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val outDir = tmp(dir, "k4_parts")

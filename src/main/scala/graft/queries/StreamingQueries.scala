@@ -91,7 +91,10 @@ object StreamingQueries {
     def logFiles(d: String): Array[java.io.File] =
       Option(new java.io.File(s"$ckpt/$d").listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("[0-9]+(\\.compact)?"))
-    val committed = logFiles("commits").map(_.getName.toLong)
+    // commits can be compacted too (spark.sql.streaming.minBatchesToRetain
+    // + compact interval), so strip the suffix before the numeric parse —
+    // a bare .toLong would throw on "9.compact"
+    val committed = logFiles("commits").map(_.getName.stripSuffix(".compact").toLong)
     if (committed.isEmpty) return Set.empty
     val maxCommitted = committed.max
     val pathRe = java.util.regex.Pattern.compile("\"path\":\"([^\"]+)\"")

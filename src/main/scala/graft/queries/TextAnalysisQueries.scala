@@ -625,37 +625,60 @@ object TextAnalysisQueries {
     * identical downstream shape. */
   val ParaSegWords = 20
 
+  /** Segmentation expression shared by [[taParagraphDedup]]'s keying
+    * and reconstruction sides: the doc's word array `ws` → its array
+    * of [[ParaSegWords]]-word segment strings, in position order. */
+  private val paraSegExpr =
+    s"transform(sequence(0, greatest(cast(ceil(size(ws) / $ParaSegWords.0) as int), 1) - 1), " +
+    s"i -> array_join(slice(ws, i * $ParaSegWords + 1, $ParaSegWords), ' '))"
+
   /** Paragraph-level exact dedup with DOCUMENT RECONSTRUCTION
     * (net-new): the CCNet shape — dedup the corpus at sub-document
     * granularity (each document's segments hashed against the WHOLE
     * corpus, keep only each segment's globally-first occurrence), then
-    * reassemble what remains of every document in original order. One
-    * content-keyed shuffle (groupBy segment text → first occurrence),
-    * one doc_id-keyed aggregate to rebuild — both scale linearly in
-    * corpus segment volume; the first-occurrence rule (lowest doc_id,
-    * then lowest position) makes the output deterministic. The
-    * reconstruction is pinned by md5 of the reassembled text, so the
-    * oracle checks the rebuilt BYTES, not just survivor counts. */
+    * reassemble what remains of every document in original order.
+    *
+    * DIGEST-KEYED for scale: every dedup-decision exchange carries the
+    * segment's 8-byte xxhash64, never the segment text (CCNet itself
+    * dedups paragraphs on truncated 64-bit SHA-1 keys — same trade).
+    * The per-doc segment array is hashed in the scan stage; the
+    * first-occurrence aggregate, the keep-join, and the per-doc
+    * kept-index aggregate all shuffle (key, doc_id, seg_idx) tuples
+    * only. Corpus text crosses exactly ONE exchange — the final doc_id
+    * equi-join back to the one-row-per-doc segment arrays, where the
+    * kept indices select and reassemble the surviving text. At 100 TB
+    * that turns two corpus-text-wide shuffles into 8-byte-key ones
+    * (vs a ~120-byte 20-word segment carried twice); a spec pins the
+    * exchanged-byte win against the string-keyed shape. The oracle
+    * needs no hash at all — DuckDB groups by the raw segment, which is
+    * identical output absent a 64-bit collision (expected n²/2⁶⁵;
+    * widen the key to unhex(md5) when a release needs tighter odds).
+    * The first-occurrence rule
+    * (lowest doc_id, then lowest position) makes the output
+    * deterministic; the reconstruction is pinned by md5 of the
+    * reassembled text, so the oracle checks the rebuilt BYTES, not
+    * just survivor counts. */
   def taParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val segs = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, greatest(cast(ceil(size(ws) / $ParaSegWords.0) as int), 1) - 1), " +
-        s"i -> array_join(slice(ws, i * $ParaSegWords + 1, $ParaSegWords), ' '))"))
-        .as(Seq("seg_idx", "seg")))
-    val first = segs.groupBy(col("seg"))
+      .select(col("doc_id"), expr(paraSegExpr).as("segs"))
+    val keyed = docs.select(col("doc_id"),
+      posexplode(expr("transform(segs, s -> xxhash64(s))")).as(Seq("seg_idx", "seg_key")))
+    val first = keyed.groupBy(col("seg_key"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
-    segs.join(first, "seg")
+    val kept = keyed.join(first, "seg_key")
       .withColumn("keep",
         col("doc_id") === col("f.doc_id") && col("seg_idx") === col("f.seg_idx"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segs"),
         sum(col("keep").cast("long")).as("n_kept"),
-        md5(array_join(transform(
-          array_sort(collect_list(when(col("keep"),
-            struct(col("seg_idx"), col("seg"))))),
-          s => s.getField("seg")), " ")).as("retained_md5"))
+        sort_array(collect_list(when(col("keep"), col("seg_idx")))).as("kept_idx"))
+    docs.join(kept, "doc_id")
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        md5(array_join(expr(
+          "filter(transform(segs, (s, i) -> if(array_contains(kept_idx, i), s, null)), s -> s is not null)"),
+          " ")).as("retained_md5"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

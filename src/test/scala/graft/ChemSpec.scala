@@ -66,6 +66,41 @@ class ChemSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Chem.parse("C1CC"))   // unclosed ring
     intercept[IllegalArgumentException](Chem.parse("C(C"))    // unbalanced paren
     intercept[IllegalArgumentException](Chem.parse("Cx"))     // unknown atom
+    // a ring closure that duplicates an existing bond is malformed too —
+    // silently dropping the parallel bond would canonicalize distinct
+    // malformed inputs onto the same valid molecule
+    intercept[IllegalArgumentException](Chem.parse("C12C12"))
+  }
+
+  test("invalid SMILES: kernels return null/false (drop the row), never fail the job") {
+    // the reference's canonic() returns None for unparseable input and the
+    // pipeline drops the row (finalize_realease.py) — parse errors must not
+    // propagate out of the column kernels
+    // ("" is NOT in this list: the empty SMILES is the valid empty
+    // molecule and canonicalizes to "" — a fixpoint, not an error)
+    for (bad <- Seq("C1CC", "C(C", "Cx", "C12C12")) {
+      assert(Chem.canonical(bad) == null, s"canonical($bad)")
+      assert(Chem.canonical(bad) == null, s"canonical($bad) memoized second call")
+      assert(Chem.morganFp(bad) == null, s"morganFp($bad)")
+      assert(!Chem.hasSubstructure(bad, "C"), s"hasSubstructure($bad, C)")
+      assert(!Chem.hasSubstructure("CCO", bad), s"hasSubstructure(CCO, $bad)")
+    }
+    // codegen path: result-null must flow as SQL NULL (nullSafeCodeGen
+    // tracks the kernel's null, not just the input's)
+    import spark.implicits._
+    import graft.expr.chemfunctions._
+    val rows = Seq("CCO", "C1CC", "C12C12").toDF("smiles")
+      .select(col("smiles"), canonical_smiles(col("smiles")).as("canon"),
+        morgan_fp(col("smiles")).as("fp"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.get(2)))).toMap
+    assert(rows("CCO")._1 != null && rows("CCO")._2 != null)
+    assert(rows("C1CC") == ((null, null)), s"invalid row must be NULL: $rows")
+    assert(rows("C12C12") == ((null, null)), s"invalid row must be NULL: $rows")
+    // and the drop-the-row shape composes: filter survives only the valid row
+    val kept = Seq("CCO", "C1CC").toDF("smiles")
+      .select(canonical_smiles(col("smiles")).as("canon"))
+      .filter(col("canon").isNotNull).count()
+    assert(kept == 1L)
   }
 
   test("hydrogen counts follow Daylight valence rules") {

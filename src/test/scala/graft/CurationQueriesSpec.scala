@@ -58,6 +58,52 @@ class CurationQueriesSpec extends SparkSpecBase {
       s"global sort planned:\n${plan.take(1500)}")
   }
 
+  test("x_shard_incremental: delta appends after the base tail, base epoch untouched") {
+    val out = CurationQueries.xShardIncremental(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // shard membership is the same key arithmetic as the full epoch:
+    // per shard, n_base + n_delta == x_global_shuffle's n_docs
+    val full = CurationQueries.xGlobalShuffle(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.foreach { case (shard, nDocs) =>
+      val r = out(shard)
+      assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") == nDocs,
+        s"shard $shard membership drifted from the full epoch")
+    }
+    // base epoch untouched: base_digest replays a base-only delivery —
+    // recompute the even-id permutation directly and compare Σ pos·doc_id
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(concat(col("doc_id").cast("string"), lit(":shuf42"))).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def digestOf(rows: Seq[(Long, String)], posOffset: Map[Long, Long]): Map[Long, Long] =
+      rows.map { case (id, k) => ((math.abs(k(0).toInt) % 8).toLong, id, k) }
+        .groupBy(_._1).map { case (shard, g) =>
+          val sorted = g.sortBy(t => (t._3, t._2))
+          shard -> sorted.zipWithIndex.map { case ((_, id, _), i) =>
+            (i + 1 + posOffset.getOrElse(shard, 0L)) * id }.sum
+        }
+    val baseDigest = digestOf(d.filter(_._1 % 2 == 0).toSeq, Map.empty)
+    baseDigest.foreach { case (shard, dig) =>
+      assert(out(shard).getAs[Long]("base_digest") == dig,
+        s"shard $shard base permutation was perturbed by the delta append")
+    }
+    // append contiguity: the combined digest = base + delta-with-offset
+    val nBase = out.map { case (s, r) => s -> r.getAs[Long]("n_base") }
+    val deltaDigest = digestOf(d.filter(_._1 % 2 == 1).toSeq, nBase)
+    out.foreach { case (shard, r) =>
+      assert(r.getAs[Long]("epoch_digest") ==
+        baseDigest.getOrElse(shard, 0L) + deltaDigest.getOrElse(shard, 0L),
+        s"shard $shard epoch digest is not base ++ delta")
+    }
+    // scale shape: the base side crosses once for its counts, which
+    // broadcast onto the delta — no shuffle join of base against delta
+    val plan = CurationQueries.xShardIncremental(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"base tail counts must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("rangepartitioning"), "no global sort in the delivery path")
+  }
+
   test("ta_pii_redact is a pure scan-stage projection and masks everything") {
     val df = CurationQueries.taPiiRedact(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

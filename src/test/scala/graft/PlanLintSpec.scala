@@ -44,6 +44,17 @@ object PlanLintSpec {
     df.queryExecution.analyzed.collectWithSubqueries {
       case ResolvedHint(child, hints) if hints.strategy.contains(BROADCAST) && bareFact(child) => true
     }.nonEmpty
+
+  /** True iff the optimized plan contains a Window with an EMPTY
+    * partition spec whose input reaches a fact-table scan unreduced —
+    * Spark plans that as a single-partition Exchange ("moving all data
+    * to a single partition"), the other 100 TB cliff. Global windows
+    * over REDUCED inputs (an aggregate's bucket offsets, a dim-sized
+    * date spine) are sanctioned and stay green via [[bareFact]]. */
+  def hasGlobalWindowOverFact(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: Window if w.partitionSpec.isEmpty && bareFact(w.child) => true
+    }.nonEmpty
 }
 
 class PlanLintSpec extends SparkSpecBase {
@@ -121,6 +132,42 @@ class PlanLintSpec extends SparkSpecBase {
     assert(!PlanLintSpec.hasFactBroadcast(e.crossJoin(broadcast(q))))
     val stats = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
     assert(!PlanLintSpec.hasFactBroadcast(e.join(broadcast(stats), "label")))
+  }
+
+  test("no partition-less window over an unreduced fact scan in any registered query") {
+    // Window.orderBy with no partitionBy plans Exchange SinglePartition:
+    // every row of the input funnels through ONE task. Over a dim-sized
+    // or pre-aggregated input that is the correct (and cheap) global
+    // ranking; over a raw fact scan it is the cliff where one executor
+    // sorts the corpus. The two sanctioned global windows (shingle
+    // bucket offsets, the events date spine) sit over aggregates and
+    // pass via the bareFact reducer rule.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = PlanLintSpec.hasGlobalWindowOverFact(fn(spark, sfDir))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global window over unreduced fact scan in: $offenders — partition the window " +
+      "(or reduce its input) so the sort distributes")
+  }
+
+  test("global-window detector fires on an unpartitioned fact window (negative control)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sfDir)
+    // the cliff shape: global row_number over the raw corpus
+    val bad = d.withColumn("rn", row_number().over(W.orderBy(col("doc_id"))))
+    assert(PlanLintSpec.hasGlobalWindowOverFact(bad),
+      "detector must flag an unpartitioned window over a bare fact scan")
+    // sanctioned shapes stay green: partitioned window over the fact,
+    // and a global window over an aggregate-reduced input
+    val part = d.withColumn("rn", row_number().over(W.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(!PlanLintSpec.hasGlobalWindowOverFact(part))
+    val agg = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(W.orderBy(col("n"))))
+    assert(!PlanLintSpec.hasGlobalWindowOverFact(agg))
   }
 
   test("no nested types (array/map/struct) in any registered query's result schema") {

@@ -41,6 +41,59 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     assert(pin(2L)._2 == 1, s"unique doc survives: $pin")
   }
 
+  test("paragraph dedup: digest-keyed exchanges move strictly fewer bytes than the string-keyed shape") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the r7 shape this round replaced: first-occurrence groupBy and
+    // keep-join both keyed on the raw ~20-word segment STRING, so the
+    // corpus text crossed every dedup-decision exchange
+    def stringKeyed(): DataFrame = {
+      val segs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, greatest(cast(ceil(size(ws) / 20.0) as int), 1) - 1), " +
+          "i -> array_join(slice(ws, i * 20 + 1, 20), ' '))")).as(Seq("seg_idx", "seg")))
+      val first = segs.groupBy(col("seg"))
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      segs.join(first, "seg")
+        .withColumn("keep",
+          col("doc_id") === col("f.doc_id") && col("seg_idx") === col("f.seg_idx"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"), sum(col("keep").cast("long")).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")), " ")).as("retained_md5"))
+    }
+    // AQE off for the measurement: the executed plan is then a plain tree
+    // whose ShuffleExchangeExec "dataSize" metrics (uncompressed exchanged
+    // row bytes) are directly traversable. Only ENSURE_REQUIREMENTS
+    // exchanges count — the fact loader's REPARTITION_BY_NUM
+    // redistribution is layout both shapes share, not query cost (same
+    // convention as CurationQueriesSpec.queryExchanges).
+    def exchangedBytes(df: DataFrame): (Long, Seq[String], String) = {
+      import org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      val per = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.shuffleOrigin == ENSURE_REQUIREMENTS =>
+          e.metrics("dataSize").value -> s"${e.outputPartitioning} <- ${e.child.nodeName}"
+      }
+      (per.map(_._1).sum, rows,
+        per.map { case (b, d) => s"  $b B  $d" }.mkString("\n"))
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (digestBytes, digestRows, digestDetail) =
+        exchangedBytes(TextAnalysisQueries.taParagraphDedup(spark, sfDir))
+      val (stringBytes, stringRows, stringDetail) = exchangedBytes(stringKeyed())
+      // lockstep first: identical output, then strictly cheaper exchanges
+      assert(digestRows == stringRows, "digest-keyed output diverged from the string-keyed shape")
+      assert(digestBytes > 0 && digestBytes < stringBytes,
+        s"digest-keyed exchanges ($digestBytes B) must move strictly less than " +
+        s"the string-keyed shape ($stringBytes B)\ndigest-keyed:\n$digestDetail\n" +
+        s"string-keyed:\n$stringDetail")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("contamination: a verbatim leak is flagged at 1.0; ratios stay in [0,1]") {
     val real = TextAnalysisQueries.taContamination(spark, sfDir).cache()
     assert(real.filter(col("contamination") < 0 || col("contamination") > 1).count() == 0)
