@@ -860,17 +860,30 @@ object CurationQueries {
     * base epoch byte-for-byte (Σ pos·doc_id), `epoch_digest` pins the
     * combined order after the append. */
   def xShardIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    shardAppendOf(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  /** The delta-append KERNEL behind [[xShardIncremental]] and its
+    * streaming twin (`t18_stream_shard_append`): both sides arrive as
+    * bare doc-id frames, the seeded key/shard arithmetic and the
+    * append-after-tail position assignment live here once. Per-doc
+    * independence of the shard/key assignment is what makes the
+    * streamed union over micro-batches equal the one-shot batch
+    * relation, so both surfaces share one DuckDB oracle. */
+  private[graft] def shardAppendOf(base: DataFrame, delta: DataFrame): DataFrame = {
     val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
-    val keyed = Tables.documents(spark, dir)
-      .select(col("doc_id"), key.as("k"),
+    def keyed(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), key.as("k"),
         (ascii(substring(key, 1, 1)) % NumShards).cast("long").as("shard_id"))
     val w = Window.partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id"))
-    val baseAgg = keyed.filter(col("doc_id") % 2 === 0)
+    val baseAgg = keyed(base)
       .withColumn("pos", row_number().over(w).cast("long"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_base"),
         sum(col("pos") * col("doc_id")).as("base_digest"))
-    val deltaAgg = keyed.filter(col("doc_id") % 2 === 1)
+    val deltaAgg = keyed(delta)
       .withColumn("dpos", row_number().over(w).cast("long"))
       .join(broadcast(baseAgg.select(col("shard_id"), col("n_base"))), Seq("shard_id"), "left")
       .groupBy(col("shard_id"))

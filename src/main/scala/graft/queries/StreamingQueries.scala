@@ -919,7 +919,55 @@ object StreamingQueries {
     spark.table(qname).select(col("cluster_rep"), col("n_mols"), col("n_renderings"))
   }
 
+  /** T18 — streaming shard-delivery ingest: the streaming twin of
+    * [[CurationQueries.xShardIncremental]] and the delivery-side
+    * partner of t15's index maintenance (t15 keeps the ANN index
+    * fresh; t18 keeps the TRAINING EPOCH fresh as new documents
+    * arrive). The delta lands as a 4-file feed; each micro-batch
+    * assigns its docs to shards by the same seeded-md5 arithmetic the
+    * batch epoch used — a pure PROJECTION, no state store, no shuffle
+    * inside the stream — and appends to a shard-partitioned delivery
+    * layout in `foreachBatch` (each batch touches only the shard
+    * directories it lands in, the t15 partition-local append shape).
+    * Within-shard POSITIONS are assigned at finalize time, when the
+    * accumulated delivery is read back through the shared
+    * [[CurationQueries.shardAppendOf]] kernel — realistic (a shard
+    * writer fixes order when it seals the shard file) and what makes
+    * the streamed result batching-invariant: shard/key assignment is
+    * per-doc independent, so the union over any micro-batch split
+    * equals the one-shot batch relation and t18 shares
+    * `x_shard_incremental`'s DuckDB oracle verbatim. The exact-integer
+    * digests pin exactly-once delivery: a lost or replayed batch
+    * breaks `epoch_digest` before it breaks any count. */
+  def t18StreamShardAppend(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.ScratchDirs.dir("stream", tag, "shard_append")
+    rmrf(new java.io.File(base)) // fresh feed + delivery + checkpoint per run
+    val feed = s"$base/feed"; val delivery = s"$base/delivery"; val ckpt = s"$base/checkpoint"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    delta.repartition(4).write.mode("overwrite").parquet(feed)
+    val stream = StreamOps.fileFeed(spark, feed, delta, maxFilesPerTrigger = 1)
+    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    drainCommitted(feed, ckpt, "t18_stream_shard_append") {
+      stream
+        .select(col("doc_id"),
+          (ascii(substring(key, 1, 1)) % CurationQueries.NumShards)
+            .cast("long").as("shard_id"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          publishBatch(batch.toDF(), bid, delivery, partitionCols = Seq("shard_id"))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    CurationQueries.shardAppendOf(
+      docs.filter(col("doc_id") % 2 === 0),
+      spark.read.parquet(delivery).select(col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_stream_shard_append" -> (t18StreamShardAppend _),
     "t17_stream_canonical_dedup" -> (t17StreamCanonicalDedup _),
     "t16_stream_containment" -> (t16StreamContainment _),
     "t15_stream_ivf_ingest" -> (t15StreamIvfIngest _),
@@ -942,6 +990,9 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // shard/key assignment is per-doc independent, so the streamed
+    // delivery shares the batch append replay verbatim
+    "t18_stream_shard_append" -> CurationQueries.oracle("x_shard_incremental"),
     // batching-invariant by per-delta-doc independence, so the streamed
     // union shares the batch incremental-containment replay verbatim
     "t17_stream_canonical_dedup" -> ChemQueries.oracle("d2_smiles_canonical"),
