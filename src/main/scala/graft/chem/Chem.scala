@@ -43,8 +43,20 @@ object Chem {
     * have NO implicit hydrogens). */
   final case class Atom(element: String, aromatic: Boolean, charge: Int, hExplicit: Int)
 
-  /** Bond orders: 1/2/3 = single/double/triple, 4 = aromatic. */
-  final case class Mol(atoms: Vector[Atom], bonds: Vector[(Int, Int, Int)]) {
+  /** Bond orders: 1/2/3 = single/double/triple, 4 = aromatic.
+    *
+    * `stereo`: tetrahedral chirality, atom index → (parity, frame).
+    * Parity 1 = `@` (anticlockwise), 2 = `@@`; the FRAME is the
+    * neighbor order the parity refers to — the four neighbors in the
+    * order the source SMILES listed them (preceding atom first, then
+    * the implicit bracket H as `-1`, then ring-closure digits and
+    * branches in written order, per Daylight). Parity is only
+    * meaningful together with its frame: re-listing the same neighbors
+    * in a different order flips the symbol once per transposition,
+    * which is exactly what the isomeric writer replays. The default
+    * (empty) keeps every non-isomeric call site unchanged. */
+  final case class Mol(atoms: Vector[Atom], bonds: Vector[(Int, Int, Int)],
+                       stereo: Map[Int, (Int, Vector[Int])] = Map.empty) {
     lazy val adj: Array[List[(Int, Int)]] = { // atom -> (neighbor, order)
       val a = Array.fill(atoms.length)(List.empty[(Int, Int)])
       bonds.foreach { case (i, j, o) => a(i) = (j, o) :: a(i); a(j) = (i, o) :: a(j) }
@@ -75,27 +87,43 @@ object Chem {
 
   // ---------------------------------------------------------------- parse
 
-  /** SMILES parser: organic subset + bracket atoms (isotope/stereo
-    * parsed and dropped, charge and explicit H kept), bonds `- = # :`,
-    * branches, ring closures (`1`-`9`, `%nn`), `.`-separated fragments.
+  /** SMILES parser: organic subset + bracket atoms (isotope dropped;
+    * tetrahedral `@`/`@@` RECORDED with its neighbor frame — see
+    * [[Mol.stereo]]; directional `/` `\` bonds still parsed as plain
+    * singles — E/Z stays out of scope), bonds `- = # :`, branches,
+    * ring closures (`1`-`9`, `%nn`), `.`-separated fragments.
     * Throws IllegalArgumentException on malformed input. */
   def parse(s: String): Mol = {
     val atoms = mutable.ArrayBuffer[Atom]()
     val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
     val stack = mutable.Stack[Int]()
     val ringOpen = mutable.Map[Int, (Int, Int)]() // closure id -> (atom, pending order)
+    // stereo bookkeeping: chiral atom -> parity and its growing frame;
+    // a ring digit OPENED at a chiral atom reserves a frame slot that
+    // is back-filled when the partner atom arrives
+    val parity = mutable.Map[Int, Int]()
+    val frames = mutable.Map[Int, mutable.ArrayBuffer[Int]]()
+    val openSlot = mutable.Map[Int, (Int, Int)]() // closure id -> (chiral opener, slot)
     var prev = -1
     var pending = -1 // bond order before next atom; -1 = unspecified
     var i = 0
     def fail(msg: String) = throw new IllegalArgumentException(s"SMILES parse error at $i in '$s': $msg")
 
-    def addAtom(a: Atom): Unit = {
+    def addAtom(a: Atom, chiral: Int = 0, hInFrame: Boolean = false): Unit = {
       atoms += a
       val cur = atoms.length - 1
       if (prev >= 0) {
         val o = if (pending >= 0) pending
                 else if (atoms(prev).aromatic && a.aromatic) 4 else 1
         bonds += ((prev, cur, o))
+        frames.get(prev).foreach(_ += cur) // a new child of a chiral atom
+      }
+      if (chiral > 0) {
+        parity(cur) = chiral
+        val f = mutable.ArrayBuffer[Int]()
+        if (prev >= 0) f += prev    // preceding atom comes first...
+        if (hInFrame) f += -1       // ...then the bracket's implicit H
+        frames(cur) = f
       }
       prev = cur
       pending = -1
@@ -112,7 +140,14 @@ object Chem {
                 (a == other && b == prev) || (a == prev && b == other) })
             fail("ring closure duplicates an existing bond")
           bonds += ((other, prev, o))
-        case None => ringOpen(id) = (prev, pending)
+          openSlot.remove(id).foreach { case (opener, slot) => frames(opener)(slot) = prev }
+          frames.get(prev).foreach(_ += other) // closure partner at the digit's position
+        case None =>
+          ringOpen(id) = (prev, pending)
+          frames.get(prev).foreach { f =>
+            f += Int.MinValue // reserve the digit's slot until the ring closes
+            openSlot(id) = (prev, f.length - 1)
+          }
       }
       pending = -1
     }
@@ -135,7 +170,8 @@ object Chem {
         case '[' =>
           val end = s.indexOf(']', i)
           if (end < 0) fail("unterminated bracket atom")
-          addAtom(parseBracket(s.substring(i + 1, end), fail))
+          val (a, chiral) = parseBracket(s.substring(i + 1, end), fail)
+          addAtom(a, chiral, hInFrame = chiral > 0 && a.hExplicit == 1)
           i = end + 1
         case c =>
           // organic subset, two-char halogens first
@@ -152,10 +188,11 @@ object Chem {
     }
     if (stack.nonEmpty) fail("unbalanced '('")
     if (ringOpen.nonEmpty) fail(s"unclosed ring bonds ${ringOpen.keys.mkString(",")}")
-    Mol(atoms.toVector, bonds.toVector)
+    Mol(atoms.toVector, bonds.toVector,
+      frames.map { case (a, f) => a -> ((parity(a), f.toVector)) }.toMap)
   }
 
-  private def parseBracket(b: String, fail: String => Nothing): Atom = {
+  private def parseBracket(b: String, fail: String => Nothing): (Atom, Int) = {
     var i = 0
     while (i < b.length && b.charAt(i).isDigit) i += 1 // isotope: dropped
     if (i >= b.length) fail("empty bracket atom")
@@ -173,7 +210,9 @@ object Chem {
       } else if ("bcnops".contains(c)) { i += 1; (c.toUpper.toString, true) }
       else fail(s"bad bracket element '$c'")
     }
-    while (i < b.length && (b.charAt(i) == '@')) i += 1 // stereo: dropped
+    var chiral = 0
+    while (i < b.length && (b.charAt(i) == '@')) { chiral += 1; i += 1 }
+    if (chiral > 2) fail("bad chirality marker")
     var h = 0
     if (i < b.length && b.charAt(i) == 'H') {
       i += 1; h = 1
@@ -187,16 +226,42 @@ object Chem {
       else charge += sign
     }
     if (i != b.length) fail(s"trailing bracket content '${b.substring(i)}'")
-    Atom(el, arom, charge, h)
+    (Atom(el, arom, charge, h), chiral)
   }
 
   // ---------------------------------------------------------------- write
 
+  /** Permutation parity between two orderings of the same four
+    * neighbor entries: 0 = even (same tetrahedral sense), 1 = odd
+    * (flipped). Entries are distinct by stereocenter definition. */
+  private def permParity(from: Vector[Int], to: Vector[Int]): Int = {
+    val pos = from.zipWithIndex.toMap
+    val perm = to.map(pos)
+    var inv = 0
+    var i = 0
+    while (i < perm.length) {
+      var j = i + 1
+      while (j < perm.length) { if (perm(i) > perm(j)) inv += 1; j += 1 }
+      i += 1
+    }
+    inv & 1
+  }
+
   /** SMILES writer: DFS from `start`, children visited in `key` order.
     * The canonical writer passes canonical ranks as `key`; the variant
     * renderer passes a scrambled key. Handles ring closures, bond
-    * symbols, and bracket atoms (charge != 0 or fixed H). */
-  def write(m: Mol, start: Int, key: Int => Int): String = {
+    * symbols, and bracket atoms (charge != 0 or fixed H).
+    *
+    * With `iso = true`, atoms carrying a [[Mol.stereo]] entry emit
+    * `@`/`@@` re-expressed in the OUTPUT's neighbor order: the writer
+    * builds the frame it is about to emit (parent, then the bracket H,
+    * then ring digits and branches in emission order — the same
+    * convention the parser records) and flips the stored symbol once
+    * per transposition between the two frames. Atoms whose stored
+    * frame no longer matches the emitted neighbor set (a normalization
+    * rewrote them) emit plain tokens — [[dropFalseStereo]] normally
+    * clears those before writing. */
+  def write(m: Mol, start: Int, key: Int => Int, iso: Boolean = false): String = {
     val n = m.atoms.length
     if (n == 0) return ""
     val visited = new Array[Boolean](n)
@@ -222,33 +287,50 @@ object Chem {
       case 4 => "" // aromatic bond between aromatic atoms
       case _ => if (m.atoms(a).aromatic && m.atoms(b).aromatic) "-" else ""
     }
-    def atomTok(i: Int): String = {
+    def atomTok(i: Int, stereoSym: String): String = {
       val a = m.atoms(i)
       val sym = if (a.aromatic) a.element.toLowerCase else a.element
-      if (a.charge == 0 && a.hExplicit < 0 && OrganicSubset.contains(a.element)) sym
+      if (stereoSym.isEmpty && a.charge == 0 && a.hExplicit < 0 && OrganicSubset.contains(a.element)) sym
       else {
         val h = if (a.hExplicit >= 0) a.hExplicit else hydrogens(m, i)
         val hs = if (h == 0) "" else if (h == 1) "H" else s"H$h"
         val cs = if (a.charge == 0) ""
                  else if (a.charge == 1) "+" else if (a.charge == -1) "-"
                  else if (a.charge > 0) s"+${a.charge}" else a.charge.toString
-        s"[$sym$hs$cs]"
+        s"[$sym$stereoSym$hs$cs]"
       }
     }
     val sb = new StringBuilder
     def emit(a: Int, parent: Int): Unit = {
       visited(a) = true
-      sb.append(atomTok(a))
       val nbrs = m.adj(a).sortBy(t => key(t._1))
-      // ring-closure digits at this atom (both ends emit the digit)
-      for ((b, o) <- nbrs if b != parent) {
-        val k = (math.min(a, b), math.max(a, b))
-        closureOf.get(k).foreach { id =>
-          sb.append(bondSym(o, a, b)).append(if (id < 10) id.toString else s"%$id")
-        }
+      val ringNbrs = nbrs.filter { case (b, _) =>
+        b != parent && closureOf.contains((math.min(a, b), math.max(a, b)))
       }
       val children = nbrs.filter { case (b, _) =>
         b != parent && !visited(b) && !closureOf.contains((math.min(a, b), math.max(a, b)))
+      }
+      // the frame this emission denotes: parent, bracket H, ring digits
+      // and branches in written order — mirrors the parser's recording
+      val stereoSym = if (!iso) "" else m.stereo.get(a) match {
+        case Some((p, storedFrame)) =>
+          val h = if (m.atoms(a).hExplicit >= 0) m.atoms(a).hExplicit else hydrogens(m, a)
+          val outFrame = (if (parent >= 0) Vector(parent) else Vector.empty[Int]) ++
+            (if (h == 1) Vector(-1) else Vector.empty[Int]) ++
+            ringNbrs.map(_._1) ++ children.map(_._1)
+          if (outFrame.length == 4 && storedFrame.sorted == outFrame.sorted &&
+              storedFrame.distinct.length == 4) {
+            val flipped = permParity(storedFrame, outFrame) == 1
+            val outParity = if (flipped) 3 - p else p
+            if (outParity == 1) "@" else "@@"
+          } else "" // frame no longer valid — emit achiral
+        case None => ""
+      }
+      sb.append(atomTok(a, stereoSym))
+      // ring-closure digits at this atom (both ends emit the digit)
+      for ((b, o) <- ringNbrs) {
+        val id = closureOf((math.min(a, b), math.max(a, b)))
+        sb.append(bondSym(o, a, b)).append(if (id < 10) id.toString else s"%$id")
       }
       children.zipWithIndex.foreach { case ((b, o), idx) =>
         val last = idx == children.length - 1
@@ -262,7 +344,7 @@ object Chem {
     // disconnected leftovers (caller normally strips fragments first)
     val rest = (0 until n).filter(!visited(_))
     if (rest.isEmpty) sb.toString
-    else sb.toString + "." + write(Mol(m.atoms, m.bonds), rest.head, key) // unreachable in-engine
+    else sb.toString + "." + write(m, rest.head, key, iso) // unreachable in-engine
   }
 
   // ------------------------------------------------------- normalization
@@ -293,7 +375,9 @@ object Chem {
     for (i <- 0 until n if comp(i) == best) { remap(i) = next; next += 1 }
     Mol(
       (0 until n).filter(comp(_) == best).map(m.atoms).toVector,
-      m.bonds.collect { case (i, j, o) if comp(i) == best => (remap(i), remap(j), o) })
+      m.bonds.collect { case (i, j, o) if comp(i) == best => (remap(i), remap(j), o) },
+      m.stereo.collect { case (i, (p, f)) if comp(i) == best =>
+        remap(i) -> ((p, f.map(x => if (x < 0) x else remap(x)))) })
   }
 
   /** Minimal uncharger (reference: RDKit Uncharger,
@@ -304,7 +388,7 @@ object Chem {
     Mol(m.atoms.map { a =>
       if (a.charge != 0 && OrganicSubset.contains(a.element)) a.copy(charge = 0, hExplicit = -1)
       else a
-    }, m.bonds)
+    }, m.bonds, m.stereo)
 
   /** Canonical tautomer, minimal rule set: enol → keto
     * (O(H)–C=C → O=C–C(H)) until fixpoint. The rewrite SITE is chosen
@@ -351,7 +435,9 @@ object Chem {
           case (i, j, _) if Set(i, j) == Set(a, b)  => (i, j, 1)
           case keep => keep
         }
-        m = Mol(m.atoms, nb)
+        // atoms whose bond orders the rewrite changed can no longer be
+        // tetrahedral stereocenters — clear their marks
+        m = Mol(m.atoms, nb, m.stereo -- Seq(oi, a, b))
         changed = true
       }
     }
@@ -370,10 +456,34 @@ object Chem {
           hydrogens(Mol(m.atoms.updated(i, a.copy(hExplicit = -1)), m.bonds), i) == a.hExplicit)
         a.copy(hExplicit = -1)
       else a
-    }, m.bonds)
+    }, m.bonds, m.stereo)
 
   /** The full D2 normalization pipeline on a parsed graph. */
   def normalize(m: Mol): Mol = tautomerKeto(cleanup(uncharge(largestFragment(m))))
+
+  /** Clear stereo marks that do not denote a real tetrahedral
+    * stereocenter: the frame must hold exactly four DISTINCT entries
+    * that are exactly the atom's current neighbors (+ one implicit H),
+    * and the four substituents must fall in four distinct refinement
+    * classes — `C[C@H](O)C`'s two methyls are automorphic, so its mark
+    * is decoration, not configuration, and RDKit likewise strips it.
+    * Refinement classes approximate substituent distinctness the same
+    * way the canonical ranking does (graph-invariant, so every
+    * rendering drops the same marks). */
+  def dropFalseStereo(m: Mol): Mol =
+    if (m.stereo.isEmpty) m
+    else {
+      val rank = refine(m, initialInvariants(m))
+      val keep = m.stereo.filter { case (i, (_, frame)) =>
+        val heavy = frame.filter(_ >= 0)
+        val nbrs = m.adj(i).map(_._1)
+        frame.length == 4 && frame.distinct.length == 4 &&
+          heavy.length == nbrs.length && heavy.forall(nbrs.contains) &&
+          (!frame.contains(-1) || hydrogens(m, i) == 1) &&
+          (heavy.map(rank) ++ frame.filter(_ < 0).map(_.toLong)).distinct.length == 4
+      }
+      Mol(m.atoms, m.bonds, keep)
+    }
 
   // ------------------------------------------------------ canonical form
 
@@ -419,30 +529,33 @@ object Chem {
     inv
   }
 
-  private def writeByRanks(m: Mol, ranks: Array[Long]): String = {
+  private def writeByRanks(m: Mol, ranks: Array[Long], iso: Boolean): String = {
     val start = ranks.indices.minBy(i => ranks(i))
-    write(m, start, i => ranks(i).toInt)
+    write(m, start, i => ranks(i).toInt, iso)
   }
 
   /** Canonical SMILES of an (already normalized) graph: refine; while
     * a tie class remains, individualize each member and take the
     * lexicographically smallest completion (bounded branch-and-min —
-    * the individualization-refinement canonical-labeling guard). */
-  def canonicalGraph(m: Mol): String = {
+    * the individualization-refinement canonical-labeling guard).
+    * `iso = true` additionally emits the preserved tetrahedral marks
+    * (branch-min then operates over isomeric strings — still a pure
+    * function of the graph + stereo, so still rendering-invariant). */
+  def canonicalGraph(m: Mol, iso: Boolean = false): String = {
     if (m.atoms.isEmpty) return ""
     var budget = 4096
     def rec(inv: Array[Long]): String = {
       val r = refine(m, inv)
       val byRank = r.zipWithIndex.groupBy(_._1)
       val tied = byRank.filter(_._2.length > 1)
-      if (tied.isEmpty) writeByRanks(m, r)
+      if (tied.isEmpty) writeByRanks(m, r, iso)
       else {
         val cls = tied.minBy(_._1)._2.map(_._2).sorted
         val branches = cls.iterator.takeWhile(_ => budget > 0).map { a =>
           budget -= 1
           rec(Array.tabulate(r.length)(i => r(i) * 2 + (if (i == a) 0 else 1)))
         }.toSeq
-        if (branches.isEmpty) writeByRanks(m, r) // budget blown: deterministic fallback
+        if (branches.isEmpty) writeByRanks(m, r, iso) // budget blown: deterministic fallback
         else branches.min
       }
     }
@@ -470,6 +583,7 @@ object Chem {
     }
   }
   private val canonMemo = new Memo[String](65536)
+  private val canonIsoMemo = new Memo[String](65536)
   private val fpMemo = new Memo[Array[Long]](65536)
   private val subMemo = new Memo[java.lang.Boolean](65536)
 
@@ -489,6 +603,26 @@ object Chem {
     else {
       val r = canonMemo.get(smiles)(
         try canonicalGraph(normalize(parse(smiles)))
+        catch { case _: IllegalArgumentException => InvalidSmiles })
+      if (r == InvalidSmiles) null else r
+    }
+
+  /** ISOMERIC canonical SMILES — the stereo-preserving EXTENSION
+    * beyond the reference (its canonic() passes isomeric=False,
+    * finalize_realease.py:247-249, which [[canonical]] matches):
+    * tetrahedral `@`/`@@` survives the same normalization pipeline,
+    * false chirality is stripped ([[dropFalseStereo]]), and the
+    * emitted marks are re-expressed in canonical-output neighbor
+    * order, so every rendering of an enantiomer collapses to one
+    * string and the mirror image differs from it in exactly the
+    * stereo marks. Directional-bond (E/Z) stereo remains out of
+    * scope (parsed as plain singles). Null on unparseable input,
+    * like [[canonical]]. */
+  def canonicalIso(smiles: String): String =
+    if (smiles == null) null
+    else {
+      val r = canonIsoMemo.get(smiles)(
+        try canonicalGraph(dropFalseStereo(normalize(parse(smiles))), iso = true)
         catch { case _: IllegalArgumentException => InvalidSmiles })
       if (r == InvalidSmiles) null else r
     }
@@ -679,5 +813,35 @@ object Chem {
     val start = math.floorMod(s + 13L * variant, n.toLong).toInt
     val scramble = math.floorMod(s * 31 + variant * 7 + 1, 97).toInt
     write(m, start, i => math.floorMod(i * scramble + variant, n))
+  }
+
+  /** Deterministic CHIRAL molecule family for the stereo extension —
+    * one tetrahedral center bearing four distinct substituents
+    * (F, Cl, Br, and a seed-varied carbon chain), every structural
+    * decision again a modular expression a SQL oracle replays:
+    *
+    *   tail     = 1 + (seed mod 3)        (1..3 chain carbons)
+    *   hydroxyl = (seed*5 mod 7) < 3      (chain ends in OH)
+    *   hand     = seed mod 2              enantiomer: @ / @@ in the
+    *                                      reference frame [F,Cl,Br,chain]
+    *
+    * `variant` 0..2 re-renders the SAME enantiomer with the neighbor
+    * listing permuted and the symbol parity-adjusted by hand-checked
+    * transposition counts (v1 swaps the first two substituents — one
+    * transposition, symbol flips; v2 roots the SMILES at F and 3-cycles
+    * the rest — even, symbol keeps), so [[canonicalIso]] must collapse
+    * all three while keeping the two hands of a skeleton apart, and
+    * [[canonical]] must collapse all six. */
+  def chiralFromSeed(seed: Long, variant: Int): String = {
+    val tail = (1 + math.floorMod(seed, 3)).toInt
+    val hydroxyl = math.floorMod(seed * 5, 7) < 3
+    val hand = math.floorMod(seed, 2).toInt // 0 -> @, 1 -> @@
+    val chain = "C" * tail + (if (hydroxyl) "O" else "")
+    def sym(h: Int): String = if (h == 0) "@" else "@@"
+    variant match {
+      case 1 => s"[C${sym(1 - hand)}](Cl)(F)(Br)$chain" // F<->Cl: odd, flip
+      case 2 => s"F[C${sym(hand)}](Br)($chain)Cl"       // 3-cycle: even, keep
+      case _ => s"[C${sym(hand)}](F)(Cl)(Br)$chain"
+    }
   }
 }

@@ -19,8 +19,12 @@ import graft.chem.Chem
 object ChemKernels {
   def fromSeed(seed: Long, variant: Int): UTF8String =
     UTF8String.fromString(Chem.fromSeed(seed, variant))
+  def chiralFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.chiralFromSeed(seed, variant))
   def canonical(s: UTF8String): UTF8String =
     if (s == null) null else UTF8String.fromString(Chem.canonical(s.toString))
+  def canonicalIso(s: UTF8String): UTF8String =
+    if (s == null) null else UTF8String.fromString(Chem.canonicalIso(s.toString))
   def morganFp(s: UTF8String): ArrayData = {
     if (s == null) return null
     val fp = Chem.morganFp(s.toString)
@@ -46,6 +50,47 @@ case class MolFromSeed(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MolFromSeed =
     copy(l, r)
   override def prettyName: String = "mol_from_seed"
+}
+
+/** Chiral twin of [[MolFromSeed]] ([[Chem.chiralFromSeed]]): renders a
+  * one-stereocenter molecule family whose enantiomer hand and skeleton
+  * are modular seed arithmetic, for the stereo extension's generative
+  * oracle. */
+case class MolChiralFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_chiral_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.chiralFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.chiralFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolChiralFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_chiral_from_seed"
+}
+
+/** ISOMERIC canonical SMILES ([[Chem.canonicalIso]]) — the
+  * stereo-preserving extension beyond the reference's non-isomeric
+  * canonic(); same NULL-on-unparseable result-null codegen as
+  * [[CanonicalSmiles]]. */
+case class CanonicalSmilesIso(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"canonical_smiles_iso requires a string argument, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    ChemKernels.canonicalIso(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expr.ChemKernels.canonicalIso($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): CanonicalSmilesIso = copy(newChild)
+  override def prettyName: String = "canonical_smiles_iso"
 }
 
 /** D2 — non-isomeric canonical SMILES (parse → largest fragment →
@@ -120,7 +165,10 @@ object chemfunctions {
 
   def mol_from_seed(seed: Column, variant: Column): Column =
     col(MolFromSeed(expr(seed), expr(variant)))
+  def mol_chiral_from_seed(seed: Column, variant: Column): Column =
+    col(MolChiralFromSeed(expr(seed), expr(variant)))
   def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
+  def canonical_smiles_iso(c: Column): Column = col(CanonicalSmilesIso(expr(c)))
   def morgan_fp(c: Column): Column = col(MorganFingerprint(expr(c)))
   def has_substructure(target: Column, pattern: Column): Column =
     col(HasSubstructure(expr(target), expr(pattern)))

@@ -100,10 +100,39 @@ object ChemQueries {
         has_substructure(col("smiles"), lit("OC")).as("has_hydroxyl"),
         has_substructure(col("smiles"), lit("C1CCCCC1")).as("has_ring"))
 
+  /** D8 (extension) — ISOMERIC canonical-SMILES dedup: the
+    * stereo-preserving twin of d2, over [[graft.chem.Chem.chiralFromSeed]]'s
+    * one-stereocenter family. Each seed renders THREE textually
+    * different SMILES of the SAME enantiomer (substituent listing
+    * permuted, `@`/`@@` parity-adjusted — collapsing them requires the
+    * writer to replay permutation parity into canonical output order),
+    * while the two HANDS of a skeleton must stay distinct under
+    * `canonical_smiles_iso` and collapse under plain (non-isomeric)
+    * `canonical_smiles` — `n_flat_forms` pins that second relation
+    * inside each iso cluster. The oracle replays the
+    * (tail, hydroxyl, hand) lattice as modular arithmetic, exactly the
+    * d2 verification design. */
+  def d8StereoCanonical(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), mol_chiral_from_seed(col("seed"), col("variant")).as("smiles"))
+      .select(col("seed"),
+        canonical_smiles_iso(col("smiles")).as("iso"),
+        canonical_smiles(col("smiles")).as("flat"))
+      .groupBy(col("iso"))
+      .agg(
+        min(col("seed")).as("cluster_rep"),
+        countDistinct(col("seed")).as("n_mols"),
+        count(lit(1)).as("n_renderings"),
+        countDistinct(col("flat")).as("n_flat_forms"))
+      .select(col("cluster_rep"), col("n_mols"), col("n_renderings"), col("n_flat_forms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d2_smiles_canonical" -> (d2SmilesCanonical _),
     "d3_morgan_fp"        -> (d3MorganFp _),
     "d5_substructure"     -> (d5Substructure _),
+    "d8_stereo_canonical" -> (d8StereoCanonical _),
   )
 
   // The generator's parameter lattice, replayed in SQL (see
@@ -131,5 +160,15 @@ object ChemQueries {
         "p_partkey % 4 = 3 AS has_ketone, " +
         "p_partkey % 4 IN (1, 2) AS has_hydroxyl, " +
         "p_partkey % 3 = 0 AS has_ring FROM part"),
+    // the chiral lattice (Chem.chiralFromSeed): iso clusters = one per
+    // (tail, hydroxyl, hand); every cluster carries 3 renderings per
+    // seed and exactly ONE flat (non-isomeric) form
+    "d8_stereo_canonical" ->
+      ("WITH cp AS (SELECT p_partkey, 1 + (p_partkey % 3) AS tail, " +
+        "((p_partkey * 5) % 7 < 3) AS hydroxyl, p_partkey % 2 AS hand FROM part) " +
+        "SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
+        "count(*) AS n_mols, count(*) * 3 AS n_renderings, " +
+        "CAST(1 AS BIGINT) AS n_flat_forms " +
+        "FROM cp GROUP BY tail, hydroxyl, hand"),
   )
 }

@@ -126,6 +126,86 @@ class ChemSpec extends SparkSpecBase {
     }
   }
 
+  // ------------------------------------------- stereo extension (canonicalIso)
+
+  test("isomeric canonical: parity replay, enantiomer distinction, false-chirality drop") {
+    // same enantiomer, different frames: implicit-H-first vs preceded-by-F
+    // ([H,F,Cl,Br]@ == [F,H,Cl,Br]@@ — one transposition, flipped symbol)
+    assert(Chem.canonicalIso("[C@H](F)(Cl)Br") == Chem.canonicalIso("F[C@@H](Cl)Br"))
+    // enantiomers stay apart under iso, collapse under flat
+    assert(Chem.canonicalIso("[C@H](F)(Cl)Br") != Chem.canonicalIso("[C@@H](F)(Cl)Br"))
+    assert(Chem.canonical("[C@H](F)(Cl)Br") == Chem.canonical("[C@@H](F)(Cl)Br"))
+    // false chirality (two automorphic methyls) drops — matches the
+    // achiral spelling exactly
+    assert(Chem.canonicalIso("C[C@H](O)C") == Chem.canonicalIso("CC(O)C"))
+    assert(!Chem.canonicalIso("C[C@H](O)C").contains("@"))
+    // a REAL stereocenter keeps its mark
+    assert(Chem.canonicalIso("C[C@H](O)CC").contains("@"))
+    // plain canonical stays non-isomeric (reference semantics untouched)
+    assert(!Chem.canonical("C[C@H](O)CC").contains("@"))
+    // fixpoint: the isomeric output reparses to itself (writer frame ==
+    // parser frame convention, including the bracket-H slot)
+    for (s <- Seq("[C@H](F)(Cl)Br", "C[C@H](O)CC", "[C@](F)(Cl)(Br)CCO",
+                  "N[C@@H](C)C(=O)O")) { // alanine
+      val c = Chem.canonicalIso(s)
+      assert(Chem.canonicalIso(c) == c, s"not a fixpoint for $s: $c -> ${Chem.canonicalIso(c)}")
+    }
+    // invalid input still drops the row
+    assert(Chem.canonicalIso("C1CC") == null)
+  }
+
+  test("isomeric canonical: ring-closure frame slots carry stereo through cycles") {
+    val c = Chem.canonicalIso("F[C@H]1C(Cl)C1")
+    assert(c != null && c.contains("@"), s"ring stereocenter lost: $c")
+    assert(Chem.canonicalIso(c) == c, "ring iso form is not a fixpoint")
+    val mirror = Chem.canonicalIso("F[C@@H]1C(Cl)C1")
+    assert(c != mirror, "ring enantiomers collapsed")
+    assert(Chem.canonical("F[C@H]1C(Cl)C1") == Chem.canonical("F[C@@H]1C(Cl)C1"))
+  }
+
+  test("isomeric canonical: all 24 substituent orderings collapse per hand, hands stay apart") {
+    val subs = Vector("F", "Cl", "Br", "I")
+    def inversions(p: Seq[Int]): Int =
+      (for (i <- p.indices; j <- i + 1 until p.length if p(i) > p(j)) yield 1).sum
+    def render(perm: Seq[Int], baseParity: Int): String = {
+      // express the SAME configuration in the permuted listing: flip the
+      // symbol once per transposition from the reference frame
+      val parity = if (inversions(perm) % 2 == 0) baseParity else 3 - baseParity
+      val s = perm.map(subs)
+      val sym = if (parity == 1) "@" else "@@"
+      s"[C$sym](${s(0)})(${s(1)})(${s(2)})${s(3)}"
+    }
+    for (baseParity <- Seq(1, 2)) {
+      val forms = subs.indices.permutations.map(p => Chem.canonicalIso(render(p, baseParity))).toSet
+      assert(forms.size == 1, s"hand $baseParity renderings split: $forms")
+    }
+    assert(Chem.canonicalIso(render(Seq(0, 1, 2, 3), 1)) !=
+      Chem.canonicalIso(render(Seq(0, 1, 2, 3), 2)), "enantiomers collapsed")
+  }
+
+  test("chiral generator: variants collapse per enantiomer, hands pair on one flat form") {
+    val bySkeleton = (1L to 84L).groupBy(s => (math.floorMod(s, 3), math.floorMod(s * 5, 7) < 3))
+    bySkeleton.foreach { case (sk, seeds) =>
+      val byHand = seeds.groupBy(math.floorMod(_, 2))
+      val isoForms = byHand.map { case (hand, ss) =>
+        val forms = ss.flatMap(s => (0 to 2).map(v => Chem.canonicalIso(Chem.chiralFromSeed(s, v))))
+        assert(forms.distinct.size == 1, s"skeleton $sk hand $hand split: ${forms.distinct}")
+        forms.head
+      }.toSeq
+      assert(isoForms.distinct.size == 2, s"skeleton $sk hands collapsed: $isoForms")
+      val flats = seeds.flatMap(s => (0 to 2).map(v => Chem.canonical(Chem.chiralFromSeed(s, v))))
+      assert(flats.distinct.size == 1, s"skeleton $sk flat forms split: ${flats.distinct}")
+    }
+  }
+
+  test("d8 query honors its oracle contract on the smoke SF") {
+    import queries.ChemQueries
+    val d8 = ChemQueries.d8StereoCanonical(spark, sfDir).collect()
+    assert(d8.nonEmpty)
+    assert(d8.forall(r => r.getAs[Long]("n_renderings") == 3 * r.getAs[Long]("n_mols")))
+    assert(d8.forall(_.getAs[Long]("n_flat_forms") == 1L))
+  }
+
   // ------------------------------------------------------------ D3 hand cases
 
   test("morgan fingerprint: rendering-invariant, tautomer-invariant, non-empty") {
