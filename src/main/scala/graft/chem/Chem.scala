@@ -54,9 +54,25 @@ object Chem {
     * meaningful together with its frame: re-listing the same neighbors
     * in a different order flips the symbol once per transposition,
     * which is exactly what the isomeric writer replays. The default
-    * (empty) keeps every non-isomeric call site unchanged. */
+    * (empty) keeps every non-isomeric call site unchanged.
+    *
+    * `bondDirs`: raw directional single bonds from the source SMILES,
+    * (min, max) atom pair → dir(min→max): +1 for `/` (ascending in the
+    * written direction), -1 for `\`. These are the E/Z INPUT marks;
+    * [[resolveEz]] turns them into validated per-double-bond
+    * descriptors.
+    *
+    * `ez`: resolved double-bond stereo, (min, max) double-bond pair →
+    * (reference substituent of the min end, reference substituent of
+    * the max end, sameSide) where references are the lowest-rank
+    * single-bond substituents and sameSide ⟺ dir(refMin→minEnd) ==
+    * dir(refMax→maxEnd) — i.e. the two references are CIS. Only
+    * [[resolveEz]] populates this; the isomeric writer re-emits it as
+    * `/`/`\` marks in output order. */
   final case class Mol(atoms: Vector[Atom], bonds: Vector[(Int, Int, Int)],
-                       stereo: Map[Int, (Int, Vector[Int])] = Map.empty) {
+                       stereo: Map[Int, (Int, Vector[Int])] = Map.empty,
+                       bondDirs: Map[(Int, Int), Int] = Map.empty,
+                       ez: Map[(Int, Int), (Int, Int, Boolean)] = Map.empty) {
     lazy val adj: Array[List[(Int, Int)]] = { // atom -> (neighbor, order)
       val a = Array.fill(atoms.length)(List.empty[(Int, Int)])
       bonds.foreach { case (i, j, o) => a(i) = (j, o) :: a(i); a(j) = (i, o) :: a(j) }
@@ -89,25 +105,30 @@ object Chem {
 
   /** SMILES parser: organic subset + bracket atoms (isotope dropped;
     * tetrahedral `@`/`@@` RECORDED with its neighbor frame — see
-    * [[Mol.stereo]]; directional `/` `\` bonds still parsed as plain
-    * singles — E/Z stays out of scope), bonds `- = # :`, branches,
+    * [[Mol.stereo]]; directional `/` `\` bonds RECORDED as signed
+    * single bonds — see [[Mol.bondDirs]]), bonds `- = # :`, branches,
     * ring closures (`1`-`9`, `%nn`), `.`-separated fragments.
     * Throws IllegalArgumentException on malformed input. */
   def parse(s: String): Mol = {
     val atoms = mutable.ArrayBuffer[Atom]()
     val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
     val stack = mutable.Stack[Int]()
-    val ringOpen = mutable.Map[Int, (Int, Int)]() // closure id -> (atom, pending order)
+    val ringOpen = mutable.Map[Int, (Int, Int, Int)]() // closure id -> (atom, pending order, opener dir)
     // stereo bookkeeping: chiral atom -> parity and its growing frame;
     // a ring digit OPENED at a chiral atom reserves a frame slot that
     // is back-filled when the partner atom arrives
     val parity = mutable.Map[Int, Int]()
     val frames = mutable.Map[Int, mutable.ArrayBuffer[Int]]()
     val openSlot = mutable.Map[Int, (Int, Int)]() // closure id -> (chiral opener, slot)
+    val bondDirs = mutable.Map[(Int, Int), Int]() // (min,max) -> dir(min -> max)
     var prev = -1
     var pending = -1 // bond order before next atom; -1 = unspecified
+    var pendingDir = 0 // +1 '/', -1 '\' before next atom/closure
     var i = 0
     def fail(msg: String) = throw new IllegalArgumentException(s"SMILES parse error at $i in '$s': $msg")
+
+    def recordDir(from: Int, to: Int, d: Int): Unit =
+      bondDirs((math.min(from, to), math.max(from, to))) = if (from < to) d else -d
 
     def addAtom(a: Atom, chiral: Int = 0, hInFrame: Boolean = false): Unit = {
       atoms += a
@@ -116,6 +137,7 @@ object Chem {
         val o = if (pending >= 0) pending
                 else if (atoms(prev).aromatic && a.aromatic) 4 else 1
         bonds += ((prev, cur, o))
+        if (pendingDir != 0) recordDir(prev, cur, pendingDir)
         frames.get(prev).foreach(_ += cur) // a new child of a chiral atom
       }
       if (chiral > 0) {
@@ -127,11 +149,12 @@ object Chem {
       }
       prev = cur
       pending = -1
+      pendingDir = 0
     }
     def closure(id: Int): Unit = {
       if (prev < 0) fail("ring closure before any atom")
       ringOpen.remove(id) match {
-        case Some((other, po)) =>
+        case Some((other, po, od)) =>
           val o = if (pending >= 0) pending
                   else if (po >= 0) po
                   else if (atoms(other).aromatic && atoms(prev).aromatic) 4 else 1
@@ -140,16 +163,21 @@ object Chem {
                 (a == other && b == prev) || (a == prev && b == other) })
             fail("ring closure duplicates an existing bond")
           bonds += ((other, prev, o))
+          // direction across a closure: the opener's mark reads
+          // opener -> partner; the closer's reads closer -> opener
+          if (od != 0) recordDir(other, prev, od)
+          else if (pendingDir != 0) recordDir(prev, other, pendingDir)
           openSlot.remove(id).foreach { case (opener, slot) => frames(opener)(slot) = prev }
           frames.get(prev).foreach(_ += other) // closure partner at the digit's position
         case None =>
-          ringOpen(id) = (prev, pending)
+          ringOpen(id) = (prev, pending, pendingDir)
           frames.get(prev).foreach { f =>
             f += Int.MinValue // reserve the digit's slot until the ring closes
             openSlot(id) = (prev, f.length - 1)
           }
       }
       pending = -1
+      pendingDir = 0
     }
 
     while (i < s.length) {
@@ -160,8 +188,9 @@ object Chem {
         case '=' => pending = 2; i += 1
         case '#' => pending = 3; i += 1
         case ':' => pending = 4; i += 1
-        case '/' | '\\' => pending = 1; i += 1 // stereo bond: non-isomeric → plain single
-        case '.' => prev = -1; pending = -1; i += 1
+        case '/' => pending = 1; pendingDir = 1; i += 1  // directional single (E/Z input)
+        case '\\' => pending = 1; pendingDir = -1; i += 1
+        case '.' => prev = -1; pending = -1; pendingDir = 0; i += 1
         case '%' =>
           if (i + 2 >= s.length || !s.charAt(i + 1).isDigit || !s.charAt(i + 2).isDigit)
             fail("bad %nn ring closure")
@@ -189,7 +218,8 @@ object Chem {
     if (stack.nonEmpty) fail("unbalanced '('")
     if (ringOpen.nonEmpty) fail(s"unclosed ring bonds ${ringOpen.keys.mkString(",")}")
     Mol(atoms.toVector, bonds.toVector,
-      frames.map { case (a, f) => a -> ((parity(a), f.toVector)) }.toMap)
+      frames.map { case (a, f) => a -> ((parity(a), f.toVector)) }.toMap,
+      bondDirs.toMap)
   }
 
   private def parseBracket(b: String, fail: String => Nothing): (Atom, Int) = {
@@ -281,11 +311,29 @@ object Chem {
       }
       dfs(start, -1)
     }
+    // E/Z emission: fix each descriptor's reference bond to '/' and
+    // derive every sibling from it — a deterministic function of the
+    // graph + descriptors, so every rendering emits identical marks
+    val dirOut: Map[(Int, Int), Int] = // (substituent, end) -> dir(sub -> end)
+      if (!iso || m.ez.isEmpty) Map.empty
+      else m.ez.iterator.flatMap { case ((a, b), (refA, refB, same)) =>
+        def fill(end: Int, partner: Int, ref: Int, refDir: Int) =
+          m.adj(end).collect { case (x, 1) if x != partner =>
+            (x, end) -> (if (x == ref) refDir else -refDir)
+          }
+        fill(a, b, refA, 1) ++ fill(b, a, refB, if (same) 1 else -1)
+      }.toMap
     def bondSym(o: Int, a: Int, b: Int): String = o match {
       case 2 => "="
       case 3 => "#"
       case 4 => "" // aromatic bond between aromatic atoms
-      case _ => if (m.atoms(a).aromatic && m.atoms(b).aromatic) "-" else ""
+      case _ =>
+        // writing direction a -> b: '/' iff dir(a -> b) = +1
+        dirOut.get((b, a)).map(d => -d).orElse(dirOut.get((a, b))) match {
+          case Some(1)  => "/"
+          case Some(-1) => "\\"
+          case _ => if (m.atoms(a).aromatic && m.atoms(b).aromatic) "-" else ""
+        }
     }
     def atomTok(i: Int, stereoSym: String): String = {
       val a = m.atoms(i)
@@ -377,7 +425,11 @@ object Chem {
       (0 until n).filter(comp(_) == best).map(m.atoms).toVector,
       m.bonds.collect { case (i, j, o) if comp(i) == best => (remap(i), remap(j), o) },
       m.stereo.collect { case (i, (p, f)) if comp(i) == best =>
-        remap(i) -> ((p, f.map(x => if (x < 0) x else remap(x)))) })
+        remap(i) -> ((p, f.map(x => if (x < 0) x else remap(x)))) },
+      m.bondDirs.collect { case ((i, j), d) if comp(i) == best =>
+        val (ri, rj) = (remap(i), remap(j))
+        (math.min(ri, rj), math.max(ri, rj)) -> (if (ri < rj) d else -d)
+      })
   }
 
   /** Minimal uncharger (reference: RDKit Uncharger,
@@ -388,7 +440,7 @@ object Chem {
     Mol(m.atoms.map { a =>
       if (a.charge != 0 && OrganicSubset.contains(a.element)) a.copy(charge = 0, hExplicit = -1)
       else a
-    }, m.bonds, m.stereo)
+    }, m.bonds, m.stereo, m.bondDirs)
 
   /** Canonical tautomer, minimal rule set: enol → keto
     * (O(H)–C=C → O=C–C(H)) until fixpoint. The rewrite SITE is chosen
@@ -436,8 +488,11 @@ object Chem {
           case keep => keep
         }
         // atoms whose bond orders the rewrite changed can no longer be
-        // tetrahedral stereocenters — clear their marks
-        m = Mol(m.atoms, nb, m.stereo -- Seq(oi, a, b))
+        // tetrahedral stereocenters, and directional marks on bonds
+        // touching the rewritten site no longer describe a geometry
+        val touched = Set(oi, a, b)
+        m = Mol(m.atoms, nb, m.stereo -- touched,
+          m.bondDirs.filterNot { case ((i, j), _) => touched(i) || touched(j) })
         changed = true
       }
     }
@@ -456,7 +511,7 @@ object Chem {
           hydrogens(Mol(m.atoms.updated(i, a.copy(hExplicit = -1)), m.bonds), i) == a.hExplicit)
         a.copy(hExplicit = -1)
       else a
-    }, m.bonds, m.stereo)
+    }, m.bonds, m.stereo, m.bondDirs)
 
   /** The full D2 normalization pipeline on a parsed graph. */
   def normalize(m: Mol): Mol = tautomerKeto(cleanup(uncharge(largestFragment(m))))
@@ -482,8 +537,65 @@ object Chem {
           (!frame.contains(-1) || hydrogens(m, i) == 1) &&
           (heavy.map(rank) ++ frame.filter(_ < 0).map(_.toLong)).distinct.length == 4
       }
-      Mol(m.atoms, m.bonds, keep)
+      Mol(m.atoms, m.bonds, keep, m.bondDirs, m.ez)
     }
+
+  /** Resolve raw directional bonds ([[Mol.bondDirs]]) into validated
+    * per-double-bond E/Z descriptors ([[Mol.ez]]). A double bond
+    * qualifies when both ends are non-aromatic, each end has at least
+    * one single-bond substituent WITH a direction mark reachable
+    * (directly or via its sibling's opposite), each end's two
+    * substituents fall in distinct refinement classes (a
+    * 1,1-disubstituted end has no E/Z), the marks on one end are
+    * mutually consistent, and its substituent bonds are not shared
+    * with another qualifying double bond (conjugated runs are out of
+    * this minimal kernel's scope — both descriptors drop, documented).
+    * References are the lowest-rank substituents per end, so the
+    * descriptor — like the tetrahedral frames — is graph-invariant
+    * across renderings. */
+  def resolveEz(m: Mol): Mol = {
+    if (m.bondDirs.isEmpty) return m
+    val rank = refine(m, initialInvariants(m))
+    def dirTo(x: Int, end: Int): Option[Int] =
+      m.bondDirs.get((math.min(x, end), math.max(x, end)))
+        .map(s => if (x < end) s else -s)
+    // substituent = single-bonded neighbor other than the double partner
+    def subs(end: Int, partner: Int): List[Int] =
+      m.adj(end).collect { case (x, 1) if x != partner => x }
+    final case class Cand(a: Int, b: Int, refA: Int, refB: Int, same: Boolean,
+                          edges: Set[(Int, Int)])
+    val cands = m.bonds.flatMap {
+      case (i, j, 2) if !m.atoms(i).aromatic && !m.atoms(j).aromatic =>
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        val (sa, sb) = (subs(a, b), subs(b, a))
+        def endDir(end: Int, ss: List[Int]): Option[(Int, Int)] = {
+          // (reference substituent, dir(ref -> end)); None if the end
+          // carries no usable or consistent geometry
+          if (ss.isEmpty || ss.length > 2) return None
+          if (ss.length == 2 && rank(ss.head) == rank(ss(1))) return None
+          val marked = ss.flatMap(x => dirTo(x, end).map(x -> _))
+          if (marked.isEmpty) return None
+          if (marked.length == 2 && marked.head._2 == marked(1)._2) return None // same side twice
+          val ref = ss.minBy(rank)
+          val d = dirTo(ref, end).getOrElse(-marked.head._2) // sibling is the marked one
+          Some(ref -> d)
+        }
+        (endDir(a, sa), endDir(b, sb)) match {
+          case (Some((ra, da)), Some((rb, db))) =>
+            val edges = (sa.map(x => (math.min(x, a), math.max(x, a))) ++
+              sb.map(y => (math.min(y, b), math.max(y, b)))).toSet
+            Some(Cand(a, b, ra, rb, da == db, edges))
+          case _ => None
+        }
+      case _ => None
+    }
+    // isolation: a substituent bond serving two qualifying double bonds
+    // (a conjugated diene's central single bond) drops both descriptors
+    val edgeUse = cands.flatMap(_.edges).groupBy(identity).view.mapValues(_.size).toMap
+    val kept = cands.filter(_.edges.forall(edgeUse(_) == 1))
+    Mol(m.atoms, m.bonds, m.stereo, m.bondDirs,
+      kept.map(c => (c.a, c.b) -> ((c.refA, c.refB, c.same))).toMap)
+  }
 
   // ------------------------------------------------------ canonical form
 
@@ -615,14 +727,16 @@ object Chem {
     * emitted marks are re-expressed in canonical-output neighbor
     * order, so every rendering of an enantiomer collapses to one
     * string and the mirror image differs from it in exactly the
-    * stereo marks. Directional-bond (E/Z) stereo remains out of
-    * scope (parsed as plain singles). Null on unparseable input,
-    * like [[canonical]]. */
+    * stereo marks. Double-bond (E/Z) stereo is preserved the same
+    * way: raw `/` `\` marks resolve to per-bond descriptors
+    * ([[resolveEz]]) that the writer re-emits in output order
+    * (conjugated runs sharing a substituent bond drop — minimal
+    * scope). Null on unparseable input, like [[canonical]]. */
   def canonicalIso(smiles: String): String =
     if (smiles == null) null
     else {
       val r = canonIsoMemo.get(smiles)(
-        try canonicalGraph(dropFalseStereo(normalize(parse(smiles))), iso = true)
+        try canonicalGraph(resolveEz(dropFalseStereo(normalize(parse(smiles)))), iso = true)
         catch { case _: IllegalArgumentException => InvalidSmiles })
       if (r == InvalidSmiles) null else r
     }
@@ -842,6 +956,33 @@ object Chem {
       case 1 => s"[C${sym(1 - hand)}](Cl)(F)(Br)$chain" // F<->Cl: odd, flip
       case 2 => s"F[C${sym(hand)}](Br)($chain)Cl"       // 3-cycle: even, keep
       case _ => s"[C${sym(hand)}](F)(Cl)(Br)$chain"
+    }
+  }
+
+  /** Deterministic E/Z molecule family — a 1,2-disubstituted double
+    * bond whose geometry and skeleton are modular seed arithmetic:
+    *
+    *   lenA     = 1 + (seed mod 2)        (left chain: 1..2 carbons)
+    *   hydroxyl = (seed*5 mod 7) < 3      (right chain ends in OH)
+    *   cis      = (seed*7 mod 5) < 2      geometry (references CIS)
+    *
+    * `variant` 0..2 re-renders the SAME geometry with the direction
+    * marks re-expressed (v1 flips the left mark and compensates on the
+    * right; v2 moves the left substituent into a leading branch, which
+    * inverts its written direction), so [[canonicalIso]] must collapse
+    * all three while keeping cis and trans apart, and [[canonical]]
+    * collapses all six. */
+  def ezFromSeed(seed: Long, variant: Int): String = {
+    val lenA = (1 + math.floorMod(seed, 2)).toInt
+    val hydroxyl = math.floorMod(seed * 5, 7) < 3
+    val cis = math.floorMod(seed * 7, 5) < 2
+    val a = "C" * lenA
+    val b = "C" + (if (hydroxyl) "O" else "")
+    // with dir(A->endA) = +1 ('A/C'), cis needs dir(B->endB) = +1 ('\B')
+    variant match {
+      case 1 => s"$a\\C=C${if (cis) "/" else "\\"}$b"  // left mark flipped
+      case 2 => s"C(${if (lenA == 2) "/CC)" else "/C)"}=C${if (cis) "/" else "\\"}$b" // leading branch inverts
+      case _ => s"$a/C=C${if (cis) "\\" else "/"}$b"
     }
   }
 }

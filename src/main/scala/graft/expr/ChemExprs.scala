@@ -21,6 +21,8 @@ object ChemKernels {
     UTF8String.fromString(Chem.fromSeed(seed, variant))
   def chiralFromSeed(seed: Long, variant: Int): UTF8String =
     UTF8String.fromString(Chem.chiralFromSeed(seed, variant))
+  def ezFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.ezFromSeed(seed, variant))
   def canonical(s: UTF8String): UTF8String =
     if (s == null) null else UTF8String.fromString(Chem.canonical(s.toString))
   def canonicalIso(s: UTF8String): UTF8String =
@@ -69,6 +71,24 @@ case class MolChiralFromSeed(left: Expression, right: Expression) extends Binary
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MolChiralFromSeed =
     copy(l, r)
   override def prettyName: String = "mol_chiral_from_seed"
+}
+
+/** E/Z twin of [[MolChiralFromSeed]] ([[Chem.ezFromSeed]]): renders a
+  * one-double-bond molecule family whose cis/trans geometry and
+  * skeleton are modular seed arithmetic. */
+case class MolEzFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_ez_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.ezFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.ezFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolEzFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_ez_from_seed"
 }
 
 /** ISOMERIC canonical SMILES ([[Chem.canonicalIso]]) — the
@@ -167,6 +187,8 @@ object chemfunctions {
     col(MolFromSeed(expr(seed), expr(variant)))
   def mol_chiral_from_seed(seed: Column, variant: Column): Column =
     col(MolChiralFromSeed(expr(seed), expr(variant)))
+  def mol_ez_from_seed(seed: Column, variant: Column): Column =
+    col(MolEzFromSeed(expr(seed), expr(variant)))
   def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
   def canonical_smiles_iso(c: Column): Column = col(CanonicalSmilesIso(expr(c)))
   def morgan_fp(c: Column): Column = col(MorganFingerprint(expr(c)))

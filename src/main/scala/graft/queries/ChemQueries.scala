@@ -128,11 +128,38 @@ object ChemQueries {
         countDistinct(col("flat")).as("n_flat_forms"))
       .select(col("cluster_rep"), col("n_mols"), col("n_renderings"), col("n_flat_forms"))
 
+  /** D9 (extension) — E/Z canonical dedup: the double-bond-geometry
+    * twin of d8 over [[graft.chem.Chem.ezFromSeed]]'s family. Each
+    * seed renders the SAME cis or trans alkene three ways (left mark
+    * flipped with right compensating; left substituent moved into a
+    * leading branch, inverting its written direction) — collapsing
+    * them requires [[graft.chem.Chem.resolveEz]]'s descriptors to be
+    * rendering-invariant and the writer's re-emission deterministic.
+    * Cis and trans of a skeleton stay apart isomeric, collapse flat
+    * (`n_flat_forms` = 1). Oracle: the (lenA, hydroxyl, cis) lattice
+    * as modular arithmetic, the d2/d8 verification design. */
+  def d9EzCanonical(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), mol_ez_from_seed(col("seed"), col("variant")).as("smiles"))
+      .select(col("seed"),
+        canonical_smiles_iso(col("smiles")).as("iso"),
+        canonical_smiles(col("smiles")).as("flat"))
+      .groupBy(col("iso"))
+      .agg(
+        min(col("seed")).as("cluster_rep"),
+        countDistinct(col("seed")).as("n_mols"),
+        count(lit(1)).as("n_renderings"),
+        countDistinct(col("flat")).as("n_flat_forms"))
+      .select(col("cluster_rep"), col("n_mols"), col("n_renderings"), col("n_flat_forms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d2_smiles_canonical" -> (d2SmilesCanonical _),
     "d3_morgan_fp"        -> (d3MorganFp _),
     "d5_substructure"     -> (d5Substructure _),
     "d8_stereo_canonical" -> (d8StereoCanonical _),
+    "d9_ez_canonical"     -> (d9EzCanonical _),
   )
 
   // The generator's parameter lattice, replayed in SQL (see
@@ -170,5 +197,15 @@ object ChemQueries {
         "count(*) AS n_mols, count(*) * 3 AS n_renderings, " +
         "CAST(1 AS BIGINT) AS n_flat_forms " +
         "FROM cp GROUP BY tail, hydroxyl, hand"),
+    // the E/Z lattice (Chem.ezFromSeed): iso clusters = one per
+    // (lenA, hydroxyl, geometry); 3 renderings per seed, one flat form
+    "d9_ez_canonical" ->
+      ("WITH ep AS (SELECT p_partkey, 1 + (p_partkey % 2) AS len_a, " +
+        "((p_partkey * 5) % 7 < 3) AS hydroxyl, " +
+        "((p_partkey * 7) % 5 < 2) AS cis FROM part) " +
+        "SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
+        "count(*) AS n_mols, count(*) * 3 AS n_renderings, " +
+        "CAST(1 AS BIGINT) AS n_flat_forms " +
+        "FROM ep GROUP BY len_a, hydroxyl, cis"),
   )
 }

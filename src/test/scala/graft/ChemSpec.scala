@@ -183,6 +183,35 @@ class ChemSpec extends SparkSpecBase {
       Chem.canonicalIso(render(Seq(0, 1, 2, 3), 2)), "enantiomers collapsed")
   }
 
+  test("isomeric canonical: E/Z double-bond stereo preserved, renderings collapse") {
+    // trans-difluoroethene: flipping BOTH marks is the same geometry
+    assert(Chem.canonicalIso("F/C=C/F") == Chem.canonicalIso("F\\C=C\\F"))
+    // cis differs from trans; flat collapses all of them
+    assert(Chem.canonicalIso("F/C=C/F") != Chem.canonicalIso("F/C=C\\F"))
+    assert(Chem.canonical("F/C=C/F") == Chem.canonical("F/C=C\\F"))
+    // 2-butene: branch rendering of the same trans geometry
+    assert(Chem.canonicalIso("C/C=C/C") == Chem.canonicalIso("C(\\C)=C/C"))
+    assert(Chem.canonicalIso("C/C=C/C") != Chem.canonicalIso("C/C=C\\C"))
+    // 1,1-disubstituted end has no E/Z: marks drop, equals plain spelling
+    assert(Chem.canonicalIso("C/C=C(/C)C") == Chem.canonicalIso("CC=C(C)C"))
+    assert(!Chem.canonicalIso("C/C=C(/C)C").contains("/"))
+    // conjugated diene shares the central single bond: minimal scope
+    // drops both descriptors, collapsing onto the plain spelling
+    assert(Chem.canonicalIso("F/C=C/C=C/F") == Chem.canonicalIso("FC=CC=CF"))
+    // both stereo kinds together survive and round-trip
+    val both = Chem.canonicalIso("C/C=C/[C@H](C)O")
+    assert(both.contains("@") && (both.contains("/") || both.contains("\\")), both)
+    assert(Chem.canonicalIso(both) == both, s"not a fixpoint: $both")
+    assert(both != Chem.canonicalIso("C/C=C\\[C@H](C)O"))
+    assert(both != Chem.canonicalIso("C/C=C/[C@@H](C)O"))
+    // fixpoints for the simple geometries too
+    for (s <- Seq("F/C=C/F", "F/C=C\\F", "C/C=C/C", "C/C=C\\C",
+                  "CC/C=C/CO", "O/C=C/Cl")) {
+      val c = Chem.canonicalIso(s)
+      assert(Chem.canonicalIso(c) == c, s"not a fixpoint for $s: $c -> ${Chem.canonicalIso(c)}")
+    }
+  }
+
   test("chiral generator: variants collapse per enantiomer, hands pair on one flat form") {
     val bySkeleton = (1L to 84L).groupBy(s => (math.floorMod(s, 3), math.floorMod(s * 5, 7) < 3))
     bySkeleton.foreach { case (sk, seeds) =>
@@ -198,12 +227,30 @@ class ChemSpec extends SparkSpecBase {
     }
   }
 
-  test("d8 query honors its oracle contract on the smoke SF") {
+  test("ez generator: variants collapse per geometry, cis/trans pair on one flat form") {
+    val bySkeleton = (1L to 70L).groupBy(s =>
+      (math.floorMod(s, 2), math.floorMod(s * 5, 7) < 3))
+    bySkeleton.foreach { case (sk, seeds) =>
+      val byGeo = seeds.groupBy(s => math.floorMod(s * 7, 5) < 2)
+      val isoForms = byGeo.map { case (geo, ss) =>
+        val forms = ss.flatMap(s => (0 to 2).map(v => Chem.canonicalIso(Chem.ezFromSeed(s, v))))
+        assert(forms.distinct.size == 1, s"skeleton $sk geo $geo split: ${forms.distinct}")
+        forms.head
+      }.toSeq
+      assert(isoForms.distinct.size == 2, s"skeleton $sk geometries collapsed: $isoForms")
+      val flats = seeds.flatMap(s => (0 to 2).map(v => Chem.canonical(Chem.ezFromSeed(s, v))))
+      assert(flats.distinct.size == 1, s"skeleton $sk flat forms split: ${flats.distinct}")
+    }
+  }
+
+  test("d8/d9 queries honor their oracle contracts on the smoke SF") {
     import queries.ChemQueries
-    val d8 = ChemQueries.d8StereoCanonical(spark, sfDir).collect()
-    assert(d8.nonEmpty)
-    assert(d8.forall(r => r.getAs[Long]("n_renderings") == 3 * r.getAs[Long]("n_mols")))
-    assert(d8.forall(_.getAs[Long]("n_flat_forms") == 1L))
+    for (q <- Seq(ChemQueries.d8StereoCanonical _, ChemQueries.d9EzCanonical _)) {
+      val out = q(spark, sfDir).collect()
+      assert(out.nonEmpty)
+      assert(out.forall(r => r.getAs[Long]("n_renderings") == 3 * r.getAs[Long]("n_mols")))
+      assert(out.forall(_.getAs[Long]("n_flat_forms") == 1L))
+    }
   }
 
   // ------------------------------------------------------------ D3 hand cases
