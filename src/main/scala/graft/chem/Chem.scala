@@ -311,9 +311,13 @@ object Chem {
       }
       dfs(start, -1)
     }
-    // E/Z emission: fix each descriptor's reference bond to '/' and
-    // derive every sibling from it — a deterministic function of the
-    // graph + descriptors, so every rendering emits identical marks
+    // E/Z emission: fix the reference bond of the LOWER-KEY end to '/'
+    // and derive everything else from it. The anchor must be chosen by
+    // canonical rank, not atom index — indices are a labeling artifact,
+    // and an index-anchored assignment emits globally flipped
+    // (equivalent but textually different) marks for relabeled
+    // renderings of the same geometry. Canonical writes happen with
+    // injective keys, so the anchor is graph-invariant there.
     val dirOut: Map[(Int, Int), Int] = // (substituent, end) -> dir(sub -> end)
       if (!iso || m.ez.isEmpty) Map.empty
       else m.ez.iterator.flatMap { case ((a, b), (refA, refB, same)) =>
@@ -321,7 +325,9 @@ object Chem {
           m.adj(end).collect { case (x, 1) if x != partner =>
             (x, end) -> (if (x == ref) refDir else -refDir)
           }
-        fill(a, b, refA, 1) ++ fill(b, a, refB, if (same) 1 else -1)
+        val coupled = if (same) 1 else -1
+        if (key(a) <= key(b)) fill(a, b, refA, 1) ++ fill(b, a, refB, coupled)
+        else fill(b, a, refB, 1) ++ fill(a, b, refA, coupled)
       }.toMap
     def bondSym(o: Int, a: Int, b: Int): String = o match {
       case 2 => "="

@@ -102,4 +102,76 @@ object ChemProps extends Properties("chem") {
       val f2 = Chem.morganFp(Chem.write(m, start, i => math.floorMod(i * scramble + 2, n)))
       f1.toSeq == f2.toSeq && f1.map(java.lang.Long.bitCount(_)).sum > 0
   }
+
+  // ------------------------------------------------------ stereo extension
+
+  /** Random tetrahedral mark on an eligible carbon: random frame
+    * permutation + random parity. Rendering-invariance of canonicalIso
+    * then exercises the writer-frame/parser-frame agreement (including
+    * ring-closure slots) far past the hand cases. */
+  property("isomeric canonical is rendering-invariant under random tetrahedral marks") =
+    forAll(rendering, Gen.choose(0, 1000), Gen.choose(1, 2)) {
+      case ((m, start, scramble), pick, par) =>
+        val n = m.atoms.length
+        val elig = m.atoms.indices.filter { i =>
+          m.atoms(i).element == "C" && m.adj(i).forall(_._2 == 1) &&
+            (m.adj(i).length == 4 || m.adj(i).length == 3)
+        }
+        if (elig.isEmpty) true
+        else {
+          val a = elig(pick % elig.length)
+          val base = m.adj(a).map(_._1).toVector ++
+            (if (m.adj(a).length == 3) Vector(-1) else Vector.empty[Int])
+          val perm = new scala.util.Random(pick).shuffle(base)
+          val m2 = m.copy(stereo = Map(a -> ((par, perm))))
+          val r1 = Chem.write(m2, 0, identity, iso = true)
+          val r2 = Chem.write(m2, start, i => math.floorMod(i * scramble + 1, n), iso = true)
+          val (c1, c2) = (Chem.canonicalIso(r1), Chem.canonicalIso(r2))
+          // invariance, and: flipping the parity either changes the form
+          // (a real stereocenter's mirror) or the mark was dropped as
+          // false chirality — in which case no mark may survive
+          val flip = Chem.canonicalIso(Chem.write(
+            m.copy(stereo = Map(a -> ((3 - par, perm)))), 0, identity, iso = true))
+          c1 == c2 && (flip != c1 || !c1.contains("@"))
+        }
+    }
+
+  /** Random direction marks around a random double bond: resolveEz +
+    * the writer's re-emission must be rendering-invariant, and
+    * flipping one end's mark mirrors the geometry (or the descriptor
+    * was validly dropped, in which case no mark survives). */
+  property("isomeric canonical is rendering-invariant under random E/Z marks") =
+    forAll(rendering, Gen.choose(0, 1000), Gen.choose(0, 1), Gen.choose(0, 1)) {
+      case ((m, start, scramble), pick, da, db) =>
+        val n = m.atoms.length
+        def subs(end: Int, partner: Int): List[Int] =
+          m.adj(end).collect { case (x, 1) if x != partner => x }
+        val elig = m.bonds.filter { case (i, j, o) =>
+          o == 2 && subs(i, j).nonEmpty && subs(j, i).nonEmpty
+        }
+        if (elig.isEmpty) true
+        else {
+          val (i, j, _) = elig(pick % elig.length)
+          val (sa, sb) = (subs(i, j).head, subs(j, i).head)
+          def dirKey(x: Int, end: Int, d: Int): ((Int, Int), Int) =
+            (math.min(x, end), math.max(x, end)) -> (if (x < end) d else -d)
+          def withDirs(d1: Int, d2: Int): Chem.Mol = Chem.resolveEz(
+            m.copy(bondDirs = Map(dirKey(sa, i, d1), dirKey(sb, j, d2))))
+          val m2 = withDirs(da * 2 - 1, db * 2 - 1)
+          val r1 = Chem.write(m2, 0, identity, iso = true)
+          val r2 = Chem.write(m2, start, k => math.floorMod(k * scramble + 1, n), iso = true)
+          val (c1, c2) = (Chem.canonicalIso(r1), Chem.canonicalIso(r2))
+          val flip = Chem.canonicalIso(Chem.write(
+            withDirs(da * 2 - 1, 1 - db * 2), 0, identity, iso = true))
+          c1 == c2 && (flip != c1 || !(c1.contains("/") || c1.contains("\\")))
+        }
+    }
+
+  property("isomeric canonical output is a fixpoint on random stereo molecules") =
+    forAll(rendering, Gen.choose(0, 1000)) { case ((m, start, scramble), pick) =>
+      val n = m.atoms.length
+      val r = Chem.write(m, start, i => math.floorMod(i * scramble + 1, n))
+      val c = Chem.canonicalIso(r)
+      Chem.canonicalIso(c) == c
+    }
 }
