@@ -174,4 +174,28 @@ object ChemProps extends Properties("chem") {
       val c = Chem.canonicalIso(r)
       Chem.canonicalIso(c) == c
     }
+
+  /** Fuzz the drop-the-row boundary: arbitrary garbage must come back
+    * null (or canonicalize, for accidentally-valid strings) — never
+    * escape as any throwable other than the handled parse failure. A
+    * stray MatchError/NPE/StackOverflow from the parser or writer
+    * would fail a whole 100 TB job on one bad compound row. */
+  property("kernels never throw on arbitrary input strings") = {
+    val smilesAlphabet = Gen.oneOf("CNOSPcnos()[]@Hh+-=#/\\123456789%.FIBrl".toSeq)
+    val garbage = Gen.oneOf(
+      Gen.listOf(smilesAlphabet).map(_.mkString),      // SMILES-shaped noise
+      Gen.asciiPrintableStr)                           // arbitrary ASCII
+    forAll(garbage) { s =>
+      val c = Chem.canonical(s)
+      val i = Chem.canonicalIso(s)
+      val f = Chem.morganFp(s)
+      val sub = Chem.hasSubstructure(s, "C")
+      // null-ness must agree across the kernels (one parse boundary),
+      // and valid parses must canonicalize to a fixpoint
+      (c == null) == (f == null) && (c == null) == (i == null) &&
+        (c == null || Chem.canonical(c) == c) &&
+        (i == null || Chem.canonicalIso(i) == i) &&
+        (c != null || !sub)
+    }
+  }
 }
