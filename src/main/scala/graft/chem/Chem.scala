@@ -27,11 +27,15 @@ import scala.collection.mutable
   *    preprocessing, any-tautomer containment): VF2-style backtracking
   *    subgraph isomorphism over the normalized graph.
   *
-  * Deliberately OUT of scope (non-isomeric per the reference: D2 emits
-  * non-isomeric SMILES): stereochemistry (`@`, `/`, `\` are parsed and
-  * dropped), isotopes (dropped), and kekulization (aromatic atoms stay
-  * aromatic; aromaticity is never perceived from alternating bonds —
-  * input lowercase is trusted, as Daylight allows).
+  * [[canonical]] stays NON-isomeric, matching the reference (its
+  * canonic() passes isomeric=False): `@`, `/`, `\` parse but do not
+  * reach its output. The stereo EXTENSION beyond the reference lives
+  * in [[canonicalIso]]: tetrahedral parity preserved via neighbor-frame
+  * replay, E/Z double-bond geometry via [[resolveEz]] descriptors
+  * (conjugated runs sharing a substituent bond drop — minimal scope).
+  * Still out of scope everywhere: isotopes (dropped) and kekulization
+  * (aromatic atoms stay aromatic; aromaticity is never perceived from
+  * alternating bonds — input lowercase is trusted, as Daylight allows).
   *
   * Everything is a pure JVM-static kernel so the Catalyst expressions
   * in [[graft.expr]] can call it from whole-stage-codegen'd code.
