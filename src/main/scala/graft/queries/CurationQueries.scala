@@ -900,10 +900,42 @@ object CurationQueries {
         col("head_delta_doc"))
   }
 
+  /** Hierarchical shard split (net-new): grow the epoch from
+    * [[NumShards]] to 2×[[NumShards]] shards WITHOUT a corpus shuffle —
+    * the bucket-doubling shape (Hive bucket ×2, Iceberg bucket
+    * transforms). The child shard refines the parent's key arithmetic:
+    * `child = parent * 2 + (second-hex-char bit)`, so every child
+    * draws from exactly ONE parent and a 100 TB re-shard is a
+    * per-parent LOCAL pass (each parent's files split into two child
+    * file sets; with transform-aware metadata layouts it is
+    * metadata-only) instead of an all-to-all exchange. The output pins
+    * the split: per child, its parent, its membership count, and the
+    * within-child permutation digest (same seeded order as
+    * [[xGlobalShuffle]]); the spec closes the cross-query relation —
+    * children partition their parent's epoch counts exactly. */
+  def xShardSplit(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("k"))
+      .select(col("doc_id"), col("k"),
+        ((ascii(substring(col("k"), 1, 1)) % NumShards) * 2 +
+          ascii(substring(col("k"), 2, 1)) % 2).cast("long").as("child_shard"))
+    val pos = row_number()
+      .over(Window.partitionBy(col("child_shard")).orderBy(col("k"), col("doc_id")))
+      .cast("long")
+    d.withColumn("pos", pos)
+      .groupBy(col("child_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos") * col("doc_id")).as("order_digest"))
+      .select(col("child_shard"), (col("child_shard") / 2).cast("long").as("parent_shard"),
+        col("n_docs"), col("order_digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_shard_release"     -> (e2eShardRelease _),
     "x_global_shuffle"      -> (xGlobalShuffle _),
     "x_shard_incremental"   -> (xShardIncremental _),
+    "x_shard_split"         -> (xShardSplit _),
     "x_quantile_select"     -> (xQuantileSelect _),
     "x_corpus_datacard"     -> (xCorpusDatacard _),
     "x_k_anonymity"         -> (xKAnonymity _),
@@ -1100,6 +1132,15 @@ object CurationQueries {
        "row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)::BIGINT AS pos FROM s) " +
        "SELECT shard_id, count(*) AS n_docs, sum(pos * doc_id)::BIGINT AS order_digest, " +
        "max(CASE WHEN pos = 1 THEN doc_id END) AS head_doc FROM p GROUP BY shard_id"),
+    "x_shard_split" ->
+      ("WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || ':shuf42') AS k FROM documents), " +
+       s"c AS (SELECT doc_id, k, ((ascii(substr(k, 1, 1)) % $NumShards) * 2 + " +
+       "(ascii(substr(k, 2, 1)) % 2))::BIGINT AS child_shard FROM s), " +
+       "p AS (SELECT child_shard, doc_id, " +
+       "row_number() OVER (PARTITION BY child_shard ORDER BY k, doc_id)::BIGINT AS pos FROM c) " +
+       "SELECT child_shard, (child_shard // 2)::BIGINT AS parent_shard, " +
+       "count(*) AS n_docs, sum(pos * doc_id)::BIGINT AS order_digest " +
+       "FROM p GROUP BY child_shard"),
     "x_shard_incremental" ->
       ("WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || ':shuf42') AS k, " +
        s"(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % $NumShards)::BIGINT AS shard_id " +

@@ -104,6 +104,30 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(!plan.contains("rangepartitioning"), "no global sort in the delivery path")
   }
 
+  test("x_shard_split: children partition each parent's epoch, split is parent-local") {
+    val children = CurationQueries.xShardSplit(spark, sfDir).collect()
+    // child -> parent arithmetic: exactly two children per parent id space
+    children.foreach { r =>
+      assert(r.getAs[Long]("parent_shard") == r.getAs[Long]("child_shard") / 2)
+    }
+    // cross-query closure: per parent, the children's counts sum to the
+    // full epoch's shard count — nothing lost, nothing crossed over
+    val byParent = children.groupBy(_.getAs[Long]("parent_shard"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("n_docs")).sum }
+    val epoch = CurationQueries.xGlobalShuffle(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byParent == epoch, s"children do not partition parents: $byParent vs $epoch")
+    // membership locality recomputed from the raw key arithmetic: every
+    // doc's child shard refines its parent shard
+    val raw = graft.Tables.documents(spark, sfDir)
+      .select(md5(concat(col("doc_id").cast("string"), lit(":shuf42"))).as("k"))
+      .select((ascii(substring(col("k"), 1, 1)) % 8).as("parent"),
+        ((ascii(substring(col("k"), 1, 1)) % 8) * 2 +
+          ascii(substring(col("k"), 2, 1)) % 2).as("child"))
+      .collect()
+    raw.foreach(r => assert(r.getInt(1) / 2 == r.getInt(0)))
+  }
+
   test("ta_pii_redact is a pure scan-stage projection and masks everything") {
     val df = CurationQueries.taPiiRedact(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
