@@ -33,7 +33,14 @@ import scala.collection.mutable
   * in [[canonicalIso]]: tetrahedral parity preserved via neighbor-frame
   * replay, E/Z double-bond geometry via [[resolveEz]] descriptors
   * (conjugated runs sharing a substituent bond drop — minimal scope).
-  * Still out of scope everywhere: isotopes (dropped) and kekulization
+  * Isotope labels ([13C], [2H]) follow the same split as stereo:
+  * parsed always, DROPPED by [[canonical]] (RDKit's isomeric=False
+  * controls isotopes as well as stereo — the reference's canonic()
+  * loses both), PRESERVED by [[canonicalIso]], where they join the
+  * atom invariants so isotopomers rank deterministically and an
+  * isotope-only asymmetry counts as a real distinction (a center
+  * whose substituents differ only by mass keeps its mark, as RDKit
+  * keeps it). Still out of scope everywhere: kekulization
   * (aromatic atoms stay aromatic; aromaticity is never perceived from
   * alternating bonds — input lowercase is trusted, as Daylight allows).
   *
@@ -45,7 +52,8 @@ object Chem {
   /** `hExplicit == -1` → implicit-by-valence (organic-subset atom);
     * `>= 0` → fixed count from a bracket atom (SMILES: bracket atoms
     * have NO implicit hydrogens). */
-  final case class Atom(element: String, aromatic: Boolean, charge: Int, hExplicit: Int)
+  final case class Atom(element: String, aromatic: Boolean, charge: Int, hExplicit: Int,
+                        isotope: Int = 0)
 
   /** Bond orders: 1/2/3 = single/double/triple, 4 = aromatic.
     *
@@ -168,7 +176,12 @@ object Chem {
             fail("ring closure duplicates an existing bond")
           bonds += ((other, prev, o))
           // direction across a closure: the opener's mark reads
-          // opener -> partner; the closer's reads closer -> opener
+          // opener -> partner; the closer's reads closer -> opener.
+          // When BOTH ends carry a mark they describe the same physical
+          // bond, so they must agree (od == -(closer mark)); RDKit
+          // rejects conflicting bond directions and so do we.
+          if (od != 0 && pendingDir != 0 && od != -pendingDir)
+            fail("conflicting ring-closure bond directions")
           if (od != 0) recordDir(other, prev, od)
           else if (pendingDir != 0) recordDir(prev, other, pendingDir)
           openSlot.remove(id).foreach { case (opener, slot) => frames(opener)(slot) = prev }
@@ -228,7 +241,11 @@ object Chem {
 
   private def parseBracket(b: String, fail: String => Nothing): (Atom, Int) = {
     var i = 0
-    while (i < b.length && b.charAt(i).isDigit) i += 1 // isotope: dropped
+    var isotope = 0
+    while (i < b.length && b.charAt(i).isDigit) {
+      isotope = isotope * 10 + (b.charAt(i) - '0'); i += 1
+    }
+    if (isotope > 999) fail("bad isotope")
     if (i >= b.length) fail("empty bracket atom")
     val (el, arom) = {
       val c = b.charAt(i)
@@ -260,7 +277,7 @@ object Chem {
       else charge += sign
     }
     if (i != b.length) fail(s"trailing bracket content '${b.substring(i)}'")
-    (Atom(el, arom, charge, h), chiral)
+    (Atom(el, arom, charge, h, isotope), chiral)
   }
 
   // ---------------------------------------------------------------- write
@@ -348,14 +365,16 @@ object Chem {
     def atomTok(i: Int, stereoSym: String): String = {
       val a = m.atoms(i)
       val sym = if (a.aromatic) a.element.toLowerCase else a.element
-      if (stereoSym.isEmpty && a.charge == 0 && a.hExplicit < 0 && OrganicSubset.contains(a.element)) sym
+      val isoNum = if (iso && a.isotope > 0) a.isotope.toString else ""
+      if (isoNum.isEmpty && stereoSym.isEmpty && a.charge == 0 &&
+          a.hExplicit < 0 && OrganicSubset.contains(a.element)) sym
       else {
         val h = if (a.hExplicit >= 0) a.hExplicit else hydrogens(m, i)
         val hs = if (h == 0) "" else if (h == 1) "H" else s"H$h"
         val cs = if (a.charge == 0) ""
                  else if (a.charge == 1) "+" else if (a.charge == -1) "-"
                  else if (a.charge > 0) s"+${a.charge}" else a.charge.toString
-        s"[$sym$stereoSym$hs$cs]"
+        s"[$isoNum$sym$stereoSym$hs$cs]"
       }
     }
     val sb = new StringBuilder
@@ -488,7 +507,10 @@ object Chem {
         if (sites.isEmpty) None
         else if (sites.length == 1) sites.headOption
         else {
-          val rank = refine(m, initialInvariants(m))
+          // isotope-aware site ranks: two enol sites tied in the flat
+          // graph but distinguished by a label must resolve the same
+          // way in every rendering (no-op when no isotopes)
+          val rank = refine(m, initialInvariants(m, iso = true))
           Some(sites.minBy { case (oi, a, b) => (rank(oi), rank(a), rank(b)) })
         }
       site.foreach { case (oi, a, b) =>
@@ -538,7 +560,10 @@ object Chem {
   def dropFalseStereo(m: Mol): Mol =
     if (m.stereo.isEmpty) m
     else {
-      val rank = refine(m, initialInvariants(m))
+      // iso-path-only helper, so rank isotope-aware: substituents that
+      // differ only by mass are DISTINCT (an isotope-only stereocenter
+      // is real chirality — RDKit keeps its mark, and so do we)
+      val rank = refine(m, initialInvariants(m, iso = true))
       val keep = m.stereo.filter { case (i, (_, frame)) =>
         val heavy = frame.filter(_ >= 0)
         val nbrs = m.adj(i).map(_._1)
@@ -565,7 +590,8 @@ object Chem {
     * across renderings. */
   def resolveEz(m: Mol): Mol = {
     if (m.bondDirs.isEmpty) return m
-    val rank = refine(m, initialInvariants(m))
+    // iso-path-only helper: isotope-aware ranks, like dropFalseStereo
+    val rank = refine(m, initialInvariants(m, iso = true))
     def dirTo(x: Int, end: Int): Option[Int] =
       m.bondDirs.get((math.min(x, end), math.max(x, end)))
         .map(s => if (x < end) s else -s)
@@ -616,11 +642,18 @@ object Chem {
     z ^ (z >>> 31)
   }
 
-  private def initialInvariants(m: Mol): Array[Long] =
+  /** `iso = true` folds the isotope label into the invariant — used by
+    * the isomeric pipeline (ranking, false-stereo and E/Z class checks,
+    * tautomer site choice) so isotopomers rank deterministically; the
+    * flat canonical ranking excludes it, or the branch-and-minimize
+    * could pick a non-minimal FLAT string for a labeled molecule and
+    * break the [13C]CC == CCC collapse. */
+  private def initialInvariants(m: Mol, iso: Boolean = false): Array[Long] =
     Array.tabulate(m.atoms.length) { i =>
       val a = m.atoms(i)
       mix(a.element.hashCode.toLong * 1000003L + a.charge * 997L +
-        (if (a.aromatic) 499L else 0L) + hydrogens(m, i) * 31L + m.degree(i))
+        (if (a.aromatic) 499L else 0L) + hydrogens(m, i) * 31L + m.degree(i) +
+        (if (iso) a.isotope.toLong * 131L else 0L))
     }
 
   /** Iterative neighborhood refinement: invariants become dense ranks,
@@ -681,7 +714,7 @@ object Chem {
         else branches.min
       }
     }
-    rec(initialInvariants(m))
+    rec(initialInvariants(m, iso))
   }
 
   /** Bounded pure-function memo for the string-level kernels: compound
@@ -939,6 +972,28 @@ object Chem {
     write(m, start, i => math.floorMod(i * scramble + variant, n))
   }
 
+  /** Generator-lattice constants for the stereo/isotope families,
+    * shared VERBATIM with the SQL oracles —
+    * [[graft.queries.ChemQueries]] interpolates these same vals into
+    * its DuckDB strings, so retuning a generator cannot silently
+    * diverge the two verification paths (the d2 lattice predates the
+    * convention and documents its constants in prose instead). All
+    * moduli are pairwise coprime so seeds span the full cross
+    * product. */
+  val HydroxylMul = 5L
+  val HydroxylMod = 7L
+  val HydroxylLt = 3L
+  val ChiralTailMod = 3L
+  val ChiralHandMod = 2L
+  val EzLenMod = 2L
+  val EzGeoMul = 7L
+  val EzGeoMod = 5L
+  val EzGeoLt = 2L
+  val IsoTailMod = 3L
+  val IsoLabelMod = 4L
+  val IsoMass13 = 13
+  val IsoMass14 = 14
+
   /** Deterministic CHIRAL molecule family for the stereo extension —
     * one tetrahedral center bearing four distinct substituents
     * (F, Cl, Br, and a seed-varied carbon chain), every structural
@@ -957,9 +1012,9 @@ object Chem {
     * all three while keeping the two hands of a skeleton apart, and
     * [[canonical]] must collapse all six. */
   def chiralFromSeed(seed: Long, variant: Int): String = {
-    val tail = (1 + math.floorMod(seed, 3)).toInt
-    val hydroxyl = math.floorMod(seed * 5, 7) < 3
-    val hand = math.floorMod(seed, 2).toInt // 0 -> @, 1 -> @@
+    val tail = (1 + math.floorMod(seed, ChiralTailMod)).toInt
+    val hydroxyl = math.floorMod(seed * HydroxylMul, HydroxylMod) < HydroxylLt
+    val hand = math.floorMod(seed, ChiralHandMod).toInt // 0 -> @, 1 -> @@
     val chain = "C" * tail + (if (hydroxyl) "O" else "")
     def sym(h: Int): String = if (h == 0) "@" else "@@"
     variant match {
@@ -983,9 +1038,9 @@ object Chem {
     * all three while keeping cis and trans apart, and [[canonical]]
     * collapses all six. */
   def ezFromSeed(seed: Long, variant: Int): String = {
-    val lenA = (1 + math.floorMod(seed, 2)).toInt
-    val hydroxyl = math.floorMod(seed * 5, 7) < 3
-    val cis = math.floorMod(seed * 7, 5) < 2
+    val lenA = (1 + math.floorMod(seed, EzLenMod)).toInt
+    val hydroxyl = math.floorMod(seed * HydroxylMul, HydroxylMod) < HydroxylLt
+    val cis = math.floorMod(seed * EzGeoMul, EzGeoMod) < EzGeoLt
     val a = "C" * lenA
     val b = "C" + (if (hydroxyl) "O" else "")
     // with dir(A->endA) = +1 ('A/C'), cis needs dir(B->endB) = +1 ('\B')
@@ -994,5 +1049,54 @@ object Chem {
       case 2 => s"C(${if (lenA == 2) "/CC)" else "/C)"}=C${if (cis) "/" else "\\"}$b" // leading branch inverts
       case _ => s"$a/C=C${if (cis) "\\" else "/"}$b"
     }
+  }
+
+  /** Deterministic ISOTOPE-labeled molecule family — a short carbon
+    * chain (optionally hydroxyl-terminated) carrying one mass label,
+    * every structural decision modular seed arithmetic the SQL oracle
+    * replays ([[graft.queries.ChemQueries]], from the same named
+    * constants):
+    *
+    *   tail     = 1 + (seed mod [[IsoTailMod]])              chain carbons
+    *   hydroxyl = (seed*[[HydroxylMul]] mod [[HydroxylMod]]) < [[HydroxylLt]]
+    *   label    = seed mod [[IsoLabelMod]]   0 none / 1 ¹³C on the head
+    *              carbon / 2 ¹⁴C on the head / 3 ¹³C on the TAIL carbon
+    *
+    * Label 3 deliberately DEGENERATES: with tail = 1 the tail carbon IS
+    * the head (label 3 ≡ label 1), and without the hydroxyl the plain
+    * chain is mirror-symmetric, so head- and tail-labeling are the same
+    * isotopomer — [[canonicalIso]] must collapse those lattice cells
+    * (the oracle replays the collapse as CASE arithmetic), which
+    * exercises canonical ranking ACROSS an isotope-broken symmetry,
+    * not just label round-tripping. `variant` 0..2 re-renders the same
+    * molecule from a scrambled DFS root exactly like [[fromSeed]];
+    * [[canonical]] drops the label entirely (one flat form per
+    * skeleton). */
+  def isoFromSeed(seed: Long, variant: Int): String = {
+    val tail = (1 + math.floorMod(seed, IsoTailMod)).toInt
+    val hydroxyl = math.floorMod(seed * HydroxylMul, HydroxylMod) < HydroxylLt
+    val label = math.floorMod(seed, IsoLabelMod).toInt
+
+    val atoms = mutable.ArrayBuffer[Atom]()
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    def add(el: String): Int = { atoms += Atom(el, aromatic = false, 0, -1); atoms.length - 1 }
+
+    val chain = (0 until tail).map(_ => add("C"))
+    for (k <- 1 until tail) bonds += ((chain(k - 1), chain(k), 1))
+    if (hydroxyl) bonds += ((chain(tail - 1), add("O"), 1))
+    val labelAt = label match {
+      case 1 | 2 => chain(0)
+      case 3     => chain(tail - 1)
+      case _     => -1
+    }
+    if (labelAt >= 0) {
+      val mass = if (label == 2) IsoMass14 else IsoMass13
+      atoms(labelAt) = atoms(labelAt).copy(isotope = mass)
+    }
+    val m = Mol(atoms.toVector, bonds.toVector)
+    val n = atoms.length
+    val start = math.floorMod(seed + 13L * variant, n.toLong).toInt
+    val scramble = math.floorMod(seed * 31 + variant * 7 + 1, 97).toInt
+    write(m, start, i => math.floorMod(i * scramble + variant, n), iso = true)
   }
 }

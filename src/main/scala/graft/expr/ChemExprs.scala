@@ -23,6 +23,8 @@ object ChemKernels {
     UTF8String.fromString(Chem.chiralFromSeed(seed, variant))
   def ezFromSeed(seed: Long, variant: Int): UTF8String =
     UTF8String.fromString(Chem.ezFromSeed(seed, variant))
+  def isoFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.isoFromSeed(seed, variant))
   def canonical(s: UTF8String): UTF8String =
     if (s == null) null else UTF8String.fromString(Chem.canonical(s.toString))
   def canonicalIso(s: UTF8String): UTF8String =
@@ -89,6 +91,25 @@ case class MolEzFromSeed(left: Expression, right: Expression) extends BinaryExpr
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MolEzFromSeed =
     copy(l, r)
   override def prettyName: String = "mol_ez_from_seed"
+}
+
+/** Isotope twin of [[MolChiralFromSeed]] ([[Chem.isoFromSeed]]):
+  * renders a mass-labeled molecule family whose label site and
+  * skeleton are modular seed arithmetic (including the deliberate
+  * symmetric-collapse cells the oracle replays as CASE terms). */
+case class MolIsoFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_iso_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.isoFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.isoFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolIsoFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_iso_from_seed"
 }
 
 /** ISOMERIC canonical SMILES ([[Chem.canonicalIso]]) — the
@@ -189,6 +210,8 @@ object chemfunctions {
     col(MolChiralFromSeed(expr(seed), expr(variant)))
   def mol_ez_from_seed(seed: Column, variant: Column): Column =
     col(MolEzFromSeed(expr(seed), expr(variant)))
+  def mol_iso_from_seed(seed: Column, variant: Column): Column =
+    col(MolIsoFromSeed(expr(seed), expr(variant)))
   def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
   def canonical_smiles_iso(c: Column): Column = col(CanonicalSmilesIso(expr(c)))
   def morgan_fp(c: Column): Column = col(MorganFingerprint(expr(c)))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.chem.Chem
 import graft.expr.chemfunctions._
 
 /** D2/D3/D5 chemistry pack — the reference's RDKit boundary moved
@@ -154,13 +155,45 @@ object ChemQueries {
         countDistinct(col("flat")).as("n_flat_forms"))
       .select(col("cluster_rep"), col("n_mols"), col("n_renderings"), col("n_flat_forms"))
 
+  /** D10 (extension) — ISOTOPE-preserving canonical dedup: the
+    * mass-label twin of d8/d9 over [[graft.chem.Chem.isoFromSeed]]'s
+    * family. Isotope labels survive `canonical_smiles_iso` (joining
+    * the canonical ranking, so the label-3 cells that are SYMMETRIC to
+    * label-1 cells — tail = 1, or a mirror-symmetric unhydroxylated
+    * chain — provably collapse) and drop entirely under plain
+    * `canonical_smiles` (`n_flat_forms` = 1 per iso cluster). The
+    * oracle replays the (tail, hydroxyl, label) lattice INCLUDING the
+    * symmetry collapse as CASE arithmetic, built from the same named
+    * constants the generator uses. */
+  def d10IsotopeCanonical(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), mol_iso_from_seed(col("seed"), col("variant")).as("smiles"))
+      .select(col("seed"),
+        canonical_smiles_iso(col("smiles")).as("iso"),
+        canonical_smiles(col("smiles")).as("flat"))
+      .groupBy(col("iso"))
+      .agg(
+        min(col("seed")).as("cluster_rep"),
+        countDistinct(col("seed")).as("n_mols"),
+        count(lit(1)).as("n_renderings"),
+        countDistinct(col("flat")).as("n_flat_forms"))
+      .select(col("cluster_rep"), col("n_mols"), col("n_renderings"), col("n_flat_forms"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d2_smiles_canonical" -> (d2SmilesCanonical _),
     "d3_morgan_fp"        -> (d3MorganFp _),
     "d5_substructure"     -> (d5Substructure _),
     "d8_stereo_canonical" -> (d8StereoCanonical _),
     "d9_ez_canonical"     -> (d9EzCanonical _),
+    "d10_isotope_canonical" -> (d10IsotopeCanonical _),
   )
+
+  // The shared hydroxyl predicate of the d8/d9/d10 lattices, built
+  // from the generator's own named constants (Chem.HydroxylMul/Mod/Lt)
+  private val hydroxylSql =
+    s"((p_partkey * ${Chem.HydroxylMul}) % ${Chem.HydroxylMod} < ${Chem.HydroxylLt})"
 
   // The generator's parameter lattice, replayed in SQL (see
   // Chem.fromSeed: chainLen/group/ring/branch are modular expressions
@@ -189,10 +222,13 @@ object ChemQueries {
         "p_partkey % 3 = 0 AS has_ring FROM part"),
     // the chiral lattice (Chem.chiralFromSeed): iso clusters = one per
     // (tail, hydroxyl, hand); every cluster carries 3 renderings per
-    // seed and exactly ONE flat (non-isomeric) form
+    // seed and exactly ONE flat (non-isomeric) form. The modular
+    // constants interpolate from the SAME named vals the generator
+    // reads (Chem.ChiralTailMod etc.), so a retune cannot diverge the
+    // two verification paths.
     "d8_stereo_canonical" ->
-      ("WITH cp AS (SELECT p_partkey, 1 + (p_partkey % 3) AS tail, " +
-        "((p_partkey * 5) % 7 < 3) AS hydroxyl, p_partkey % 2 AS hand FROM part) " +
+      (s"WITH cp AS (SELECT p_partkey, 1 + (p_partkey % ${Chem.ChiralTailMod}) AS tail, " +
+        s"$hydroxylSql AS hydroxyl, p_partkey % ${Chem.ChiralHandMod} AS hand FROM part) " +
         "SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
         "count(*) AS n_mols, count(*) * 3 AS n_renderings, " +
         "CAST(1 AS BIGINT) AS n_flat_forms " +
@@ -200,12 +236,27 @@ object ChemQueries {
     // the E/Z lattice (Chem.ezFromSeed): iso clusters = one per
     // (lenA, hydroxyl, geometry); 3 renderings per seed, one flat form
     "d9_ez_canonical" ->
-      ("WITH ep AS (SELECT p_partkey, 1 + (p_partkey % 2) AS len_a, " +
-        "((p_partkey * 5) % 7 < 3) AS hydroxyl, " +
-        "((p_partkey * 7) % 5 < 2) AS cis FROM part) " +
+      (s"WITH ep AS (SELECT p_partkey, 1 + (p_partkey % ${Chem.EzLenMod}) AS len_a, " +
+        s"$hydroxylSql AS hydroxyl, " +
+        s"((p_partkey * ${Chem.EzGeoMul}) % ${Chem.EzGeoMod} < ${Chem.EzGeoLt}) AS cis FROM part) " +
         "SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
         "count(*) AS n_mols, count(*) * 3 AS n_renderings, " +
         "CAST(1 AS BIGINT) AS n_flat_forms " +
         "FROM ep GROUP BY len_a, hydroxyl, cis"),
+    // the isotope lattice (Chem.isoFromSeed): one cluster per
+    // (tail, hydroxyl, label) EXCEPT the symmetric label-3 cells,
+    // which the CASE folds into label 1 exactly where the molecules
+    // coincide — tail = 1 (tail carbon IS the head) or no hydroxyl
+    // (mirror-symmetric chain)
+    "d10_isotope_canonical" ->
+      (s"WITH ip AS (SELECT p_partkey, 1 + (p_partkey % ${Chem.IsoTailMod}) AS tail, " +
+        s"$hydroxylSql AS hydroxyl, " +
+        s"CASE WHEN p_partkey % ${Chem.IsoLabelMod} = 3 " +
+        s"AND (p_partkey % ${Chem.IsoTailMod} = 0 OR NOT $hydroxylSql) " +
+        s"THEN 1 ELSE p_partkey % ${Chem.IsoLabelMod} END AS label FROM part) " +
+        "SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
+        "count(*) AS n_mols, count(*) * 3 AS n_renderings, " +
+        "CAST(1 AS BIGINT) AS n_flat_forms " +
+        "FROM ip GROUP BY tail, hydroxyl, label"),
   )
 }

@@ -180,6 +180,29 @@ object ChemProps extends Properties("chem") {
     * escape as any throwable other than the handled parse failure. A
     * stray MatchError/NPE/StackOverflow from the parser or writer
     * would fail a whole 100 TB job on one bad compound row. */
+  /** Random isotope labels on random atoms: canonicalIso must not see
+    * the rendering, and the FLAT canonical must equal the unlabeled
+    * molecule's — the isotope-aware invariants are iso-path-only, so a
+    * label can never steer the flat branch-and-minimize. */
+  property("isotope labels: iso-canonical rendering-invariant, flat collapse exact") =
+    forAll(rendering, Gen.listOfN(3, Gen.choose(0, 1000)), Gen.choose(0, 2)) {
+      case ((m, start, scramble), picks, massPick) =>
+        val n = m.atoms.length
+        val mass = 13 + massPick
+        val labeled = picks.foldLeft(m) { (acc, p) =>
+          val at = p % n
+          Mol(acc.atoms.updated(at, acc.atoms(at).copy(isotope = mass)),
+            acc.bonds, acc.stereo, acc.bondDirs, acc.ez)
+        }
+        val r1 = Chem.write(labeled, 0, identity, iso = true)
+        val r2 = Chem.write(labeled, start, i => math.floorMod(i * scramble + 1, n), iso = true)
+        val iso1 = Chem.canonicalIso(r1)
+        val iso2 = Chem.canonicalIso(r2)
+        val flatUnlabeled = Chem.canonical(Chem.write(m, 0, identity))
+        iso1 == iso2 && Chem.canonical(r1) == flatUnlabeled &&
+          Chem.canonicalIso(iso1) == iso1
+    }
+
   property("kernels never throw on arbitrary input strings") = {
     val smilesAlphabet = Gen.oneOf("CNOSPcnos()[]@Hh+-=#/\\123456789%.FIBrl".toSeq)
     val garbage = Gen.oneOf(

@@ -243,13 +243,76 @@ class ChemSpec extends SparkSpecBase {
     }
   }
 
-  test("d8/d9 queries honor their oracle contracts on the smoke SF") {
+  test("d8/d9/d10 queries honor their oracle contracts on the smoke SF") {
     import queries.ChemQueries
-    for (q <- Seq(ChemQueries.d8StereoCanonical _, ChemQueries.d9EzCanonical _)) {
+    for (q <- Seq(ChemQueries.d8StereoCanonical _, ChemQueries.d9EzCanonical _,
+                  ChemQueries.d10IsotopeCanonical _)) {
       val out = q(spark, sfDir).collect()
       assert(out.nonEmpty)
       assert(out.forall(r => r.getAs[Long]("n_renderings") == 3 * r.getAs[Long]("n_mols")))
       assert(out.forall(_.getAs[Long]("n_flat_forms") == 1L))
+    }
+  }
+
+  test("isomeric canonical: isotopes preserved, flat canonical drops them") {
+    // preservation + rendering invariance on hand molecules
+    assert(Chem.canonicalIso("[13CH4]") != Chem.canonicalIso("C"))
+    assert(Chem.canonicalIso("[13C]CC") == Chem.canonicalIso("CC[13C]"),
+      "mirror-symmetric chain: head and tail labels are the same isotopomer")
+    assert(Chem.canonicalIso("[13C]CCO") != Chem.canonicalIso("CC[13C]O"),
+      "hydroxyl breaks the chain symmetry: head and carbinol labels differ")
+    // distinct masses stay apart, flat collapses everything
+    assert(Chem.canonicalIso("[13CH4]") != Chem.canonicalIso("[14CH4]"))
+    assert(Chem.canonical("[13CH4]") == "C")
+    // NB [13C] with no H-count is a ZERO-hydrogen bracket carbon, which
+    // is a different molecule than a CH3 head — the valence-consistent
+    // labeled form is [13CH3]
+    assert(Chem.canonical("[13CH3]CCO") == Chem.canonical("CCCO"))
+    // round-trip fixpoint through the isomeric writer
+    val iso = Chem.canonicalIso("CC[13CH2]O")
+    assert(Chem.canonicalIso(iso) == iso)
+    assert(iso.contains("13C"), s"label lost: $iso")
+  }
+
+  test("isomeric canonical: isotope-only stereocenter is real chirality") {
+    // four substituents distinct ONLY via the mass label: the mark must
+    // survive dropFalseStereo (isotope-aware ranks) and the two hands
+    // must stay apart isomeric while collapsing flat
+    val a = Chem.canonicalIso("C[C@H](F)[13CH3]")
+    val b = Chem.canonicalIso("C[C@@H](F)[13CH3]")
+    assert(a != b, s"isotope-only stereocenter collapsed: $a")
+    assert(Chem.canonical("C[C@H](F)[13CH3]") == Chem.canonical("C[C@@H](F)[13CH3]"))
+    // without the label the same center IS false chirality — both drop
+    assert(Chem.canonicalIso("C[C@H](F)C") == Chem.canonicalIso("C[C@@H](F)C"))
+  }
+
+  test("conflicting ring-closure bond directions are rejected, consistent ones parse") {
+    intercept[IllegalArgumentException](Chem.parse("C/1=CC/1"))
+    Chem.parse("C/1=CC\\1") // opener/closer marks describe the same side: fine
+    assert(Chem.canonical("C/1=CC/1") == null, "kernel must drop the row, not fail the job")
+  }
+
+  test("isotope generator: variants collapse per isotopomer, symmetric cells fold, labels drop flat") {
+    // one full lattice span: moduli 3 (tail) x 7 (hydroxyl) x 4 (label)
+    for (seed <- 1L to 84L) {
+      val v = (0 to 2).map(Chem.isoFromSeed(seed, _))
+      assert(v.map(Chem.canonicalIso).distinct.size == 1, s"seed $seed iso split: $v")
+      val flats = v.map(Chem.canonical)
+      assert(flats.distinct.size == 1 && !flats.head.contains("["), s"seed $seed flat: $flats")
+    }
+    // label-3 cells: same isotopomer as label 1 exactly when tail = 1 or no hydroxyl
+    val bySkeleton = (1L to 84L * 4).groupBy(s => (math.floorMod(s, Chem.IsoTailMod),
+      math.floorMod(s * Chem.HydroxylMul, Chem.HydroxylMod) < Chem.HydroxylLt))
+    bySkeleton.foreach { case ((tailM, hyd), seeds) =>
+      val tail = 1 + tailM
+      val c1 = seeds.find(math.floorMod(_, Chem.IsoLabelMod) == 1)
+        .map(s => Chem.canonicalIso(Chem.isoFromSeed(s, 0)))
+      val c3 = seeds.find(math.floorMod(_, Chem.IsoLabelMod) == 3)
+        .map(s => Chem.canonicalIso(Chem.isoFromSeed(s, 0)))
+      val shouldCollapse = tail == 1 || !hyd
+      assert(c1.isDefined && c3.isDefined)
+      assert((c1 == c3) == shouldCollapse,
+        s"tail=$tail hydroxyl=$hyd: expected collapse=$shouldCollapse, got $c1 vs $c3")
     }
   }
 

@@ -76,7 +76,7 @@ class CurationQueriesSpec extends SparkSpecBase {
       .select(col("doc_id"), md5(concat(col("doc_id").cast("string"), lit(":shuf42"))).as("k"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     def digestOf(rows: Seq[(Long, String)], posOffset: Map[Long, Long]): Map[Long, Long] =
-      rows.map { case (id, k) => ((math.abs(k(0).toInt) % 8).toLong, id, k) }
+      rows.map { case (id, k) => ((math.abs(k(0).toInt) % CurationQueries.NumShards).toLong, id, k) }
         .groupBy(_._1).map { case (shard, g) =>
           val sorted = g.sortBy(t => (t._3, t._2))
           shard -> sorted.zipWithIndex.map { case ((_, id, _), i) =>
@@ -121,8 +121,8 @@ class CurationQueriesSpec extends SparkSpecBase {
     // doc's child shard refines its parent shard
     val raw = graft.Tables.documents(spark, sfDir)
       .select(md5(concat(col("doc_id").cast("string"), lit(":shuf42"))).as("k"))
-      .select((ascii(substring(col("k"), 1, 1)) % 8).as("parent"),
-        ((ascii(substring(col("k"), 1, 1)) % 8) * 2 +
+      .select((ascii(substring(col("k"), 1, 1)) % CurationQueries.NumShards).as("parent"),
+        ((ascii(substring(col("k"), 1, 1)) % CurationQueries.NumShards) * 2 +
           ascii(substring(col("k"), 2, 1)) % 2).as("child"))
       .collect()
     raw.foreach(r => assert(r.getInt(1) / 2 == r.getInt(0)))
