@@ -931,7 +931,45 @@ object CurationQueries {
         col("n_docs"), col("order_digest"))
   }
 
+  /** Hierarchical shard MERGE (net-new): the compaction twin of
+    * [[xShardSplit]] — coalesce child-shard pairs (2p, 2p+1) back into
+    * their parent p, the inverse bucket-halving production epochs run
+    * after heavy dedup shrinks shards below trainer-friendly size.
+    * Per-parent-LOCAL by the same key arithmetic that made the split
+    * local: `parent = child / 2` is a pairwise fan-in — every parent
+    * partition draws from exactly its TWO children, never an
+    * all-to-all exchange (the one hash exchange here moves each
+    * child's rows to one fixed destination; with transform-aware
+    * bucket metadata, Hive/Iceberg execute it as a per-pair file-group
+    * concat). Within a parent the merged order is (k, doc_id) — the
+    * linear interleave of the two children's already-sorted runs, so a
+    * 100 TB compaction is a streaming 2-way merge per parent, no
+    * re-sort of the epoch. The output pins the inverse relation:
+    * per parent, the membership count, the counts drawn from each
+    * child half (proving both children were consumed), and the merged
+    * permutation digest — which the spec closes against
+    * [[xGlobalShuffle]]: merge ∘ split = identity on the epoch
+    * (same shards, same counts, same Σ pos·doc_id digests). */
+  def xShardMerge(spark: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("k"))
+      .select(col("doc_id"), col("k"),
+        (ascii(substring(col("k"), 1, 1)) % NumShards).cast("long").as("parent_shard"),
+        (ascii(substring(col("k"), 2, 1)) % 2).cast("long").as("child_half"))
+    val pos = row_number()
+      .over(Window.partitionBy(col("parent_shard")).orderBy(col("k"), col("doc_id")))
+      .cast("long")
+    d.withColumn("pos", pos)
+      .groupBy(col("parent_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("child_half") === 0, 1L).otherwise(0L)).as("n_from_even_child"),
+        sum(when(col("child_half") === 1, 1L).otherwise(0L)).as("n_from_odd_child"),
+        sum(col("pos") * col("doc_id")).as("order_digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_shard_merge"         -> (xShardMerge _),
     "e2e_shard_release"     -> (e2eShardRelease _),
     "x_global_shuffle"      -> (xGlobalShuffle _),
     "x_shard_incremental"   -> (xShardIncremental _),
@@ -1141,6 +1179,16 @@ object CurationQueries {
        "SELECT child_shard, (child_shard // 2)::BIGINT AS parent_shard, " +
        "count(*) AS n_docs, sum(pos * doc_id)::BIGINT AS order_digest " +
        "FROM p GROUP BY child_shard"),
+    "x_shard_merge" ->
+      ("WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || ':shuf42') AS k FROM documents), " +
+       s"c AS (SELECT doc_id, k, (ascii(substr(k, 1, 1)) % $NumShards)::BIGINT AS parent_shard, " +
+       "(ascii(substr(k, 2, 1)) % 2)::BIGINT AS child_half FROM s), " +
+       "p AS (SELECT parent_shard, child_half, doc_id, " +
+       "row_number() OVER (PARTITION BY parent_shard ORDER BY k, doc_id)::BIGINT AS pos FROM c) " +
+       "SELECT parent_shard, count(*) AS n_docs, " +
+       "sum(CASE WHEN child_half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_from_even_child, " +
+       "sum(CASE WHEN child_half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_from_odd_child, " +
+       "sum(pos * doc_id)::BIGINT AS order_digest FROM p GROUP BY parent_shard"),
     "x_shard_incremental" ->
       ("WITH s AS (SELECT doc_id, md5(doc_id::VARCHAR || ':shuf42') AS k, " +
        s"(ascii(substr(md5(doc_id::VARCHAR || ':shuf42'), 1, 1)) % $NumShards)::BIGINT AS shard_id " +

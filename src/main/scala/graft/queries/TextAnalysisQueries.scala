@@ -658,13 +658,28 @@ object TextAnalysisQueries {
     * deterministic; the reconstruction is pinned by md5 of the
     * reassembled text, so the oracle checks the rebuilt BYTES, not
     * just survivor counts. */
-  def taParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+  def taParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupKeyed(spark, dir, "xxhash64(s)")
+
+  /** 128-BIT variant of [[taParagraphDedup]] — the scaladoc'd widening
+    * path made a registered query: the identical plan shape keyed on
+    * `unhex(md5(s))` (16-byte binary) instead of the 8-byte xxhash64,
+    * removing the n²/2⁶⁵ collision caveat for release-grade runs
+    * (expected collisions drop to n²/2¹²⁹ — zero for any physical
+    * corpus). Costs 2× the key bytes on the three dedup-decision
+    * exchanges, still far under carrying segment text. Same oracle:
+    * DuckDB groups by the raw segment either way, and a spec pins the
+    * two variants to identical output. */
+  def taParagraphDedup128(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupKeyed(spark, dir, "unhex(md5(s))")
+
+  private def paragraphDedupKeyed(spark: SparkSession, dir: String, keySql: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
       .select(col("doc_id"), expr(paraSegExpr).as("segs"))
     val keyed = docs.select(col("doc_id"),
-      posexplode(expr("transform(segs, s -> xxhash64(s))")).as(Seq("seg_idx", "seg_key")))
+      posexplode(expr(s"transform(segs, s -> $keySql)")).as(Seq("seg_idx", "seg_key")))
     val first = keyed.groupBy(col("seg_key"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
     val kept = keyed.join(first, "seg_key")
@@ -683,6 +698,7 @@ object TextAnalysisQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_paragraph_dedup"    -> (taParagraphDedup _),
+    "ta_paragraph_dedup_128" -> (taParagraphDedup128 _),
     "ta_entropy_quality"    -> (taEntropyQuality _),
     "ta_zipf_fit"           -> (taZipfFit _),
     "ta_cdc_chunks"         -> (taCdcChunks _),
@@ -823,8 +839,9 @@ object TextAnalysisQueries {
      "SELECT doc_id, text_len, n_chunks, " + duckPoly61("ps") + " AS bnd_hash FROM p")
   }
 
-  val oracle: Map[String, String] = Map(
-    "ta_paragraph_dedup" ->
+  // Shared by the 64- and 128-bit paragraph-dedup variants: the oracle
+  // keys on the RAW segment, so both hash widths must reproduce it
+  private val paragraphDedupOracle =
       (s"WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents), " +
        s"n AS (SELECT doc_id, ws, greatest(ceil(len(ws) / $ParaSegWords.0)::BIGINT, 1) AS k FROM w), " +
        s"seg AS (SELECT doc_id, i AS seg_idx, " +
@@ -834,7 +851,11 @@ object TextAnalysisQueries {
        "(row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) AS keep FROM seg) " +
        "SELECT doc_id, count(*) AS n_segs, sum(keep::BIGINT)::BIGINT AS n_kept, " +
        "md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_idx), '')) AS retained_md5 " +
-       "FROM fl GROUP BY doc_id"),
+       "FROM fl GROUP BY doc_id")
+
+  val oracle: Map[String, String] = Map(
+    "ta_paragraph_dedup" -> paragraphDedupOracle,
+    "ta_paragraph_dedup_128" -> paragraphDedupOracle,
     "ta_entropy_quality" ->
       ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
        "c AS (SELECT doc_id, w, count(*) AS c FROM t WHERE w <> '' GROUP BY 1, 2), " +

@@ -128,6 +128,35 @@ class CurationQueriesSpec extends SparkSpecBase {
     raw.foreach(r => assert(r.getInt(1) / 2 == r.getInt(0)))
   }
 
+  test("x_shard_merge: merge of split children is the identity on the epoch") {
+    // merge ∘ split = identity: merging the child pairs reproduces
+    // x_global_shuffle's epoch EXACTLY — same shards, same counts,
+    // same Σ pos·doc_id permutation digests
+    val merged = CurationQueries.xShardMerge(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("parent_shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("order_digest")))).toMap
+    val epoch = CurationQueries.xGlobalShuffle(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("order_digest")))).toMap
+    assert(merged == epoch, s"merge did not invert the split:\n$merged\nvs epoch\n$epoch")
+    // provenance closure: per parent, the child-half counts equal the
+    // split children's membership counts (both children consumed)
+    val children = CurationQueries.xShardSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("child_shard") -> r.getAs[Long]("n_docs")).toMap
+    CurationQueries.xShardMerge(spark, sfDir).collect().foreach { r =>
+      val p = r.getAs[Long]("parent_shard")
+      assert(r.getAs[Long]("n_from_even_child") == children.getOrElse(2 * p, 0L),
+        s"parent $p even-child count drifted from the split")
+      assert(r.getAs[Long]("n_from_odd_child") == children.getOrElse(2 * p + 1, 0L),
+        s"parent $p odd-child count drifted from the split")
+    }
+    // scale shape: ONE hash exchange (the pairwise fan-in), no global sort
+    val plan = CurationQueries.xShardMerge(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), "no global sort in the merge path")
+    assert(queryExchanges(plan) <= 2, s"merge must stay one fan-in exchange (+agg):\n$plan")
+  }
+
   test("ta_pii_redact is a pure scan-stage projection and masks everything") {
     val df = CurationQueries.taPiiRedact(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

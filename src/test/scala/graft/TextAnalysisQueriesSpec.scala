@@ -94,6 +94,21 @@ class TextAnalysisQueriesSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("paragraph dedup: 128-bit variant is output-identical to the 64-bit form") {
+    // the release-grade widening path: unhex(md5) keys must produce
+    // byte-identical results (same first-occurrence rule, same
+    // reconstruction) — only the exchanged key width differs
+    val w64 = TextAnalysisQueries.taParagraphDedup(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val w128 = TextAnalysisQueries.taParagraphDedup128(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(w64 == w128, "128-bit keying diverged from the 64-bit form")
+    // and the wide key really is binary(16) on the decision exchanges
+    val keyed = TextAnalysisQueries.taParagraphDedup128(spark, sfDir)
+    val schemaStr = keyed.queryExecution.analyzed.toString
+    assert(schemaStr.contains("unhex"), s"128-bit variant must key on unhex(md5):\n$schemaStr")
+  }
+
   test("contamination: a verbatim leak is flagged at 1.0; ratios stay in [0,1]") {
     val real = TextAnalysisQueries.taContamination(spark, sfDir).cache()
     assert(real.filter(col("contamination") < 0 || col("contamination") > 1).count() == 0)
