@@ -45,6 +45,32 @@ object PlanLintSpec {
       case ResolvedHint(child, hints) if hints.strategy.contains(BROADCAST) && bareFact(child) => true
     }.nonEmpty
 
+  /** True iff the executed plan contains a partitioned-layout file scan
+    * with NO partition filters while a Filter above it references one
+    * of that scan's partition columns — slice intent that failed to
+    * prune, so the scan reads every partition and re-filters row-wise
+    * (at 100 TB: the whole layout off disk for one day/shard/bucket).
+    * Full reads WITHOUT a partition predicate are sanctioned (epoch
+    * verification sweeps legitimately read all partitions), and a
+    * predicate that DID reach `partitionFilters` (static or dynamic
+    * pruning) is the desired shape. Evaluate with AQE off so the
+    * physical tree is directly traversable. */
+  def hasUnprunedPartitionedScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+    val plan = df.queryExecution.executedPlan
+    val exposed = plan.collect {
+      case s: FileSourceScanExec
+          if s.relation.partitionSchema.nonEmpty && s.partitionFilters.isEmpty =>
+        val pcols = s.relation.partitionSchema.fieldNames.toSet
+        s.output.filter(a => pcols.contains(a.name))
+    }.flatten
+    exposed.nonEmpty && {
+      val ids = exposed.map(_.exprId).toSet
+      plan.collect { case f: FilterExec => f.condition.references }
+        .exists(_.exists(a => ids.contains(a.exprId)))
+    }
+  }
+
   /** True iff the optimized plan contains a Window with an EMPTY
     * partition spec whose input reaches a fact-table scan unreduced —
     * Spark plans that as a single-partition Exchange ("moving all data
@@ -168,6 +194,50 @@ class PlanLintSpec extends SparkSpecBase {
     val agg = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(W.orderBy(col("n"))))
     assert(!PlanLintSpec.hasGlobalWindowOverFact(agg))
+  }
+
+  test("no unpruned partitioned scan in any registered query's physical plan") {
+    // fourth cliff class: a query that builds/reads a partitioned
+    // layout (t15's IVF index, t18's delivery, k_partitioned_prune's
+    // dated release) and slices it must push the slice into the scan's
+    // partition filters — reading every partition and re-filtering is
+    // the read-the-release-for-one-day shape. AQE off so the executed
+    // plan is a plain traversable tree (same convention as the
+    // exchange-bytes spec).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val bad = PlanLintSpec.hasUnprunedPartitionedScan(fn(spark, sfDir))
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        if (bad) Some(name) else None
+      }
+      assert(offenders.isEmpty,
+        s"unpruned partitioned scan in: $offenders — the partition predicate must reach " +
+        "the FileScan's PartitionFilters (don't filter above a pushdown barrier)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("partition-prune detector fires when the predicate misses the scan (negative control)") {
+    import org.apache.spark.sql.functions._
+    val dir = ScratchDirs.dir("spec", "prunelint")
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", (col("doc_id") % 4).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/part_docs")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rd = spark.read.parquet(s"$dir/part_docs")
+      // a Limit is a pushdown barrier: the scan reads ALL buckets and the
+      // bucket predicate degrades to a row filter — the cliff shape
+      val bad = rd.limit(1000000).filter(col("bucket") === 2)
+      assert(PlanLintSpec.hasUnprunedPartitionedScan(bad),
+        "detector must flag a partition predicate stuck above a barrier")
+      // sanctioned: the same predicate reaching PartitionFilters
+      assert(!PlanLintSpec.hasUnprunedPartitionedScan(rd.filter(col("bucket") === 2)))
+      // sanctioned: a full-layout read with no partition predicate
+      assert(!PlanLintSpec.hasUnprunedPartitionedScan(
+        rd.groupBy(col("lang")).agg(count(lit(1)).as("n"))))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("no nested types (array/map/struct) in any registered query's result schema") {
