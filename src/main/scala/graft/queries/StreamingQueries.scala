@@ -966,7 +966,76 @@ object StreamingQueries {
       spark.read.parquet(delivery).select(col("doc_id")))
   }
 
+  /** T19 — streaming RELEASE capstone: [[CurationQueries.e2eShardRelease]]'s
+    * three stages (quality gate → keep-best dedup collapse → seeded
+    * shard delivery) composed in ONE streaming query — the streaming
+    * twin of the release job, proving the delivery path end-to-end
+    * under micro-batching. The corpus arrives as a 4-file feed; each
+    * micro-batch (1) drops sub-[[CurationQueries.ReleaseMinChars]]
+    * docs in-stream, (2) anti-joins the RELEASE-CUT dedup index — the
+    * static frame of cluster members that are not their cluster's
+    * keeper, exactly how a production release pins its dedup decisions
+    * to an index cut while documents keep streaming — and (3) assigns
+    * shards by the seeded-md5 projection and appends partition-locally
+    * (the t18 `foreachBatch` shape; a stream-static LEFT ANTI join
+    * keeps no watermark state, so the stream stays stateless).
+    * Finalize seals the shards: positions assigned over the
+    * accumulated delivery in (k, doc_id) order. Every per-doc decision
+    * is independent given the static index, so the streamed union over
+    * any micro-batch split equals the one-shot batch relation and t19
+    * shares `e2e_shard_release`'s DuckDB oracle VERBATIM; the
+    * exact-integer `order_digest` pins exactly-once delivery across
+    * the drain (guarded by committed-offset accounting like t15-t18). */
+  def t19StreamRelease(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.ScratchDirs.dir("stream", tag, "release")
+    rmrf(new java.io.File(base)) // fresh feed + delivery + checkpoint per run
+    val feed = s"$base/feed"; val delivery = s"$base/delivery"; val ckpt = s"$base/checkpoint"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    docs.repartition(4).write.mode("overwrite").parquet(feed)
+    val stream = StreamOps.fileFeed(spark, feed, docs, maxFilesPerTrigger = 1)
+    // release-cut dedup index (STATIC): members of a near-dup cluster
+    // that are not its quality-keeper — the drop list
+    val pairs = DedupQueries.exactPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val members = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val keepers = DedupQueries.dedupKeepBest(spark, dir)
+      .select(col("keep_doc").as("doc_id"))
+    val dropped = members.join(keepers, Seq("doc_id"), "left_anti")
+    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    drainCommitted(feed, ckpt, "t19_stream_release") {
+      stream
+        .filter(col("n_chars") >= CurationQueries.ReleaseMinChars)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"),
+          (ascii(substring(key, 1, 1)) % CurationQueries.NumShards)
+            .cast("long").as("shard_id"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          publishBatch(batch.toDF(), bid, delivery, partitionCols = Seq("shard_id"))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    // seal the shards: within-shard positions over the accumulated
+    // delivery, same permutation the batch capstone pins
+    val keyed = spark.read.parquet(delivery)
+      .select(col("doc_id"), col("n_chars"), key.as("k"),
+        (ascii(substring(key, 1, 1)) % CurationQueries.NumShards)
+          .cast("long").as("shard_id"))
+    val pos = row_number()
+      .over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id")))
+      .cast("long")
+    keyed.withColumn("pos", pos)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(col("pos") * col("doc_id")).as("order_digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_stream_release" -> (t19StreamRelease _),
     "t18_stream_shard_append" -> (t18StreamShardAppend _),
     "t17_stream_canonical_dedup" -> (t17StreamCanonicalDedup _),
     "t16_stream_containment" -> (t16StreamContainment _),
@@ -990,6 +1059,10 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // every per-doc release decision is independent given the static
+    // release-cut index, so the streamed capstone shares the batch
+    // capstone's replay verbatim
+    "t19_stream_release" -> CurationQueries.oracle("e2e_shard_release"),
     // shard/key assignment is per-doc independent, so the streamed
     // delivery shares the batch append replay verbatim
     "t18_stream_shard_append" -> CurationQueries.oracle("x_shard_incremental"),

@@ -25,6 +25,18 @@ class ScaleStreamSpec extends SparkSpecBase {
       "bloom-pruned result diverges from exact semi-join")
   }
 
+  test("t19 streaming release equals the batch capstone (batching invariance)") {
+    // quality gate + keep-best collapse + seeded delivery under
+    // micro-batching must reproduce e2e_shard_release EXACTLY — same
+    // shards, counts, char totals, and permutation digests
+    val streamed = StreamingQueries.t19StreamRelease(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.queries.CurationQueries.e2eShardRelease(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch,
+      s"streamed release diverged from the batch capstone:\n$streamed\nvs\n$batch")
+  }
+
   test("k_compaction collapses the file count and preserves content") {
     val df = ScaleQueries.kCompaction(spark, sfDir)
     val rows = df.collect()
