@@ -148,6 +148,15 @@ object Bench {
     // fit the ~3 KB tail window at ~800 B each)
     println(s"[info] $json")
     println(json)
+    // SPARK_GRAFT_BENCH_OUT=path additionally writes the metric line to a
+    // file — used to commit the steady-state artifact (BENCH_steady_rN
+    // .json, SPARK_GRAFT_REPEAT=3 last-run values) alongside the driver's
+    // single-run BENCH_rN.json, so first-run codegen/memo tails are
+    // separable from plan cost without re-adjudicating from prose
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }
