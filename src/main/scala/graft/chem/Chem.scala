@@ -545,8 +545,126 @@ object Chem {
       else a
     }, m.bonds, m.stereo, m.bondDirs)
 
+  /** Aromaticity perception on ISOLATED 5- and 6-membered rings: a
+    * Kekulé-form ring (alternating explicit single/double bonds) whose
+    * π count satisfies Hückel's 4n+2 becomes aromatic — atoms flagged,
+    * endocyclic bonds rewritten to order 4 — so `C1=CC=CC=C1` and
+    * `c1ccccc1` canonicalize identically (both Kekulé phases collapse,
+    * and a Kekulé phenol is no longer a tautomerKeto enol site). π
+    * accounting, per ring atom: an endocyclic double bond contributes
+    * 1; a carbon whose only double bond is exocyclic contributes 0
+    * (still sp2 — the pyranone shape); an uncharged N/O/S with only
+    * single bonds donates its lone pair (2) — a pyrrole-type N then
+    * keeps its pre-perception hydrogen EXPLICITLY (`[nH]`, whose count
+    * the aromatic valence recompute would otherwise lose; O and S need
+    * no fix because both paths recompute identically); an all-single
+    * carbon is sp3 and disqualifies the ring. Perception SCOPE,
+    * matching the kernel's documented minimalism (the reference trusts
+    * RDKit for all of this): FUSED ring systems are skipped entirely —
+    * per-ring Hückel counting is phase-dependent across a shared edge,
+    * so a partial perception would canonicalize the two Kekulé
+    * structures of naphthalene differently; skipping keeps every input
+    * exactly as written (aromatic-input fused systems still pass
+    * through on trusted flags, as before). Charged rings
+    * (cyclopentadienyl) are likewise out of scope. Tetrahedral marks
+    * on aromatized atoms and directional marks on aromatized bonds
+    * drop — neither can denote stereo on an aromatic system. */
+  def aromatize(m: Mol): Mol = {
+    val n = m.atoms.length
+    if (n < 5 || !m.bonds.exists(b => b._3 == 2)) return m // no Kekulé input
+    // candidate rings: the shortest cycle through each bond (BFS
+    // avoiding the bond itself), kept when its size is 5 or 6
+    val rings = mutable.LinkedHashMap[Set[Int], Vector[Int]]()
+    for ((u, v, _) <- m.bonds) {
+      val prev = Array.fill(n)(-2)
+      prev(u) = -1
+      val q = mutable.Queue(u)
+      var found = false
+      while (q.nonEmpty && !found) {
+        val a = q.dequeue()
+        for ((b, _) <- m.adj(a) if prev(b) == -2 && !(a == u && b == v)) {
+          prev(b) = a
+          if (b == v) found = true else q += b
+        }
+      }
+      if (found) {
+        var path = List(v)
+        while (prev(path.head) >= 0) path = prev(path.head) :: path
+        if (path.length == 5 || path.length == 6) {
+          val key = path.toSet
+          if (key.size == path.length) rings.getOrElseUpdate(key, path.toVector)
+        }
+      }
+    }
+    val ringList = rings.values.toVector
+    def edgesOf(cycle: Vector[Int]): Set[(Int, Int)] =
+      cycle.indices.map { k =>
+        val a = cycle(k); val b = cycle((k + 1) % cycle.length)
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    val ringEdges = ringList.map(edgesOf)
+    val aromAtoms = mutable.Set[Int]()
+    val aromBonds = mutable.Set[(Int, Int)]()
+    val hFix = mutable.Map[Int, Int]() // pyrrole-type N -> explicit H
+    for (k <- ringList.indices) {
+      val cycle = ringList(k)
+      val rs = cycle.toSet
+      val isolated = ringEdges.indices.forall(j =>
+        j == k || (ringEdges(k) & ringEdges(j)).isEmpty)
+      if (isolated && cycle.forall(a => !m.atoms(a).aromatic && m.atoms(a).charge == 0)) {
+        var pi = 0
+        var donors = 0
+        var ok = true
+        for (a <- cycle) {
+          val el = m.atoms(a).element
+          val endo = m.adj(a).exists { case (b, o) => o == 2 && rs(b) }
+          val anyMultiple = m.adj(a).exists(t => t._2 == 2 || t._2 == 3)
+          if (endo) pi += 1
+          else if (el == "C") { if (!anyMultiple) ok = false } // sp3
+          else if (el == "N" || el == "O" || el == "S") {
+            if (anyMultiple) ok = false else { pi += 2; donors += 1 } // lone pair
+          } else ok = false
+        }
+        // at most ONE lone-pair donor (furan/pyrrole/thiophene shape):
+        // a ring of all-single heteroatoms (pentazolidine) is sp3, not
+        // aromatic, even though naive counting lands on 4n+2
+        if (ok && donors <= 1 && pi % 4 == 2 && pi > 2) {
+          aromAtoms ++= cycle
+          aromBonds ++= ringEdges(k)
+          for (a <- cycle) {
+            val at = m.atoms(a)
+            // lone-pair N keeps its hydrogen count explicitly: the
+            // aromatic recompute (bondSum + 1) would report 0 where the
+            // Kekulé form implied 1 (plain pyrrole). O/S recompute the
+            // same value on both paths and stay implicit.
+            if (at.element == "N" && at.hExplicit < 0 &&
+                !m.adj(a).exists(t => t._2 == 2 || t._2 == 3)) {
+              val before = hydrogens(m, a)
+              val after = { // aromatic implicit recompute, analytically
+                val bondSum = m.degree(a) + 1
+                Valences(at.element).find(_ >= bondSum).map(_ - bondSum).getOrElse(0)
+              }
+              if (before != after) hFix(a) = before
+            }
+          }
+        }
+      }
+    }
+    if (aromAtoms.isEmpty) return m
+    Mol(
+      m.atoms.zipWithIndex.map { case (a, i) =>
+        if (!aromAtoms(i)) a
+        else a.copy(aromatic = true, hExplicit = hFix.getOrElse(i, a.hExplicit))
+      },
+      m.bonds.map { case (i, j, o) =>
+        if (aromBonds((math.min(i, j), math.max(i, j)))) (i, j, 4) else (i, j, o)
+      },
+      m.stereo -- aromAtoms,
+      m.bondDirs.filterNot { case (k2, _) => aromBonds(k2) })
+  }
+
   /** The full D2 normalization pipeline on a parsed graph. */
-  def normalize(m: Mol): Mol = tautomerKeto(cleanup(uncharge(largestFragment(m))))
+  def normalize(m: Mol): Mol = tautomerKeto(cleanup(aromatize(uncharge(largestFragment(m)))))
 
   /** Clear stereo marks that do not denote a real tetrahedral
     * stereocenter: the frame must hold exactly four DISTINCT entries
@@ -993,6 +1111,10 @@ object Chem {
   val IsoLabelMod = 4L
   val IsoMass13 = 13
   val IsoMass14 = 14
+  val AromRingMod = 4L // 0 benzene / 1 pyridine / 2 pyrrole / 3 thiophene
+  val AromSubMul = 3L
+  val AromSubMod = 5L
+  val AromSubLt = 2L
 
   /** Deterministic CHIRAL molecule family for the stereo extension —
     * one tetrahedral center bearing four distinct substituents
@@ -1072,6 +1194,58 @@ object Chem {
     * molecule from a scrambled DFS root exactly like [[fromSeed]];
     * [[canonical]] drops the label entirely (one flat form per
     * skeleton). */
+  /** Deterministic AROMATIC-RING molecule family for the perception
+    * extension ([[aromatize]]) — one isolated 5- or 6-ring, optionally
+    * methylated, every structural decision modular seed arithmetic the
+    * SQL oracle replays from the same named constants:
+    *
+    *   ring   = seed mod [[AromRingMod]]   0 benzene / 1 pyridine /
+    *                                       2 pyrrole / 3 thiophene
+    *   methyl = (seed*[[AromSubMul]] mod [[AromSubMod]]) < [[AromSubLt]]
+    *            (methyl on ring carbon 2)
+    *
+    * `variant` 0 renders the AROMATIC form (lowercase atoms, order-4
+    * bonds, pyrrole as `[nH]`); variants 1..2 render KEKULÉ forms —
+    * the two alternation phases for 6-rings, the one valid matching
+    * (doubles never touch the lone-pair heteroatom) re-rooted for
+    * 5-rings. Collapsing all three REQUIRES real perception: the
+    * Kekulé graphs share no bond order with the aromatic one. */
+  def aromFromSeed(seed: Long, variant: Int): String = {
+    val ring = math.floorMod(seed, AromRingMod).toInt
+    val methyl = math.floorMod(seed * AromSubMul, AromSubMod) < AromSubLt
+    val size = if (ring >= 2) 5 else 6
+    val aromatic = variant == 0
+
+    val atoms = mutable.ArrayBuffer[Atom]()
+    for (k <- 0 until size) {
+      val el = if (k == 0 && (ring == 1 || ring == 2)) "N"
+               else if (k == 0 && ring == 3) "S"
+               else "C"
+      // aromatic pyrrole N carries its H explicitly ([nH]); the Kekulé
+      // rendering leaves it valence-implicit (exactly what aromatize
+      // must reconstruct for the renderings to collapse)
+      val hx = if (aromatic && ring == 2 && k == 0) 1 else -1
+      atoms += Atom(el, aromatic = aromatic, 0, hx)
+    }
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    if (aromatic) for (k <- 0 until size) bonds += ((k, (k + 1) % size, 4))
+    else if (size == 6) {
+      val phase = if (variant == 2) 1 else 0
+      for (k <- 0 until 6) bonds += ((k, (k + 1) % 6, if (k % 2 == phase) 2 else 1))
+    } else {
+      for (k <- 0 until 5) bonds += ((k, (k + 1) % 5, if (k == 1 || k == 3) 2 else 1))
+    }
+    if (methyl) {
+      atoms += Atom("C", aromatic = false, 0, -1)
+      bonds += ((2, atoms.length - 1, 1))
+    }
+    val m = Mol(atoms.toVector, bonds.toVector)
+    val n = atoms.length
+    val start = math.floorMod(seed + 13L * variant, n.toLong).toInt
+    val scramble = math.floorMod(seed * 31 + variant * 7 + 1, 97).toInt
+    write(m, start, i => math.floorMod(i * scramble + variant, n))
+  }
+
   def isoFromSeed(seed: Long, variant: Int): String = {
     val tail = (1 + math.floorMod(seed, IsoTailMod)).toInt
     val hydroxyl = math.floorMod(seed * HydroxylMul, HydroxylMod) < HydroxylLt

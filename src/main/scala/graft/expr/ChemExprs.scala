@@ -25,6 +25,8 @@ object ChemKernels {
     UTF8String.fromString(Chem.ezFromSeed(seed, variant))
   def isoFromSeed(seed: Long, variant: Int): UTF8String =
     UTF8String.fromString(Chem.isoFromSeed(seed, variant))
+  def aromFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.aromFromSeed(seed, variant))
   def canonical(s: UTF8String): UTF8String =
     if (s == null) null else UTF8String.fromString(Chem.canonical(s.toString))
   def canonicalIso(s: UTF8String): UTF8String =
@@ -110,6 +112,25 @@ case class MolIsoFromSeed(left: Expression, right: Expression) extends BinaryExp
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MolIsoFromSeed =
     copy(l, r)
   override def prettyName: String = "mol_iso_from_seed"
+}
+
+/** Aromatic-ring twin of [[MolIsoFromSeed]] ([[Chem.aromFromSeed]]):
+  * renders a heteroaromatic ring family as one aromatic and two
+  * Kekulé forms, for the aromaticity-perception extension's
+  * generative oracle. */
+case class MolAromFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_arom_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.aromFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.aromFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolAromFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_arom_from_seed"
 }
 
 /** ISOMERIC canonical SMILES ([[Chem.canonicalIso]]) — the
@@ -212,6 +233,8 @@ object chemfunctions {
     col(MolEzFromSeed(expr(seed), expr(variant)))
   def mol_iso_from_seed(seed: Column, variant: Column): Column =
     col(MolIsoFromSeed(expr(seed), expr(variant)))
+  def mol_arom_from_seed(seed: Column, variant: Column): Column =
+    col(MolAromFromSeed(expr(seed), expr(variant)))
   def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
   def canonical_smiles_iso(c: Column): Column = col(CanonicalSmilesIso(expr(c)))
   def morgan_fp(c: Column): Column = col(MorganFingerprint(expr(c)))

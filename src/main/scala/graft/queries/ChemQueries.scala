@@ -181,6 +181,28 @@ object ChemQueries {
         countDistinct(col("flat")).as("n_flat_forms"))
       .select(col("cluster_rep"), col("n_mols"), col("n_renderings"), col("n_flat_forms"))
 
+  /** D11 (extension) — AROMATICITY-PERCEIVING canonical dedup over
+    * [[graft.chem.Chem.aromFromSeed]]'s heteroaromatic family. Each
+    * seed renders ONE ring system three ways: the aromatic lowercase
+    * form and two Kekulé forms (alternation phases for 6-rings) —
+    * graphs with genuinely DIFFERENT bond orders, so collapsing them
+    * requires [[graft.chem.Chem.aromatize]]'s Hückel perception, not
+    * string tricks. Clusters = one per (ring type, methyl) lattice
+    * cell; the oracle replays that arithmetic from the generator's own
+    * named constants, the d2/d8/d9/d10 verification design. */
+  def d11AromaticCanonical(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), mol_arom_from_seed(col("seed"), col("variant")).as("smiles"))
+      .select(col("seed"), canonical_smiles(col("smiles")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(
+        min(col("seed")).as("cluster_rep"),
+        countDistinct(col("seed")).as("n_mols"),
+        count(lit(1)).as("n_renderings"))
+      .select(col("cluster_rep"), col("n_mols"), col("n_renderings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d2_smiles_canonical" -> (d2SmilesCanonical _),
     "d3_morgan_fp"        -> (d3MorganFp _),
@@ -188,6 +210,7 @@ object ChemQueries {
     "d8_stereo_canonical" -> (d8StereoCanonical _),
     "d9_ez_canonical"     -> (d9EzCanonical _),
     "d10_isotope_canonical" -> (d10IsotopeCanonical _),
+    "d11_aromatic_canonical" -> (d11AromaticCanonical _),
   )
 
   // The shared hydroxyl predicate of the d8/d9/d10 lattices, built
@@ -258,5 +281,14 @@ object ChemQueries {
         "count(*) AS n_mols, count(*) * 3 AS n_renderings, " +
         "CAST(1 AS BIGINT) AS n_flat_forms " +
         "FROM ip GROUP BY tail, hydroxyl, label"),
+    // the aromatic lattice (Chem.aromFromSeed): one cluster per
+    // (ring type, methyl) — no symmetry collapses (the four ring
+    // systems and their methylated forms are pairwise distinct)
+    "d11_aromatic_canonical" ->
+      (s"WITH ar AS (SELECT p_partkey, p_partkey % ${Chem.AromRingMod} AS ring, " +
+        s"((p_partkey * ${Chem.AromSubMul}) % ${Chem.AromSubMod} < ${Chem.AromSubLt}) AS methyl FROM part) " +
+        "SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
+        "count(*) AS n_mols, count(*) * 3 AS n_renderings " +
+        "FROM ar GROUP BY ring, methyl"),
   )
 }

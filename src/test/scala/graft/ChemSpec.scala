@@ -286,6 +286,65 @@ class ChemSpec extends SparkSpecBase {
     assert(Chem.canonicalIso("C[C@H](F)C") == Chem.canonicalIso("C[C@@H](F)C"))
   }
 
+  test("aromaticity perception: Kekulé and aromatic forms collapse") {
+    // benzene, both Kekulé alternation phases
+    assert(Chem.canonical("C1=CC=CC=C1") == Chem.canonical("c1ccccc1"))
+    // toluene, both Kekulé alternation phases
+    assert(Chem.canonical("CC1=CC=CC=C1") == Chem.canonical("Cc1ccccc1"))
+    assert(Chem.canonical("CC1C=CC=CC=1") == Chem.canonical("Cc1ccccc1"))
+    // heteroaromatics: pyridine, pyrrole (regains [nH]), thiophene, furan
+    assert(Chem.canonical("N1=CC=CC=C1") == Chem.canonical("c1ccncc1"))
+    assert(Chem.canonical("N1C=CC=C1") == Chem.canonical("c1cc[nH]c1"))
+    assert(Chem.canonical("N1C=CC=C1").contains("[nH]"))
+    assert(Chem.canonical("S1C=CC=C1") == Chem.canonical("c1ccsc1"))
+    assert(Chem.canonical("O1C=CC=C1") == Chem.canonical("c1ccoc1"))
+    // Kekulé phenol is an AROMATIC ring, not an enol tautomer site
+    assert(Chem.canonical("OC1=CC=CC=C1") == Chem.canonical("Oc1ccccc1"))
+    // substituent double bonds stay: styrene's vinyl is untouched
+    assert(Chem.canonical("C=CC1=CC=CC=C1") == Chem.canonical("C=Cc1ccccc1"))
+  }
+
+  test("aromaticity perception: Hückel/sp3/scope negatives stay Kekulé") {
+    val benzene = Chem.canonical("c1ccccc1")
+    // sp3-interrupted ring (cyclohexa-1,3-diene) and saturated rings
+    assert(Chem.canonical("C1=CC=CCC1") != benzene)
+    assert(Chem.canonical("C1=CC=CCC1").contains("="))
+    assert(Chem.canonical("C1CCCCC1") == Chem.canonical("C1CCCCC1"))
+    assert(!Chem.canonical("C1CCCCC1").exists(_.isLower))
+    // 4n ring (cyclobutadiene, size-4 — out of candidate sizes anyway)
+    assert(Chem.canonical("C1=CC=C1").contains("="))
+    // saturated N ring (pentazolidine): five lone pairs are NOT a π system
+    assert(!Chem.canonical("N1NNNN1").exists(_.isLower))
+    // fused systems are out of perception scope (documented): Kekulé
+    // naphthalene stays Kekulé; aromatic-INPUT naphthalene still works
+    // on trusted flags, and biphenyl's ISOLATED rings both perceive
+    assert(Chem.canonical("C1=CC=C2C=CC=CC2=C1") != Chem.canonical("c1ccc2ccccc2c1"))
+    assert(Chem.canonical("C1=CC=CC=C1C1=CC=CC=C1") == Chem.canonical("c1ccccc1-c1ccccc1"))
+  }
+
+  test("arom generator: renderings collapse per cell, cells stay apart, oracle contract holds") {
+    // one full lattice span: moduli 4 (ring) x 5 (methyl)
+    val cells = (1L to 20L).map(s => (math.floorMod(s, Chem.AromRingMod),
+      math.floorMod(s * Chem.AromSubMul, Chem.AromSubMod) < Chem.AromSubLt))
+    val canons = (1L to 20L).map { seed =>
+      val v = (0 to 2).map(Chem.aromFromSeed(seed, _))
+      val c = v.map(Chem.canonical)
+      assert(c.distinct.size == 1, s"seed $seed renderings split: $v -> $c")
+      assert(c.head.exists(_.isLower), s"seed $seed did not aromatize: ${c.head}")
+      c.head
+    }
+    // same cell -> same canonical; distinct cells -> distinct canonical
+    canons.zip(cells).groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._1).distinct.size == 1, s"cell split: $g")
+    }
+    assert(canons.distinct.size == cells.distinct.size)
+    // the registered query's oracle contract at the smoke SF
+    import queries.ChemQueries
+    val out = ChemQueries.d11AromaticCanonical(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n_renderings") == 3 * r.getAs[Long]("n_mols")))
+  }
+
   test("conflicting ring-closure bond directions are rejected, consistent ones parse") {
     intercept[IllegalArgumentException](Chem.parse("C/1=CC/1"))
     Chem.parse("C/1=CC\\1") // opener/closer marks describe the same side: fine
