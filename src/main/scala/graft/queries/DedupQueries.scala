@@ -833,7 +833,81 @@ object DedupQueries {
     // `pairs`/`ed` stay persisted until the consumer drains the result
   }
 
+  /** Gram width of [[dedupExactSubstring]] — the minimum repeat length
+    * (in tokens) the span dedup detects, shared verbatim with the SQL
+    * oracle. Lee et al. use 50 BPE tokens at web scale; 8 fits the
+    * harness corpus (avg ~50 tokens/doc) while exercising the same
+    * plan. */
+  val SubstrK = 8
+
+  /** Exact-substring span dedup — the ExactSubstr shape of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (ACL
+    * 2022: suffix-array repeats ≥50 tokens), re-expressed at fixed
+    * [[SubstrK]]-token gram granularity so it DISTRIBUTES: a repeat of
+    * length L ≥ K tokens is covered exactly by its L-K+1 duplicated
+    * K-grams, so the union of duplicated-gram positions, merged per
+    * doc, IS the set of ≥K-token repeated substrings — no suffix array
+    * needed. Every gram occurring ≥2 times in the corpus (across OR
+    * within docs) marks its positions except the single globally-first
+    * occurrence (min (doc_id, pos), the kept copy — Lee et al.'s
+    * keep-one semantics). Three compact shuffles: (1) groupBy the
+    * 60-bit poly61 gram hash — 8-byte keys, the ta_paragraph_dedup
+    * trade (no gram text crosses an exchange; collisions ~n²/2⁶¹,
+    * same documented widening path); (2) occurrences hash-join back to
+    * the SURVIVING grams only — the candidate set shrinks to the
+    * duplicate volume before any window runs; (3) a doc_id-PARTITIONED
+    * gaps-and-islands window merges positions into maximal spans (one
+    * doc's marked positions per partition, never a global sort).
+    * Output: per-doc span count, duplicated-token count and fraction —
+    * the Lee et al. removal accounting. */
+  def dedupExactSubstring(spark: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The span algebra of [[dedupExactSubstring]] over any
+    * (doc_id, text) frame — split out so the spec can pin the keeper /
+    * merge semantics on a hand corpus. */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    import graft.expr.hashfunctions.word_gram_poly61
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // one occurrence row per gram position: (doc_id, pos, 60-bit hash)
+    val occ = toks
+      .filter(size(col("ws")) >= SubstrK)
+      .select(col("doc_id"),
+        posexplode(word_gram_poly61(col("ws"), SubstrK)).as(Seq("pos", "h")))
+    // keeper = lexicographic min (doc_id, pos), packed into one long
+    // (pos < 2^32 per doc) so the agg ships a single 8-byte value
+    val packed = col("doc_id") * lit(4294967296L) + col("pos")
+    val dupGrams = occ
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(packed).as("keeper"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("keeper"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = occ.join(dupGrams, "h")
+      .filter(packed =!= col("keeper"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("pmax", max(col("pos") + lit(SubstrK))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("pmax").isNull || col("pos") > col("pmax"), 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + lit(SubstrK)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("total_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        col("total_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("total_tokens"), 3)
+          .as("dup_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_substring" -> (dedupExactSubstring _),
     "graph_triangles"      -> (graphTriangles _),
     "graph_kcore"          -> (graphKcore _),
     "dedup_containment"    -> (dedupContainment _),
@@ -993,7 +1067,41 @@ object DedupQueries {
      "SELECT (SELECT count(*) FROM wed JOIN ed e3 ON wed.u = e3.u AND wed.w = e3.v)::BIGINT AS n_triangles, " +
      "(SELECT count(*) FROM pairs)::BIGINT AS n_edges")
 
+  /** DuckDB twin of [[dedupExactSubstring]]: identical occurrence /
+    * keeper / gaps-and-islands algebra on the gram STRINGS (the oracle
+    * needs no poly61 — only the per-doc aggregates are compared, and
+    * string-grouping equals hash-grouping absent 60-bit collisions).
+    * Positions are 1-based here vs 0-based in Spark; every compared
+    * quantity (span lengths, counts, the occurrence≠keeper test) is
+    * invariant under the constant shift. */
+  private val substrSql = {
+    val k = SubstrK
+    val gramExpr = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+    s"g AS (SELECT doc_id, len(ws) AS total_tokens, CASE WHEN len(ws) >= $k THEN " +
+    s"list_transform(generate_series(1, len(ws)-${k - 1}), i -> $gramExpr) " +
+    "ELSE [] END AS grams FROM t), " +
+    "o1 AS (SELECT doc_id, grams, unnest(generate_series(1, len(grams))) AS pos FROM g), " +
+    "occ AS (SELECT doc_id, pos, grams[pos] AS gram FROM o1), " +
+    "dup AS (SELECT gram, min(doc_id*4294967296+pos) AS keeper FROM occ " +
+    "GROUP BY gram HAVING count(*) >= 2), " +
+    "mk AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (gram) " +
+    "WHERE o.doc_id*4294967296+o.pos <> d.keeper), " +
+    s"m2 AS (SELECT doc_id, pos, max(pos+$k) OVER (PARTITION BY doc_id ORDER BY pos " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM mk), " +
+    "m3 AS (SELECT doc_id, pos, CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS ni FROM m2), " +
+    "m4 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m3), " +
+    s"sp AS (SELECT doc_id, island, min(pos) AS s, max(pos+$k) AS e FROM m4 GROUP BY doc_id, island), " +
+    "ag AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e-s) AS dup_tokens FROM sp GROUP BY doc_id) " +
+    "SELECT g.doc_id, CAST(coalesce(ag.n_dup_spans, 0) AS BIGINT) AS n_dup_spans, " +
+    "CAST(coalesce(ag.dup_tokens, 0) AS BIGINT) AS dup_tokens, " +
+    "CAST(g.total_tokens AS BIGINT) AS total_tokens, " +
+    "round(coalesce(ag.dup_tokens, 0)::DOUBLE / g.total_tokens, 3) AS dup_frac " +
+    "FROM g LEFT JOIN ag USING (doc_id)"
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_exact_substring" -> substrSql,
     "graph_triangles" -> trianglesSql,
     "graph_kcore" -> kcoreSql,
     "dedup_containment" ->

@@ -17,6 +17,28 @@ class DedupQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("exact-substring spans: keeper-first and merge semantics on a hand corpus") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"w$i").mkString(" ") // a 10-token run (K=8)
+    val docs = Seq(
+      (1L, run + " alpha beta gamma"),             // first occurrence -> kept, 0 marked
+      (2L, "x y z " + run),                        // copies the run -> ONE merged 10-token span
+      (3L, "p q r s t u v w unique tokens here"),  // no duplicated gram
+      (4L, "a b c d e f g h a b c d e f g h")      // within-doc repeat: 2nd 8-gram marked
+    ).toDF("doc_id", "text")
+    val out = DedupQueries.substringSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((0L, 0L, 13L)), s"keeper doc marked: ${out(1L)}")
+    // 3 duplicated grams (positions 3,4,5) merge into [3,13): 10 tokens, 1 span
+    assert(out(2L) == ((1L, 10L, 13L)), s"span merge wrong: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 11L)))
+    assert(out(4L) == ((1L, 8L, 16L)), s"within-doc keep-one wrong: ${out(4L)}")
+    // removal accounting: dup_frac is dup_tokens/total_tokens rounded
+    val frac = DedupQueries.substringSpans(docs)
+      .filter(col("doc_id") === 2L).select("dup_frac").collect().head.getDouble(0)
+    assert(frac == math.round(10.0 / 13.0 * 1000) / 1000.0)
+  }
+
   test("exact dedup partitions the corpus (group sizes sum to N)") {
     val df = DedupQueries.dedupExact(spark, sfDir)
     val total = df.agg(sum("n_copies")).collect().head.getLong(0)
