@@ -1024,7 +1024,11 @@ object Chem {
   def hasSubstructure(target: String, pattern: String): Boolean =
     if (target == null || pattern == null) false
     else subMemo.get(target + "\u0000" + pattern)(
-      try substructureGraph(normalize(parse(target)), parse(pattern))
+      // the pattern is a FRAGMENT, so it skips the molecule-level
+      // normalization (largestFragment/uncharge/tautomer) — but it IS
+      // aromatized, so a Kekulé-drawn ring pattern matches the
+      // aromatized form the target normalization now produces
+      try substructureGraph(normalize(parse(target)), aromatize(parse(pattern)))
       catch { case _: IllegalArgumentException => java.lang.Boolean.FALSE }).booleanValue()
 
   // ----------------------------------------------------------- generator

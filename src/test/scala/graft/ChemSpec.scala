@@ -302,6 +302,11 @@ class ChemSpec extends SparkSpecBase {
     assert(Chem.canonical("OC1=CC=CC=C1") == Chem.canonical("Oc1ccccc1"))
     // substituent double bonds stay: styrene's vinyl is untouched
     assert(Chem.canonical("C=CC1=CC=CC=C1") == Chem.canonical("C=Cc1ccccc1"))
+    // substructure matching perceives BOTH sides: a Kekulé-drawn ring
+    // pattern finds an aromatic target and vice versa
+    assert(Chem.hasSubstructure("Cc1ccccc1", "C1=CC=CC=C1"))
+    assert(Chem.hasSubstructure("CC1=CC=CC=C1", "c1ccccc1"))
+    assert(!Chem.hasSubstructure("CC1CCCCC1", "C1=CC=CC=C1"))
   }
 
   test("aromaticity perception: Hückel/sp3/scope negatives stay Kekulé") {
