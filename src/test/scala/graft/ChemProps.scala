@@ -203,6 +203,17 @@ object ChemProps extends Properties("chem") {
           Chem.canonicalIso(iso1) == iso1
     }
 
+  /** Aromaticity perception: any seed/variant/rendering of the
+    * generator lattice canonicalizes to ONE aromatic form per cell,
+    * perception is idempotent (a second normalize is a no-op), and the
+    * canonical output is a fixpoint. */
+  property("aromatize: renderings collapse, perception idempotent, canonical fixpoint") =
+    forAll(Gen.choose(1L, 10000L), Gen.choose(0, 2), Gen.choose(0, 2)) { (seed, v1, v2) =>
+      val a = Chem.canonical(Chem.aromFromSeed(seed, v1))
+      val b = Chem.canonical(Chem.aromFromSeed(seed, v2))
+      a == b && a.exists(_.isLower) && Chem.canonical(a) == a
+    }
+
   property("kernels never throw on arbitrary input strings") = {
     val smilesAlphabet = Gen.oneOf("CNOSPcnos()[]@Hh+-=#/\\123456789%.FIBrl".toSeq)
     val garbage = Gen.oneOf(
