@@ -39,6 +39,28 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(frac == math.round(10.0 / 13.0 * 1000) / 1000.0)
   }
 
+  test("exact-substring dedup: no string column crosses a query exchange (compact-key claim)") {
+    import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec}
+    // AQE off so the executed plan is a plain traversable tree; only
+    // ENSURE_REQUIREMENTS exchanges count (the fact loader's
+    // REPARTITION_BY_NUM is shared layout, and it is the ONE place the
+    // raw text legitimately moves) — same convention as the paragraph
+    // dedup exchange spec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = DedupQueries.dedupExactSubstring(spark, sfDir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.shuffleOrigin == ENSURE_REQUIREMENTS => e
+      }
+      assert(exchanges.nonEmpty, "expected query exchanges in the plan")
+      val strings = exchanges.flatMap(e =>
+        e.child.output.filter(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(a => s"${a.name} via ${e.outputPartitioning}"))
+      assert(strings.isEmpty,
+        s"gram/document text crossed a dedup-decision exchange: ${strings.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("exact dedup partitions the corpus (group sizes sum to N)") {
     val df = DedupQueries.dedupExact(spark, sfDir)
     val total = df.agg(sum("n_copies")).collect().head.getLong(0)
