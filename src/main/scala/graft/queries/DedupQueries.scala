@@ -863,19 +863,36 @@ object DedupQueries {
   def dedupExactSubstring(spark: SparkSession, dir: String): DataFrame =
     substringSpans(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  /** The span algebra of [[dedupExactSubstring]] over any
-    * (doc_id, text) frame — split out so the spec can pin the keeper /
-    * merge semantics on a hand corpus. */
-  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+  /** Tokenized (doc_id, ws) view shared by the substring-dedup family. */
+  private def substrToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+
+  /** One occurrence row per gram position: (doc_id, pos, 60-bit hash). */
+  private def substrOcc(toks: DataFrame): DataFrame = {
     import graft.expr.hashfunctions.word_gram_poly61
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    // one occurrence row per gram position: (doc_id, pos, 60-bit hash)
-    val occ = toks
-      .filter(size(col("ws")) >= SubstrK)
+    toks.filter(size(col("ws")) >= SubstrK)
       .select(col("doc_id"),
         posexplode(word_gram_poly61(col("ws"), SubstrK)).as(Seq("pos", "h")))
+  }
+
+  /** Gaps-and-islands merge of marked gram-start positions
+    * (doc_id, pos) into maximal token spans (doc_id, s, e) — the
+    * doc_id-partitioned window stage every family member shares. */
+  private def mergeSpans(marked: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("pmax", max(col("pos") + lit(SubstrK))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("pmax").isNull || col("pos") > col("pmax"), 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + lit(SubstrK)).as("e"))
+  }
+
+  /** Marked positions of [[dedupExactSubstring]]: every duplicated-gram
+    * occurrence except the globally-first one. */
+  private def substrMarked(occ: DataFrame): DataFrame = {
     // keeper = lexicographic min (doc_id, pos), packed into one long
     // (pos < 2^32 per doc) so the agg ships a single 8-byte value
     val packed = col("doc_id") * lit(4294967296L) + col("pos")
@@ -884,20 +901,19 @@ object DedupQueries {
       .agg(count(lit(1)).as("cnt"), min(packed).as("keeper"))
       .filter(col("cnt") >= 2)
       .select(col("h"), col("keeper"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = occ.join(dupGrams, "h")
+    occ.join(dupGrams, "h")
       .filter(packed =!= col("keeper"))
       .select(col("doc_id"), col("pos"))
-      .withColumn("pmax", max(col("pos") + lit(SubstrK))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("ni", when(col("pmax").isNull || col("pos") > col("pmax"), 1).otherwise(0))
-      .withColumn("island", sum(col("ni")).over(w))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("s"), max(col("pos") + lit(SubstrK)).as("e"))
+  }
+
+  /** Per-doc removal accounting over the merged spans — all docs
+    * appear, span-free ones with zeros. */
+  private def substrAccounting(toks: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
     toks.select(col("doc_id"), size(col("ws")).cast("long").as("total_tokens"))
-      .join(spans, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
@@ -906,8 +922,73 @@ object DedupQueries {
           .as("dup_frac"))
   }
 
+  /** The span algebra of [[dedupExactSubstring]] over any
+    * (doc_id, text) frame — split out so the spec can pin the keeper /
+    * merge semantics on a hand corpus. */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    val toks = substrToks(docs)
+    substrAccounting(toks, mergeSpans(substrMarked(substrOcc(toks))))
+  }
+
+  /** The REMOVAL twin of [[dedupExactSubstring]]: reconstruct each
+    * document with its duplicated spans cut out (what Lee et al.'s
+    * tool actually writes back). Spans explode to covered token
+    * indexes, kept tokens survive an anti-join on (doc_id, idx), and
+    * the doc rebuilds with an order-preserving sorted-struct
+    * collect_list — the ta_paragraph_dedup reconstruction shape; this
+    * is the ONE stage where text crosses an exchange (the rebuild
+    * groupBy), exactly like the paragraph dedup's doc_id rebuild. A
+    * fully-duplicated document survives as an empty string, not a
+    * dropped row. */
+  private[graft] def substringClean(docs: DataFrame): DataFrame = {
+    val toks = substrToks(docs)
+    val spans = mergeSpans(substrMarked(substrOcc(toks)))
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("s"), col("e") - 1)).as("idx"))
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "tok")))
+      .join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept_tokens"))
+    toks.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
+  def dedupExactSubstringClean(spark: SparkSession, dir: String): DataFrame =
+    substringClean(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** Incremental twin: mark DELTA documents (odd doc_ids, the
+    * [[dedupIncremental]] convention) against the INDEX (even
+    * doc_ids) only — a delta gram is duplicated iff the index already
+    * contains it (the index copy is the keeper by construction, so
+    * every delta occurrence marks). Within-delta repeats are NOT
+    * marked here — they are the next batch compaction's job, the same
+    * split [[dedupContainmentIncremental]] documents. One distinct on
+    * the index gram hashes + one semi-join: delta×index work only, no
+    * index re-scan per epoch beyond the gram projection. */
+  private[graft] def substringIncremental(docs: DataFrame): DataFrame = {
+    val delta = substrToks(docs.filter(col("doc_id") % 2 =!= 0))
+    val indexGrams = substrOcc(substrToks(docs.filter(col("doc_id") % 2 === 0)))
+      .select(col("h")).distinct()
+    val marked = substrOcc(delta)
+      .join(indexGrams, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    substrAccounting(delta, mergeSpans(marked))
+  }
+
+  def dedupSubstringIncremental(spark: SparkSession, dir: String): DataFrame =
+    substringIncremental(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_substring" -> (dedupExactSubstring _),
+    "dedup_substring_clean" -> (dedupExactSubstringClean _),
+    "dedup_substring_incremental" -> (dedupSubstringIncremental _),
     "graph_triangles"      -> (graphTriangles _),
     "graph_kcore"          -> (graphKcore _),
     "dedup_containment"    -> (dedupContainment _),
@@ -1074,7 +1155,10 @@ object DedupQueries {
     * Positions are 1-based here vs 0-based in Spark; every compared
     * quantity (span lengths, counts, the occurrence≠keeper test) is
     * invariant under the constant shift. */
-  private val substrSql = {
+  /** Tokenize + gram CTEs shared by the three substring-dedup oracles
+    * (t: tokens, g: grams + totals, o1/occ: 1-based positioned
+    * occurrences). */
+  private val substrOccCtes = {
     val k = SubstrK
     val gramExpr = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
     s"WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
@@ -1082,26 +1166,65 @@ object DedupQueries {
     s"list_transform(generate_series(1, len(ws)-${k - 1}), i -> $gramExpr) " +
     "ELSE [] END AS grams FROM t), " +
     "o1 AS (SELECT doc_id, grams, unnest(generate_series(1, len(grams))) AS pos FROM g), " +
-    "occ AS (SELECT doc_id, pos, grams[pos] AS gram FROM o1), " +
-    "dup AS (SELECT gram, min(doc_id*4294967296+pos) AS keeper FROM occ " +
-    "GROUP BY gram HAVING count(*) >= 2), " +
-    "mk AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (gram) " +
-    "WHERE o.doc_id*4294967296+o.pos <> d.keeper), " +
+    "occ AS (SELECT doc_id, pos, grams[pos] AS gram FROM o1)"
+  }
+
+  /** Gaps-and-islands merge CTEs (mk -> sp), shared by the oracles. */
+  private val substrSpanCtes = {
+    val k = SubstrK
     s"m2 AS (SELECT doc_id, pos, max(pos+$k) OVER (PARTITION BY doc_id ORDER BY pos " +
     "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM mk), " +
     "m3 AS (SELECT doc_id, pos, CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS ni FROM m2), " +
     "m4 AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m3), " +
-    s"sp AS (SELECT doc_id, island, min(pos) AS s, max(pos+$k) AS e FROM m4 GROUP BY doc_id, island), " +
+    s"sp AS (SELECT doc_id, island, min(pos) AS s, max(pos+$k) AS e FROM m4 GROUP BY doc_id, island)"
+  }
+
+  /** Full-corpus keeper marking (dup -> mk). */
+  private val substrMarkCtes =
+    "dup AS (SELECT gram, min(doc_id*4294967296+pos) AS keeper FROM occ " +
+    "GROUP BY gram HAVING count(*) >= 2), " +
+    "mk AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (gram) " +
+    "WHERE o.doc_id*4294967296+o.pos <> d.keeper)"
+
+  private def substrAccountingSql(docFilter: String) =
     "ag AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e-s) AS dup_tokens FROM sp GROUP BY doc_id) " +
     "SELECT g.doc_id, CAST(coalesce(ag.n_dup_spans, 0) AS BIGINT) AS n_dup_spans, " +
     "CAST(coalesce(ag.dup_tokens, 0) AS BIGINT) AS dup_tokens, " +
     "CAST(g.total_tokens AS BIGINT) AS total_tokens, " +
     "round(coalesce(ag.dup_tokens, 0)::DOUBLE / g.total_tokens, 3) AS dup_frac " +
-    "FROM g LEFT JOIN ag USING (doc_id)"
-  }
+    s"FROM g LEFT JOIN ag USING (doc_id)$docFilter"
+
+  private val substrSql =
+    s"$substrOccCtes, $substrMarkCtes, $substrSpanCtes, " + substrAccountingSql("")
+
+  /** DuckDB twin of [[substringClean]]: covered token indexes from the
+    * spans, kept tokens rebuilt with an ORDER BY string_agg. */
+  private val substrCleanSql =
+    s"$substrOccCtes, $substrMarkCtes, $substrSpanCtes, " +
+    "covered AS (SELECT doc_id, unnest(generate_series(s, e-1)) AS idx FROM sp), " +
+    "tk1 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS idx FROM t), " +
+    "tk AS (SELECT doc_id, idx, ws[idx] AS tok FROM tk1), " +
+    "keptt AS (SELECT tk.doc_id, tk.idx, tk.tok FROM tk LEFT JOIN covered c " +
+    "ON tk.doc_id = c.doc_id AND tk.idx = c.idx WHERE c.idx IS NULL), " +
+    "kept AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text, " +
+    "count(*) AS n_kept_tokens FROM keptt GROUP BY doc_id) " +
+    "SELECT t.doc_id, coalesce(kept.clean_text, '') AS clean_text, " +
+    "CAST(coalesce(kept.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens " +
+    "FROM t LEFT JOIN kept USING (doc_id)"
+
+  /** DuckDB twin of [[substringIncremental]]: delta occurrences marked
+    * by membership in the even-doc index gram set. */
+  private val substrIncrementalSql =
+    s"$substrOccCtes, " +
+    "ig AS (SELECT DISTINCT gram FROM occ WHERE doc_id % 2 = 0), " +
+    "mk AS (SELECT doc_id, pos FROM occ WHERE doc_id % 2 <> 0 " +
+    "AND gram IN (SELECT gram FROM ig)), " +
+    s"$substrSpanCtes, " + substrAccountingSql(" WHERE g.doc_id % 2 <> 0")
 
   val oracle: Map[String, String] = Map(
     "dedup_exact_substring" -> substrSql,
+    "dedup_substring_clean" -> substrCleanSql,
+    "dedup_substring_incremental" -> substrIncrementalSql,
     "graph_triangles" -> trianglesSql,
     "graph_kcore" -> kcoreSql,
     "dedup_containment" ->

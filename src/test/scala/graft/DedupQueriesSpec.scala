@@ -37,6 +37,22 @@ class DedupQueriesSpec extends SparkSpecBase {
     val frac = DedupQueries.substringSpans(docs)
       .filter(col("doc_id") === 2L).select("dup_frac").collect().head.getDouble(0)
     assert(frac == math.round(10.0 / 13.0 * 1000) / 1000.0)
+
+    // the removal twin cuts exactly the spans, order-preserving
+    val clean = DedupQueries.substringClean(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(clean(1L) == ((run + " alpha beta gamma", 13L)), "keeper doc must be untouched")
+    assert(clean(2L) == (("x y z", 3L)), s"span not cut: ${clean(2L)}")
+    assert(clean(4L) == (("a b c d e f g h", 8L)))
+
+    // the incremental twin marks DELTA (odd) against the INDEX (even)
+    // only: doc1's run exists in index doc2, so the roles flip — the
+    // index copy is the keeper and doc1's occurrence marks
+    val inc = DedupQueries.substringIncremental(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(inc.keySet == Set(1L, 3L), "incremental must report delta docs only")
+    assert(inc(1L) == ((1L, 10L, 13L)), s"index-backed span missed: ${inc(1L)}")
+    assert(inc(3L) == ((0L, 0L, 11L)))
   }
 
   test("exact-substring dedup: no string column crosses a query exchange (compact-key claim)") {
