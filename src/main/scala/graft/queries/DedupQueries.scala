@@ -972,15 +972,29 @@ object DedupQueries {
     * split [[dedupContainmentIncremental]] documents. One distinct on
     * the index gram hashes + one semi-join: delta×index work only, no
     * index re-scan per epoch beyond the gram projection. */
-  private[graft] def substringIncremental(docs: DataFrame): DataFrame = {
-    val delta = substrToks(docs.filter(col("doc_id") % 2 =!= 0))
-    val indexGrams = substrOcc(substrToks(docs.filter(col("doc_id") % 2 === 0)))
-      .select(col("h")).distinct()
+  /** The stored-index artifact: distinct gram hashes of the index
+    * corpus — 8 bytes per distinct gram, the whole thing a production
+    * pipeline persists between epochs. */
+  private[graft] def substrIndexGrams(index: DataFrame): DataFrame =
+    substrOcc(substrToks(index)).select(col("h")).distinct()
+
+  /** Mark one delta frame against a prepared index gram set — shared
+    * by the batch incremental query and its streaming twin (t20),
+    * whose batching-invariance rests on this being a pure per-doc
+    * function of (doc, indexGrams). */
+  private[graft] def substringIncrementalOfDelta(
+      deltaDocs: DataFrame, indexGrams: DataFrame): DataFrame = {
+    val delta = substrToks(deltaDocs)
     val marked = substrOcc(delta)
       .join(indexGrams, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"))
     substrAccounting(delta, mergeSpans(marked))
   }
+
+  private[graft] def substringIncremental(docs: DataFrame): DataFrame =
+    substringIncrementalOfDelta(
+      docs.filter(col("doc_id") % 2 =!= 0),
+      substrIndexGrams(docs.filter(col("doc_id") % 2 === 0)))
 
   def dedupSubstringIncremental(spark: SparkSession, dir: String): DataFrame =
     substringIncremental(Tables.documents(spark, dir).select(col("doc_id"), col("text")))

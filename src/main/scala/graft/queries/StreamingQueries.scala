@@ -1034,7 +1034,56 @@ object StreamingQueries {
         sum(col("pos") * col("doc_id")).as("order_digest"))
   }
 
+  /** T20 — streaming exact-substring dedup against a stored gram
+    * index: the streaming twin of
+    * [[DedupQueries.dedupSubstringIncremental]] and the
+    * text-granularity partner of t16 (t16 asks "is this doc an excerpt
+    * of the corpus?" at the document level; t20 marks WHICH ≥K-token
+    * spans of each arriving doc the corpus already contains). The
+    * STORED side is exactly the artifact a production pipeline keeps
+    * between epochs: the distinct 60-bit gram hashes of the even-id
+    * index corpus — 8 bytes per distinct gram, built once, persisted
+    * and cached across the drain's micro-batches. Each micro-batch of
+    * raw delta docs (odd ids) computes its own gram occurrences from
+    * text, semi-joins the index set, merges marked positions into
+    * spans and appends the per-doc removal accounting via
+    * `foreachBatch`. Every per-doc result is a pure function of
+    * (doc, index) — [[DedupQueries.substringIncrementalOfDelta]] is
+    * shared verbatim with the batch query — so the union over any
+    * micro-batch split equals the one-shot relation and t20 shares
+    * `dedup_substring_incremental`'s DuckDB oracle verbatim.
+    * Drain-guarded by committed-offset accounting like t15-t19. */
+  def t20StreamSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.ScratchDirs.dir("stream", tag, "substr_stream")
+    rmrf(new java.io.File(base)) // fresh feed + out + checkpoint per run
+    val feed = s"$base/feed"; val out = s"$base/out"; val ckpt = s"$base/checkpoint"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val indexGrams = DedupQueries
+      .substrIndexGrams(docs.filter(col("doc_id") % 2 === 0)).persist()
+    indexGrams.count()
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    delta.repartition(4).write.mode("overwrite").parquet(feed)
+    val stream = StreamOps.fileFeed(spark, feed, delta, maxFilesPerTrigger = 1)
+    try {
+      drainCommitted(feed, ckpt, "t20_stream_substring_dedup") {
+        stream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            publishBatch(
+              DedupQueries.substringIncrementalOfDelta(batch.toDF(), indexGrams),
+              bid, out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+    } finally indexGrams.unpersist() // failure path too — see t16
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("n_dup_spans"), col("dup_tokens"),
+        col("total_tokens"), col("dup_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_stream_substring_dedup" -> (t20StreamSubstringDedup _),
     "t19_stream_release" -> (t19StreamRelease _),
     "t18_stream_shard_append" -> (t18StreamShardAppend _),
     "t17_stream_canonical_dedup" -> (t17StreamCanonicalDedup _),
@@ -1059,6 +1108,9 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // per-doc marks are a pure function of (doc, stored gram index), so
+    // the streamed union shares the batch incremental replay verbatim
+    "t20_stream_substring_dedup" -> DedupQueries.oracle("dedup_substring_incremental"),
     // every per-doc release decision is independent given the static
     // release-cut index, so the streamed capstone shares the batch
     // capstone's replay verbatim
