@@ -129,7 +129,10 @@ object Bench {
       // round-5 additions (~70 B; both copies still fit the tail window)
       "t11_transform_with_state", "k2_excel_roundtrip", "d2_smiles_canonical",
       // round-6 flagship (~30 B)
-      "t14_checkpoint_recovery")
+      "t14_checkpoint_recovery",
+      // round-9 flagships (~70 B; both stdout copies still fit the
+      // ~3 KB tail window)
+      "d11_aromatic_canonical", "dedup_exact_substring")
     // explicit root locale: the default f"" interpolator is
     // locale-sensitive, and a comma-decimal locale would make the
     // machine-parsed metric line invalid JSON

@@ -101,15 +101,22 @@ object Chem {
     "Br" -> List(1), "I" -> List(1))
 
   /** Implicit+explicit hydrogen count. Aromatic atoms contribute one
-    * extra valence unit for the ring π system (benzene carbon: 4-1-2=1H). */
+    * extra valence unit for the ring π system (benzene carbon:
+    * 4-1-2=1H) and use only their LOWEST normal valence — an aromatic
+    * atom never promotes to a hypervalent state, so thiophene S is
+    * 0 H (the higher-valence fallback would fabricate an H that makes
+    * a Kekulé-S rendering and the perceived aromatic form disagree
+    * through cleanup) and N-methylpyrrole N is 0 H. */
   def hydrogens(m: Mol, i: Int): Int = {
     val a = m.atoms(i)
     if (a.hExplicit >= 0) return a.hExplicit
     val bondSum = m.adj(i).map { case (_, o) => if (o == 4) 1 else o }.sum +
       (if (a.aromatic) 1 else 0)
     Valences.get(a.element) match {
-      case Some(vs) => vs.find(_ >= bondSum).map(_ - bondSum).getOrElse(0)
-      case None     => 0
+      case Some(vs) =>
+        val usable = if (a.aromatic) vs.take(1) else vs
+        usable.find(_ >= bondSum).map(_ - bondSum).getOrElse(0)
+      case None => 0
     }
   }
 
@@ -483,7 +490,7 @@ object Chem {
     * variants; the reference's full RDKit tautomer enumeration
     * (finalize_realease.py:241-244) handles more ring-tautomer
     * chemistry than this port claims. */
-  def tautomerKeto(m0: Mol): Mol = {
+  def tautomerKeto(m0: Mol, iso: Boolean = false): Mol = {
     var m = m0
     var guard = 0
     var changed = true
@@ -507,10 +514,15 @@ object Chem {
         if (sites.isEmpty) None
         else if (sites.length == 1) sites.headOption
         else {
-          // isotope-aware site ranks: two enol sites tied in the flat
-          // graph but distinguished by a label must resolve the same
-          // way in every rendering (no-op when no isotopes)
-          val rank = refine(m, initialInvariants(m, iso = true))
+          // site ranks follow the CALLING pipeline: the iso path ranks
+          // isotope-aware so two enol sites tied in the flat graph but
+          // distinguished by a label resolve the same way in every
+          // rendering; the FLAT path must rank label-blind — iso-aware
+          // ranks reshuffle the whole ordering, so a label could flip
+          // the site choice between structurally-distinct sites and
+          // leak into the flat canonical ([13O]C(N)=CO vs its
+          // unlabeled form picking different keto forms)
+          val rank = refine(m, initialInvariants(m, iso = iso))
           Some(sites.minBy { case (oi, a, b) => (rank(oi), rank(a), rank(b)) })
         }
       site.foreach { case (oi, a, b) =>
@@ -663,8 +675,11 @@ object Chem {
       m.bondDirs.filterNot { case (k2, _) => aromBonds(k2) })
   }
 
-  /** The full D2 normalization pipeline on a parsed graph. */
-  def normalize(m: Mol): Mol = tautomerKeto(cleanup(aromatize(uncharge(largestFragment(m)))))
+  /** The full D2 normalization pipeline on a parsed graph. `iso`
+    * selects the tautomer-site ranking of the calling pipeline (see
+    * [[tautomerKeto]]); the flat path MUST stay label-blind. */
+  def normalize(m: Mol, iso: Boolean = false): Mol =
+    tautomerKeto(cleanup(aromatize(uncharge(largestFragment(m)))), iso)
 
   /** Clear stereo marks that do not denote a real tetrahedral
     * stereocenter: the frame must hold exactly four DISTINCT entries
@@ -897,7 +912,7 @@ object Chem {
     if (smiles == null) null
     else {
       val r = canonIsoMemo.get(smiles)(
-        try canonicalGraph(resolveEz(dropFalseStereo(normalize(parse(smiles)))), iso = true)
+        try canonicalGraph(resolveEz(dropFalseStereo(normalize(parse(smiles), iso = true))), iso = true)
         catch { case _: IllegalArgumentException => InvalidSmiles })
       if (r == InvalidSmiles) null else r
     }

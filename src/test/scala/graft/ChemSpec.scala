@@ -116,6 +116,14 @@ class ChemSpec extends SparkSpecBase {
     // bracket atoms carry NO implicit H
     val nh = Chem.parse("[NH2]C")
     assert(Chem.hydrogens(nh, 0) == 2)
+    // aromatic atoms never promote to a higher valence state:
+    // thiophene S is 0 H (not the S(IV) artifact), and the Kekulé-S
+    // bracket form ([13S] = zero-H) collapses with the aromatic form
+    // under the flat canonical
+    val thiophene = Chem.parse("c1ccsc1")
+    val sIdx = thiophene.atoms.indexWhere(_.element == "S")
+    assert(Chem.hydrogens(thiophene, sIdx) == 0)
+    assert(Chem.canonical("C1=CC=C[13S]1") == Chem.canonical("c1ccsc1"))
   }
 
   test("canonical output round-trips: parse(canonical(s)) is a fixpoint") {
@@ -272,6 +280,18 @@ class ChemSpec extends SparkSpecBase {
     val iso = Chem.canonicalIso("CC[13CH2]O")
     assert(Chem.canonicalIso(iso) == iso)
     assert(iso.contains("13C"), s"label lost: $iso")
+  }
+
+  test("flat canonical is label-blind through the tautomer site choice") {
+    // two structurally-distinct enol sites on one C=C (an enamine-diol
+    // shape): iso-aware site ranks would let the label flip which site
+    // rewrites and leak the isotope into the FLAT canonical — the flat
+    // path must pick the same keto form with and without the label
+    assert(Chem.canonical("[13OH]C(N)=CO") == Chem.canonical("OC(N)=CO"))
+    assert(Chem.canonical("OC(N)=C[13OH]") == Chem.canonical("OC(N)=CO"))
+    // while the iso path keeps the two labeled forms apart and stable
+    val a = Chem.canonicalIso("[13OH]C(N)=CO")
+    assert(Chem.canonicalIso(a) == a)
   }
 
   test("isomeric canonical: isotope-only stereocenter is real chirality") {

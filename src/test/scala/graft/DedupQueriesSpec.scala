@@ -55,6 +55,50 @@ class DedupQueriesSpec extends SparkSpecBase {
     assert(inc(3L) == ((0L, 0L, 11L)))
   }
 
+  test("exact-substring spans: differential check vs an independent in-memory reference") {
+    // seeded-random corpora from a tiny vocabulary (to force shared
+    // grams), each checked against a plain-Scala reimplementation of
+    // the Lee et al. semantics — a third implementation, independent
+    // of both the Spark plan and the DuckDB oracle
+    import spark.implicits._
+    val k = DedupQueries.SubstrK
+    def brute(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val occs = for {
+        (id, ws) <- toks.toSeq; p <- 0 to ws.length - k
+      } yield (id, p, ws.slice(p, p + k).mkString(" "))
+      val marked = occs.groupBy(_._3).values.filter(_.size >= 2).flatMap { os =>
+        val keep = os.minBy(o => (o._1, o._2))
+        os.filterNot(_ == keep)
+      }.map(o => (o._1, o._2)).toSeq
+      val spansByDoc = marked.groupBy(_._1).map { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val spans = sorted.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p <= e => (s, math.max(e, p + k)) :: rest
+          case (acc, p)                      => (p, p + k) :: acc
+        }
+        id -> ((spans.length.toLong, spans.map { case (s, e) => e - s }.sum.toLong))
+      }
+      toks.map { case (id, ws) =>
+        val (n, d) = spansByDoc.getOrElse(id, (0L, 0L))
+        id -> ((n, d, ws.length.toLong))
+      }
+    }
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 12L).map { id =>
+        val len = 10 + rnd.nextInt(30)
+        id -> (0 until len).map(_ => s"v${rnd.nextInt(4)}").mkString(" ")
+      }
+      val expected = brute(docs)
+      val got = DedupQueries.substringSpans(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"trial $trial diverged from the reference:\n" +
+        expected.keys.toSeq.sorted.map(id => s"  $id: got ${got(id)} want ${expected(id)}")
+          .mkString("\n"))
+    }
+  }
+
   test("exact-substring dedup: no string column crosses a query exchange (compact-key claim)") {
     import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec}
     // AQE off so the executed plan is a plain traversable tree; only
