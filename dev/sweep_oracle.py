@@ -270,6 +270,7 @@ class Sweeper:
         try:
             chain = hashlib.sha256()
             skip_next_comp = False
+            reach_edges = None  # edge-table name captured from the reach body
             for idx, (cdecl, body) in enumerate(ctes):
                 nm = re.match(r'([A-Za-z_]\w*)\s*(\(.*\))?$', cdecl)
                 cname, colspec = nm.group(1), nm.group(2) or ''
@@ -277,17 +278,20 @@ class Sweeper:
                 key = chain.hexdigest()
                 if key in self.failed:
                     raise TimeoutError(f"prerequisite CTE '{cname}' previously failed")
-                if cname == 'reach' and REACH_RE.match(body) and self.fast:
+                reach_m = REACH_RE.match(body) if cname == 'reach' else None
+                if reach_m and self.fast:
                     # closure never materializes; the next CTE (comp)
-                    # runs the iterative fixpoint instead
+                    # runs the iterative fixpoint instead, over the edge
+                    # table the reach body actually names
                     skip_next_comp = True
+                    reach_edges = reach_m.group('e')
                     self.rewrote.add(name)
                     continue
                 tbl = f"{self.ns}_{key[:16]}"
                 if key not in self.cache:
                     try:
                         if skip_next_comp and cname == 'comp' and COMP_RE.match(body):
-                            materialize_comp_fixpoint(self.con, tbl, 'edges', timed)
+                            materialize_comp_fixpoint(self.con, tbl, reach_edges, timed)
                         else:
                             if skip_next_comp:  # unexpected follower: bail to verbatim
                                 raise ValueError(f"unrecognized CTE after reach: {cname}")
@@ -313,6 +317,13 @@ class Sweeper:
             return timed(fast_final or final).df(), {
                 'rewritten': name in self.rewrote,
                 'budget_left': round(budget[0], 1)}
+        except ValueError:
+            # an unrecognized shape mid-chain is a TOOL limitation, not
+            # a query failure — honor the documented contract and run
+            # the original statement verbatim
+            self.rewrote.discard(name)
+            return timed(sql).df(), {'rewritten': False,
+                                     'budget_left': round(budget[0], 1)}
         finally:
             for v in views:
                 self.con.execute(f"DROP VIEW IF EXISTS {v}")

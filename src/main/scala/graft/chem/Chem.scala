@@ -652,9 +652,13 @@ object Chem {
             if (at.element == "N" && at.hExplicit < 0 &&
                 !m.adj(a).exists(t => t._2 == 2 || t._2 == 3)) {
               val before = hydrogens(m, a)
-              val after = { // aromatic implicit recompute, analytically
+              val after = { // aromatic implicit recompute, analytically —
+                // MUST mirror hydrogens()'s aromatic rule (lowest normal
+                // valence only), or a degree-3 lone-pair N (N-methyl-
+                // pyrrole) gets a spurious hExplicit pin
                 val bondSum = m.degree(a) + 1
-                Valences(at.element).find(_ >= bondSum).map(_ - bondSum).getOrElse(0)
+                Valences(at.element).take(1).find(_ >= bondSum)
+                  .map(_ - bondSum).getOrElse(0)
               }
               if (before != after) hFix(a) = before
             }
@@ -1192,27 +1196,6 @@ object Chem {
     }
   }
 
-  /** Deterministic ISOTOPE-labeled molecule family — a short carbon
-    * chain (optionally hydroxyl-terminated) carrying one mass label,
-    * every structural decision modular seed arithmetic the SQL oracle
-    * replays ([[graft.queries.ChemQueries]], from the same named
-    * constants):
-    *
-    *   tail     = 1 + (seed mod [[IsoTailMod]])              chain carbons
-    *   hydroxyl = (seed*[[HydroxylMul]] mod [[HydroxylMod]]) < [[HydroxylLt]]
-    *   label    = seed mod [[IsoLabelMod]]   0 none / 1 ¹³C on the head
-    *              carbon / 2 ¹⁴C on the head / 3 ¹³C on the TAIL carbon
-    *
-    * Label 3 deliberately DEGENERATES: with tail = 1 the tail carbon IS
-    * the head (label 3 ≡ label 1), and without the hydroxyl the plain
-    * chain is mirror-symmetric, so head- and tail-labeling are the same
-    * isotopomer — [[canonicalIso]] must collapse those lattice cells
-    * (the oracle replays the collapse as CASE arithmetic), which
-    * exercises canonical ranking ACROSS an isotope-broken symmetry,
-    * not just label round-tripping. `variant` 0..2 re-renders the same
-    * molecule from a scrambled DFS root exactly like [[fromSeed]];
-    * [[canonical]] drops the label entirely (one flat form per
-    * skeleton). */
   /** Deterministic AROMATIC-RING molecule family for the perception
     * extension ([[aromatize]]) — one isolated 5- or 6-ring, optionally
     * methylated, every structural decision modular seed arithmetic the
@@ -1265,6 +1248,27 @@ object Chem {
     write(m, start, i => math.floorMod(i * scramble + variant, n))
   }
 
+  /** Deterministic ISOTOPE-labeled molecule family — a short carbon
+    * chain (optionally hydroxyl-terminated) carrying one mass label,
+    * every structural decision modular seed arithmetic the SQL oracle
+    * replays ([[graft.queries.ChemQueries]], from the same named
+    * constants):
+    *
+    *   tail     = 1 + (seed mod [[IsoTailMod]])              chain carbons
+    *   hydroxyl = (seed*[[HydroxylMul]] mod [[HydroxylMod]]) < [[HydroxylLt]]
+    *   label    = seed mod [[IsoLabelMod]]   0 none / 1 ¹³C on the head
+    *              carbon / 2 ¹⁴C on the head / 3 ¹³C on the TAIL carbon
+    *
+    * Label 3 deliberately DEGENERATES: with tail = 1 the tail carbon IS
+    * the head (label 3 ≡ label 1), and without the hydroxyl the plain
+    * chain is mirror-symmetric, so head- and tail-labeling are the same
+    * isotopomer — [[canonicalIso]] must collapse those lattice cells
+    * (the oracle replays the collapse as CASE arithmetic), which
+    * exercises canonical ranking ACROSS an isotope-broken symmetry,
+    * not just label round-tripping. `variant` 0..2 re-renders the same
+    * molecule from a scrambled DFS root exactly like [[fromSeed]];
+    * [[canonical]] drops the label entirely (one flat form per
+    * skeleton). */
   def isoFromSeed(seed: Long, variant: Int): String = {
     val tail = (1 + math.floorMod(seed, IsoTailMod)).toInt
     val hydroxyl = math.floorMod(seed * HydroxylMul, HydroxylMod) < HydroxylLt

@@ -785,7 +785,7 @@ object CurationQueries {
     * = Σ position·doc_id over each shard detects any transposition,
     * and `head_doc` pins the shard's first delivery. */
   def xGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    val key = releaseKey
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), key.as("k"),
         (ascii(substring(key, 1, 1)) % NumShards).cast("long").as("shard_id"))
@@ -816,21 +816,35 @@ object CurationQueries {
     * two anti-joins and one shard exchange on top of work the
     * pipeline already materialized — exactly how a production release
     * job composes from shared artifacts rather than re-deriving them. */
-  def e2eShardRelease(spark: SparkSession, dir: String): DataFrame = {
+  /** The seeded shuffle key and shard bucket every release path
+    * shares — in-stream projections (t18/t19) and the batch/finalize
+    * seal MUST use the same arithmetic or the partition layout and
+    * the sealed digests silently diverge. */
+  private[graft] def releaseKey: org.apache.spark.sql.Column =
+    md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+  private[graft] def releaseShardId: org.apache.spark.sql.Column =
+    (ascii(substring(releaseKey, 1, 1)) % NumShards).cast("long")
+
+  /** The release-cut drop list shared by the batch capstone and its
+    * streaming twin (t19): members of a near-dup cluster that are not
+    * the cluster's quality keeper. */
+  private[graft] def releaseDropList(spark: SparkSession, dir: String): DataFrame = {
     val pairs = DedupQueries.exactPairs(spark, dir)
       .select(col("id_a"), col("id_b"))
     val members = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
     val keepers = DedupQueries.dedupKeepBest(spark, dir)
       .select(col("keep_doc").as("doc_id"))
-    val dropped = members.join(keepers, Seq("doc_id"), "left_anti")
-    val survivors = Tables.documents(spark, dir)
-      .filter(col("n_chars") >= ReleaseMinChars)
-      .select(col("doc_id"), col("n_chars"))
-      .join(dropped, Seq("doc_id"), "left_anti")
-    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
-    val keyed = survivors.select(col("doc_id"), col("n_chars"), key.as("k"),
-      (ascii(substring(key, 1, 1)) % NumShards).cast("long").as("shard_id"))
+    members.join(keepers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Seal a release: shard/key assignment, within-shard positions in
+    * (k, doc_id) order, and the digest aggregate — shared verbatim by
+    * the batch capstone and t19's finalize, so the two paths cannot
+    * drift from the one DuckDB oracle they both answer to. */
+  private[graft] def sealRelease(survivors: DataFrame): DataFrame = {
+    val keyed = survivors.select(col("doc_id"), col("n_chars"),
+      releaseKey.as("k"), releaseShardId.as("shard_id"))
     val pos = row_number()
       .over(Window.partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id")))
       .cast("long")
@@ -840,6 +854,12 @@ object CurationQueries {
         sum(col("n_chars")).as("n_chars_total"),
         sum(col("pos") * col("doc_id")).as("order_digest"))
   }
+
+  def e2eShardRelease(spark: SparkSession, dir: String): DataFrame =
+    sealRelease(Tables.documents(spark, dir)
+      .filter(col("n_chars") >= ReleaseMinChars)
+      .select(col("doc_id"), col("n_chars"))
+      .join(releaseDropList(spark, dir), Seq("doc_id"), "left_anti"))
 
   /** Incremental shard delivery (net-new): append a DELTA of new
     * documents to an already-delivered epoch WITHOUT recomputing the
@@ -873,10 +893,8 @@ object CurationQueries {
     * streamed union over micro-batches equal the one-shot batch
     * relation, so both surfaces share one DuckDB oracle. */
   private[graft] def shardAppendOf(base: DataFrame, delta: DataFrame): DataFrame = {
-    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
     def keyed(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), key.as("k"),
-        (ascii(substring(key, 1, 1)) % NumShards).cast("long").as("shard_id"))
+      df.select(col("doc_id"), releaseKey.as("k"), releaseShardId.as("shard_id"))
     val w = Window.partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id"))
     val baseAgg = keyed(base)
       .withColumn("pos", row_number().over(w).cast("long"))
@@ -914,7 +932,7 @@ object CurationQueries {
     * [[xGlobalShuffle]]); the spec closes the cross-query relation —
     * children partition their parent's epoch counts exactly. */
   def xShardSplit(spark: SparkSession, dir: String): DataFrame = {
-    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    val key = releaseKey
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), key.as("k"))
       .select(col("doc_id"), col("k"),
@@ -951,7 +969,7 @@ object CurationQueries {
     * [[xGlobalShuffle]]: merge ∘ split = identity on the epoch
     * (same shards, same counts, same Σ pos·doc_id digests). */
   def xShardMerge(spark: SparkSession, dir: String): DataFrame = {
-    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
+    val key = releaseKey
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), key.as("k"))
       .select(col("doc_id"), col("k"),

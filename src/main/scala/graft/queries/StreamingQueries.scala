@@ -948,12 +948,9 @@ object StreamingQueries {
     val delta = docs.filter(col("doc_id") % 2 === 1)
     delta.repartition(4).write.mode("overwrite").parquet(feed)
     val stream = StreamOps.fileFeed(spark, feed, delta, maxFilesPerTrigger = 1)
-    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
     drainCommitted(feed, ckpt, "t18_stream_shard_append") {
       stream
-        .select(col("doc_id"),
-          (ascii(substring(key, 1, 1)) % CurationQueries.NumShards)
-            .cast("long").as("shard_id"))
+        .select(col("doc_id"), CurationQueries.releaseShardId.as("shard_id"))
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           publishBatch(batch.toDF(), bid, delivery, partitionCols = Seq("shard_id"))
@@ -994,44 +991,33 @@ object StreamingQueries {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     docs.repartition(4).write.mode("overwrite").parquet(feed)
     val stream = StreamOps.fileFeed(spark, feed, docs, maxFilesPerTrigger = 1)
-    // release-cut dedup index (STATIC): members of a near-dup cluster
-    // that are not its quality-keeper — the drop list
-    val pairs = DedupQueries.exactPairs(spark, dir).select(col("id_a"), col("id_b"))
-    val members = pairs.select(col("id_a").as("doc_id"))
-      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val keepers = DedupQueries.dedupKeepBest(spark, dir)
-      .select(col("keep_doc").as("doc_id"))
-    val dropped = members.join(keepers, Seq("doc_id"), "left_anti")
-    val key = md5(concat(col("doc_id").cast("string"), lit(":shuf42")))
-    drainCommitted(feed, ckpt, "t19_stream_release") {
-      stream
-        .filter(col("n_chars") >= CurationQueries.ReleaseMinChars)
-        .join(dropped, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("n_chars"),
-          (ascii(substring(key, 1, 1)) % CurationQueries.NumShards)
-            .cast("long").as("shard_id"))
-        .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
-          publishBatch(batch.toDF(), bid, delivery, partitionCols = Seq("shard_id"))
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-    }
-    // seal the shards: within-shard positions over the accumulated
-    // delivery, same permutation the batch capstone pins
-    val keyed = spark.read.parquet(delivery)
-      .select(col("doc_id"), col("n_chars"), key.as("k"),
-        (ascii(substring(key, 1, 1)) % CurationQueries.NumShards)
-          .cast("long").as("shard_id"))
-    val pos = row_number()
-      .over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard_id")).orderBy(col("k"), col("doc_id")))
-      .cast("long")
-    keyed.withColumn("pos", pos)
-      .groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("n_chars_total"),
-        sum(col("pos") * col("doc_id")).as("order_digest"))
+    // release-cut dedup index (STATIC, shared with the batch capstone
+    // via CurationQueries.releaseDropList): PERSISTED — stream-static
+    // joins re-evaluate the static plan per micro-batch, and the drop
+    // list's tail is a full keep-best pipeline (corpus quality scan +
+    // labels join + cluster collapse) that must not run once per batch
+    val dropped = CurationQueries.releaseDropList(spark, dir).persist()
+    dropped.count()
+    try {
+      drainCommitted(feed, ckpt, "t19_stream_release") {
+        stream
+          .filter(col("n_chars") >= CurationQueries.ReleaseMinChars)
+          .join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"),
+            CurationQueries.releaseShardId.as("shard_id"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            publishBatch(batch.toDF(), bid, delivery, partitionCols = Seq("shard_id"))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+    } finally dropped.unpersist() // failure path too — see t16/t20
+    // seal the shards over the accumulated delivery with the SHARED
+    // batch-capstone kernel — the two paths answer to one oracle, so
+    // the seal must be structurally one function, not a copy
+    CurationQueries.sealRelease(
+      spark.read.parquet(delivery).select(col("doc_id"), col("n_chars")))
   }
 
   /** T20 — streaming exact-substring dedup against a stored gram
