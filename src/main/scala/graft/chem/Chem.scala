@@ -253,6 +253,11 @@ object Chem {
       isotope = isotope * 10 + (b.charAt(i) - '0'); i += 1
     }
     if (isotope > 999) fail("bad isotope")
+    // an explicit zero ('[0C]') or zero-padded ('[013C]') isotope is
+    // rejected rather than silently collapsed with the unlabeled atom:
+    // RDKit distinguishes an explicit mass-0 specification, and this
+    // kernel's isotope-0-means-unlabeled convention cannot represent it
+    if (i > 0 && b.charAt(0) == '0') fail("zero or zero-padded isotope")
     if (i >= b.length) fail("empty bracket atom")
     val (el, arom) = {
       val c = b.charAt(i)
@@ -479,17 +484,23 @@ object Chem {
     }, m.bonds, m.stereo, m.bondDirs)
 
   /** Canonical tautomer, minimal rule set: enol → keto
-    * (O(H)–C=C → O=C–C(H)) until fixpoint. The rewrite SITE is chosen
-    * by canonical rank, not atom index: with two interacting enol
-    * sites (an enediol — rewriting one kills the other), an
-    * index-order choice would normalize different RENDERINGS of the
-    * same molecule to different tautomers; ranks are graph-invariant,
-    * so every rendering picks the same site (tied sites are automorphic
-    * — either choice yields isomorphic results). Covers the keto/enol
-    * pairs the engine's generator emits and the common textual
-    * variants; the reference's full RDKit tautomer enumeration
-    * (finalize_realease.py:241-244) handles more ring-tautomer
-    * chemistry than this port claims. */
+    * (O(H)–C=C → O=C–C(H)) and lactim/imidol → lactam/amide
+    * (O(H)–C=N → O=C–N(H), RDKit TautomerEnumerator's second most
+    * common collapse after enol→keto, finalize_realease.py:241-244) —
+    * structurally the same 1,3-H shift with an N acceptor, applied
+    * until fixpoint. The rewrite SITE is chosen by canonical rank, not
+    * atom index: with two interacting sites (an enediol — rewriting
+    * one kills the other), an index-order choice would normalize
+    * different RENDERINGS of the same molecule to different tautomers;
+    * ranks are graph-invariant, so every rendering picks the same site
+    * (tied sites are automorphic — either choice yields isomorphic
+    * results). Aromatic-ring tautomers (2-hydroxypyridine vs
+    * 2-pyridone) stay OUT of scope: both sides of the site must be
+    * non-aromatic, so whichever ring form [[aromatize]] perceived is
+    * kept as written. Covers the keto/enol and lactam/lactim pairs the
+    * engine's generators emit and the common textual variants; the
+    * reference's full RDKit tautomer enumeration handles more
+    * ring-chain tautomer chemistry than this port claims. */
   def tautomerKeto(m0: Mol, iso: Boolean = false): Mol = {
     var m = m0
     var guard = 0
@@ -503,8 +514,10 @@ object Chem {
             m.degree(oi) == 1 && hydrogens(m, oi) >= 1) {
           val (a, oOrd) = m.adj(oi).head
           if (oOrd == 1 && m.atoms(a).element == "C" && !m.atoms(a).aromatic) {
+            // acceptor C → enol→keto; acceptor N → lactim→lactam
             m.adj(a).collect {
-              case (b, 2) if b != oi && m.atoms(b).element == "C" && !m.atoms(b).aromatic =>
+              case (b, 2) if b != oi && !m.atoms(b).aromatic &&
+                  (m.atoms(b).element == "C" || m.atoms(b).element == "N") =>
                 (oi, a, b)
             }
           } else Nil
@@ -557,35 +570,61 @@ object Chem {
       else a
     }, m.bonds, m.stereo, m.bondDirs)
 
-  /** Aromaticity perception on ISOLATED 5- and 6-membered rings: a
-    * Kekulé-form ring (alternating explicit single/double bonds) whose
-    * π count satisfies Hückel's 4n+2 becomes aromatic — atoms flagged,
-    * endocyclic bonds rewritten to order 4 — so `C1=CC=CC=C1` and
-    * `c1ccccc1` canonicalize identically (both Kekulé phases collapse,
-    * and a Kekulé phenol is no longer a tautomerKeto enol site). π
-    * accounting, per ring atom: an endocyclic double bond contributes
-    * 1; a carbon whose only double bond is exocyclic contributes 0
-    * (still sp2 — the pyranone shape); an uncharged N/O/S with only
-    * single bonds donates its lone pair (2) — a pyrrole-type N then
-    * keeps its pre-perception hydrogen EXPLICITLY (`[nH]`, whose count
-    * the aromatic valence recompute would otherwise lose; O and S need
-    * no fix because both paths recompute identically); an all-single
-    * carbon is sp3 and disqualifies the ring. Perception SCOPE,
-    * matching the kernel's documented minimalism (the reference trusts
-    * RDKit for all of this): FUSED ring systems are skipped entirely —
-    * per-ring Hückel counting is phase-dependent across a shared edge,
-    * so a partial perception would canonicalize the two Kekulé
-    * structures of naphthalene differently; skipping keeps every input
-    * exactly as written (aromatic-input fused systems still pass
-    * through on trusted flags, as before). Charged rings
-    * (cyclopentadienyl) are likewise out of scope. Tetrahedral marks
-    * on aromatized atoms and directional marks on aromatized bonds
-    * drop — neither can denote stereo on an aromatic system. */
+  /** Aromaticity perception on 5/6-membered rings AND their fused
+    * systems: a Kekulé-form ring system (explicit single/double bonds)
+    * whose global π count satisfies Hückel's 4n+2 becomes aromatic —
+    * atoms flagged, ring bonds rewritten to order 4 — so `C1=CC=CC=C1`
+    * and `c1ccccc1` canonicalize identically, and so do BOTH Kekulé
+    * phases of naphthalene/indole/quinoline with their aromatic
+    * renderings (the round-9 isolated-ring scope silently missed fused
+    * duplicates; the reference's own inhibitor space is mostly fused
+    * polycyclics, which its RDKit perceives during sanitization,
+    * finalize_realease.py:230-249).
+    *
+    * Two stages. (1) RING PLAUSIBILITY, per candidate 5/6-ring: every
+    * atom non-aromatic, uncharged, and sp2-capable — it carries some
+    * double/triple bond, or is an N/O/S lone-pair donor (all single
+    * bonds); an all-single carbon is sp3 and disqualifies the ring; at
+    * most ONE donor per ring (a ring of all-single heteroatoms,
+    * pentazolidine, is sp3 — five lone pairs are not a π system).
+    * (2) SYSTEM counting: plausible rings sharing an edge merge into
+    * one system, and π counts over the system's ATOM SET — an atom
+    * with a double bond to another system atom contributes 1, a donor
+    * 2, a carbon whose only multiple bond leaves the system 0 (still
+    * sp2 — the pyranone/quinoid shape), a heteroatom whose only
+    * multiple bond leaves the system fails the whole system. Counting
+    * at the system level is what makes perception KEKULÉ-PHASE-
+    * INDEPENDENT: per-ring counting sees 3 vs 2 endocyclic doubles for
+    * naphthalene's two phases, but every atom of any Kekulé naphthalene
+    * has exactly one double bond inside the system, so the system
+    * count is 10 in both phases. Hückel (π % 4 == 2) then accepts or
+    * rejects the system as a whole — pentalene (π = 8) stays Kekulé,
+    * and an sp3-containing neighbor ring (indane, tetralin, fluorene,
+    * 2H-chromene) simply fails plausibility without dragging down the
+    * benzene it is fused to, which perceives alone.
+    *
+    * A donor N in a passing system keeps its pre-perception hydrogen
+    * EXPLICITLY (`[nH]`, whose count the aromatic valence recompute
+    * would otherwise lose; O and S recompute identically on both paths
+    * and stay implicit). Remaining documented scope limits: charged
+    * rings (cyclopentadienyl), systems containing pre-flagged aromatic
+    * atoms (a half-aromatic half-Kekulé rendering passes through as
+    * written), perimeter-aromatic polycyclics whose FULL-system count
+    * is 4n (pyrene: 16 π by this count, yet aromatic by the perimeter
+    * rule — stays Kekulé), and rings fused only through a non-5/6 ring
+    * (azulene's 7-ring is no candidate, and its 5-ring alone counts
+    * π = 4 in every valid Kekulé structure — consistently, so both
+    * renderings stay Kekulé). Tetrahedral marks on aromatized atoms
+    * and directional marks on aromatized bonds drop — neither can
+    * denote stereo on an aromatic system. */
   def aromatize(m: Mol): Mol = {
     val n = m.atoms.length
     if (n < 5 || !m.bonds.exists(b => b._3 == 2)) return m // no Kekulé input
     // candidate rings: the shortest cycle through each bond (BFS
-    // avoiding the bond itself), kept when its size is 5 or 6
+    // avoiding the bond itself), kept when its size is 5 or 6 — for a
+    // fused bi/polycyclic this finds every constituent small ring (each
+    // ring bond's shortest cycle is its own ring), i.e. the SSSR slice
+    // this kernel needs
     val rings = mutable.LinkedHashMap[Set[Int], Vector[Int]]()
     for ((u, v, _) <- m.bonds) {
       val prev = Array.fill(n)(-2)
@@ -615,53 +654,75 @@ object Chem {
         (math.min(a, b), math.max(a, b))
       }.toSet
     val ringEdges = ringList.map(edgesOf)
+    def anyMultiple(a: Int): Boolean = m.adj(a).exists(t => t._2 == 2 || t._2 == 3)
+    def donorish(a: Int): Boolean = {
+      val el = m.atoms(a).element
+      (el == "N" || el == "O" || el == "S") && !anyMultiple(a)
+    }
+    // stage 1: ring plausibility
+    val plausible = ringList.indices.filter { k =>
+      val cycle = ringList(k)
+      cycle.forall(a => !m.atoms(a).aromatic && m.atoms(a).charge == 0 &&
+        OrganicSubset.contains(m.atoms(a).element) &&
+        (anyMultiple(a) || donorish(a))) &&
+        cycle.count(donorish(_)) <= 1
+    }.toVector
+    if (plausible.isEmpty) return m
+    // stage 2: edge-sharing systems of plausible rings (BFS components)
+    val systems = {
+      val unassigned = mutable.LinkedHashSet(plausible: _*)
+      val out = Vector.newBuilder[Vector[Int]]
+      while (unassigned.nonEmpty) {
+        val seed0 = unassigned.head
+        val comp = mutable.ArrayBuffer(seed0)
+        unassigned -= seed0
+        var i = 0
+        while (i < comp.length) {
+          val cur = comp(i)
+          val joins = unassigned.filter(j => (ringEdges(cur) & ringEdges(j)).nonEmpty)
+          joins.foreach { j => comp += j; unassigned -= j }
+          i += 1
+        }
+        out += comp.toVector
+      }
+      out.result()
+    }
     val aromAtoms = mutable.Set[Int]()
     val aromBonds = mutable.Set[(Int, Int)]()
     val hFix = mutable.Map[Int, Int]() // pyrrole-type N -> explicit H
-    for (k <- ringList.indices) {
-      val cycle = ringList(k)
-      val rs = cycle.toSet
-      val isolated = ringEdges.indices.forall(j =>
-        j == k || (ringEdges(k) & ringEdges(j)).isEmpty)
-      if (isolated && cycle.forall(a => !m.atoms(a).aromatic && m.atoms(a).charge == 0)) {
-        var pi = 0
-        var donors = 0
-        var ok = true
-        for (a <- cycle) {
-          val el = m.atoms(a).element
-          val endo = m.adj(a).exists { case (b, o) => o == 2 && rs(b) }
-          val anyMultiple = m.adj(a).exists(t => t._2 == 2 || t._2 == 3)
-          if (endo) pi += 1
-          else if (el == "C") { if (!anyMultiple) ok = false } // sp3
-          else if (el == "N" || el == "O" || el == "S") {
-            if (anyMultiple) ok = false else { pi += 2; donors += 1 } // lone pair
-          } else ok = false
-        }
-        // at most ONE lone-pair donor (furan/pyrrole/thiophene shape):
-        // a ring of all-single heteroatoms (pentazolidine) is sp3, not
-        // aromatic, even though naive counting lands on 4n+2
-        if (ok && donors <= 1 && pi % 4 == 2 && pi > 2) {
-          aromAtoms ++= cycle
-          aromBonds ++= ringEdges(k)
-          for (a <- cycle) {
-            val at = m.atoms(a)
-            // lone-pair N keeps its hydrogen count explicitly: the
-            // aromatic recompute (bondSum + 1) would report 0 where the
-            // Kekulé form implied 1 (plain pyrrole). O/S recompute the
-            // same value on both paths and stay implicit.
-            if (at.element == "N" && at.hExplicit < 0 &&
-                !m.adj(a).exists(t => t._2 == 2 || t._2 == 3)) {
-              val before = hydrogens(m, a)
-              val after = { // aromatic implicit recompute, analytically —
-                // MUST mirror hydrogens()'s aromatic rule (lowest normal
-                // valence only), or a degree-3 lone-pair N (N-methyl-
-                // pyrrole) gets a spurious hExplicit pin
-                val bondSum = m.degree(a) + 1
-                Valences(at.element).take(1).find(_ >= bondSum)
-                  .map(_ - bondSum).getOrElse(0)
-              }
-              if (before != after) hFix(a) = before
+    for (sys <- systems) {
+      val sysAtoms: Set[Int] = sys.iterator.flatMap(ringList(_)).toSet
+      var pi = 0
+      var ok = true
+      for (a <- sysAtoms) {
+        val el = m.atoms(a).element
+        val intra = m.adj(a).exists { case (b, o) => o == 2 && sysAtoms(b) }
+        if (intra) pi += 1
+        else if (donorish(a)) pi += 2
+        else if (el != "C") ok = false // heteroatom with only exo multiple bonds
+        // else: sp2 carbon with an exocyclic multiple bond — contributes 0
+      }
+      if (ok && pi % 4 == 2 && pi > 2) {
+        aromAtoms ++= sysAtoms
+        sys.foreach(k => aromBonds ++= ringEdges(k))
+        for (a <- sysAtoms) {
+          val at = m.atoms(a)
+          // lone-pair N keeps its hydrogen count explicitly: the
+          // aromatic recompute (bondSum + 1) would report 0 where the
+          // Kekulé form implied 1 (plain pyrrole/indole). O/S recompute
+          // the same value on both paths and stay implicit.
+          if (at.element == "N" && at.hExplicit < 0 && donorish(a)) {
+            val before = hydrogens(m, a)
+            val after = { // aromatic implicit recompute, analytically —
+              // MUST mirror hydrogens()'s aromatic rule (lowest normal
+              // valence only), or a degree-3 lone-pair N (N-methyl-
+              // pyrrole, indolizine's bridgehead) gets a spurious
+              // hExplicit pin
+              val bondSum = m.degree(a) + 1
+              Valences(at.element).take(1).find(_ >= bondSum)
+                .map(_ - bondSum).getOrElse(0)
             }
+            if (before != after) hFix(a) = before
           }
         }
       }
@@ -1068,10 +1129,10 @@ object Chem {
     * which [[canonical]] must collapse back to the keto form. */
   def fromSeed(seed: Long, variant: Int): String = {
     val s = math.floorMod(seed, 420L) // lcm(4,3,5,7): full param lattice
-    val chainLen = (4 + math.floorMod(s * 7, 5)).toInt
-    val group = math.floorMod(s, 4).toInt
-    val ring = math.floorMod(s, 3) == 0
-    val branch = math.floorMod(s * 5, 7) < 3
+    val chainLen = (4 + math.floorMod(s * ChainMul, ChainMod)).toInt
+    val group = math.floorMod(s, GroupMod).toInt
+    val ring = math.floorMod(s, RingMod) == 0
+    val branch = math.floorMod(s * BranchMul, BranchMod) < BranchLt
     val enol = group == 3 && variant == 2
 
     val atoms = mutable.ArrayBuffer[Atom]()
@@ -1138,6 +1199,23 @@ object Chem {
   val AromSubMul = 3L
   val AromSubMod = 5L
   val AromSubLt = 2L
+  // the d2 lattice ([[fromSeed]]) — named late (round 10) so the d2/d5
+  // oracles interpolate the same vals instead of hand-copied literals
+  val ChainMul = 7L
+  val ChainMod = 5L
+  val GroupMod = 4L
+  val RingMod = 3L
+  val BranchMul = 5L
+  val BranchMod = 7L
+  val BranchLt = 3L
+  // the fused-aromatic lattice ([[fusedFromSeed]])
+  val FusedSysMod = 4L // 0 naphthalene / 1 quinoline / 2 indole / 3 benzofuran
+  val FusedMethMul = 3L
+  val FusedMethMod = 5L
+  val FusedMethLt = 2L
+  // the lactam lattice ([[lactamFromSeed]])
+  val LactamNSubMod = 3L // N-substituent chain: 0..2 carbons
+  val LactamAcylMod = 2L // acyl chain: 1..2 carbons
 
   /** Deterministic CHIRAL molecule family for the stereo extension —
     * one tetrahedral center bearing four distinct substituents
@@ -1295,5 +1373,120 @@ object Chem {
     val start = math.floorMod(seed + 13L * variant, n.toLong).toInt
     val scramble = math.floorMod(seed * 31 + variant * 7 + 1, 97).toInt
     write(m, start, i => math.floorMod(i * scramble + variant, n), iso = true)
+  }
+
+  /** Deterministic FUSED-BICYCLIC aromatic family for the fused-system
+    * perception extension ([[aromatize]] stage 2) — one 6-6 or 6-5
+    * edge-fused heteroaromatic, optionally methylated, every
+    * structural decision modular seed arithmetic the SQL oracle
+    * replays from the same named constants:
+    *
+    *   sys    = seed mod [[FusedSysMod]]   0 naphthalene / 1 quinoline /
+    *                                       2 indole / 3 benzofuran
+    *   methyl = (seed*[[FusedMethMul]] mod [[FusedMethMod]]) < [[FusedMethLt]]
+    *            (methyl on benzene carbon 2, away from the fusion)
+    *
+    * `variant` 0 renders the AROMATIC form (lowercase, order-4 bonds,
+    * indole as `[nH]`); variants 1..2 render the two KEKULÉ phases —
+    * v1 puts the fusion bond double (naphthalene's "central" resonance
+    * structure), v2 keeps it single with the benzene alternation
+    * shifted. The two phases assign genuinely different bond orders to
+    * SHARED-EDGE bonds, so collapsing all three is exactly the
+    * phase-independence contract per-ring Hückel counting cannot meet
+    * (the round-9 scope gap this family closes). */
+  def fusedFromSeed(seed: Long, variant: Int): String = {
+    val sys = math.floorMod(seed, FusedSysMod).toInt
+    val methyl = math.floorMod(seed * FusedMethMul, FusedMethMod) < FusedMethLt
+    val aromatic = variant == 0
+    val fiveRing = sys >= 2 // indole / benzofuran
+    val hetero = sys match {
+      case 1 => Some(1 -> "N") // quinoline: pyridine-type N in the benzo ring
+      case 2 => Some(6 -> "N") // indole: donor N adjacent to the fusion
+      case 3 => Some(6 -> "O") // benzofuran
+      case _ => None
+    }
+    val nAtoms = if (fiveRing) 9 else 10
+    val atoms = mutable.ArrayBuffer[Atom]()
+    for (k <- 0 until nAtoms) {
+      val el = hetero.collect { case (at, e) if at == k => e }.getOrElse("C")
+      // aromatic indole N carries its H explicitly ([nH]); the Kekulé
+      // rendering leaves it valence-implicit — exactly what the
+      // perception's hFix must reconstruct for the forms to collapse
+      val hx = if (aromatic && sys == 2 && k == 6) 1 else -1
+      atoms += Atom(el, aromatic = aromatic, 0, hx)
+    }
+    // benzene ring A: 0-1-2-3-4-5-0; second ring shares edge (0,5):
+    //   6-6: B = 5-6-7-8-9-0;  6-5: B = 5-6-7-8-0
+    val edges: Vector[(Int, Int)] =
+      Vector((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0)) ++
+        (if (fiveRing) Vector((5, 6), (6, 7), (7, 8), (8, 0))
+         else Vector((5, 6), (6, 7), (7, 8), (8, 9), (9, 0)))
+    val doubles: Set[(Int, Int)] =
+      if (aromatic) Set.empty
+      else if (variant == 1) {
+        // phase 1: fusion bond double
+        if (fiveRing) Set((5, 0), (1, 2), (3, 4), (7, 8))
+        else Set((5, 0), (1, 2), (3, 4), (6, 7), (8, 9))
+      } else {
+        // phase 2: fusion bond single, benzene alternation shifted
+        if (fiveRing) Set((0, 1), (2, 3), (4, 5), (7, 8))
+        else Set((0, 1), (2, 3), (4, 5), (6, 7), (8, 9))
+      }
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    for ((a, b) <- edges)
+      bonds += ((a, b, if (aromatic) 4 else if (doubles((a, b))) 2 else 1))
+    if (methyl) {
+      atoms += Atom("C", aromatic = false, 0, -1)
+      bonds += ((2, atoms.length - 1, 1))
+    }
+    val m = Mol(atoms.toVector, bonds.toVector)
+    val n = atoms.length
+    val start = math.floorMod(seed + 13L * variant, n.toLong).toInt
+    val scramble = math.floorMod(seed * 31 + variant * 7 + 1, 97).toInt
+    write(m, start, i => math.floorMod(i * scramble + variant, n))
+  }
+
+  /** Deterministic LACTAM/AMIDE family for the lactim→lactam tautomer
+    * rule ([[tautomerKeto]]'s N-acceptor branch) — an acyl chain, a
+    * carbonyl, and an optionally substituted nitrogen, every
+    * structural decision modular seed arithmetic the SQL oracle
+    * replays from the same named constants:
+    *
+    *   nsub = seed mod [[LactamNSubMod]]        N-chain carbons (0..2;
+    *          0 is the primary amide, whose lactim N is an NH imine)
+    *   acyl = 1 + (seed mod [[LactamAcylMod]])  acyl chain carbons
+    *
+    * `variant` 0 renders the AMIDE graph (C=O, C–N); variants 1..2
+    * render the LACTIM graph (C–OH, C=N) from scrambled DFS roots —
+    * two of the three renderings only collapse through the tautomer
+    * rewrite, the d2 enol-variant design with an N acceptor. */
+  def lactamFromSeed(seed: Long, variant: Int): String = {
+    val nsub = math.floorMod(seed, LactamNSubMod).toInt
+    val acyl = (1 + math.floorMod(seed, LactamAcylMod)).toInt
+    val lactim = variant != 0
+
+    val atoms = mutable.ArrayBuffer[Atom]()
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    def add(el: String): Int = { atoms += Atom(el, aromatic = false, 0, -1); atoms.length - 1 }
+
+    val chain = (0 until acyl).map(_ => add("C"))
+    for (k <- 1 until acyl) bonds += ((chain(k - 1), chain(k), 1))
+    val cc = add("C") // the carbonyl / imidol carbon
+    bonds += ((chain(acyl - 1), cc, 1))
+    val o = add("O")
+    val nn = add("N")
+    bonds += ((cc, o, if (lactim) 1 else 2))
+    bonds += ((cc, nn, if (lactim) 2 else 1))
+    var prev = nn
+    for (_ <- 0 until nsub) {
+      val c = add("C")
+      bonds += ((prev, c, 1))
+      prev = c
+    }
+    val m = Mol(atoms.toVector, bonds.toVector)
+    val n = atoms.length
+    val start = math.floorMod(seed + 13L * variant, n.toLong).toInt
+    val scramble = math.floorMod(seed * 31 + variant * 7 + 1, 97).toInt
+    write(m, start, i => math.floorMod(i * scramble + variant, n))
   }
 }

@@ -27,6 +27,10 @@ object ChemKernels {
     UTF8String.fromString(Chem.isoFromSeed(seed, variant))
   def aromFromSeed(seed: Long, variant: Int): UTF8String =
     UTF8String.fromString(Chem.aromFromSeed(seed, variant))
+  def fusedFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.fusedFromSeed(seed, variant))
+  def lactamFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.lactamFromSeed(seed, variant))
   def canonical(s: UTF8String): UTF8String =
     if (s == null) null else UTF8String.fromString(Chem.canonical(s.toString))
   def canonicalIso(s: UTF8String): UTF8String =
@@ -133,6 +137,43 @@ case class MolAromFromSeed(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "mol_arom_from_seed"
 }
 
+/** Fused-bicyclic twin of [[MolAromFromSeed]] ([[Chem.fusedFromSeed]]):
+  * renders a 6-6/6-5 fused heteroaromatic family as one aromatic and
+  * two Kekulé-phase forms — the phase-independence contract of the
+  * fused-system perception ([[Chem.aromatize]] stage 2). */
+case class MolFusedFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_fused_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.fusedFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.fusedFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolFusedFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_fused_from_seed"
+}
+
+/** Lactam/amide twin of [[MolFromSeed]] ([[Chem.lactamFromSeed]]):
+  * renders an amide family as one amide and two lactim (C–OH, C=N)
+  * forms, for the lactim→lactam tautomer rule's generative oracle. */
+case class MolLactamFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_lactam_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.lactamFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.lactamFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolLactamFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_lactam_from_seed"
+}
+
 /** ISOMERIC canonical SMILES ([[Chem.canonicalIso]]) — the
   * stereo-preserving extension beyond the reference's non-isomeric
   * canonic(); same NULL-on-unparseable result-null codegen as
@@ -235,6 +276,10 @@ object chemfunctions {
     col(MolIsoFromSeed(expr(seed), expr(variant)))
   def mol_arom_from_seed(seed: Column, variant: Column): Column =
     col(MolAromFromSeed(expr(seed), expr(variant)))
+  def mol_fused_from_seed(seed: Column, variant: Column): Column =
+    col(MolFusedFromSeed(expr(seed), expr(variant)))
+  def mol_lactam_from_seed(seed: Column, variant: Column): Column =
+    col(MolLactamFromSeed(expr(seed), expr(variant)))
   def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
   def canonical_smiles_iso(c: Column): Column = col(CanonicalSmilesIso(expr(c)))
   def morgan_fp(c: Column): Column = col(MorganFingerprint(expr(c)))

@@ -214,6 +214,27 @@ object ChemProps extends Properties("chem") {
       a == b && a.exists(_.isLower) && Chem.canonical(a) == a
     }
 
+  /** Fused-system perception: any seed and any pair of renderings
+    * (aromatic form, both Kekulé PHASES — which disagree on the shared
+    * fusion bond's order) collapse, and the canonical output is an
+    * aromatic fixpoint. Phase-independence is the whole contract:
+    * per-ring Hückel counting provably cannot pass this property. */
+  property("fused aromatize: phases collapse, perception idempotent, canonical fixpoint") =
+    forAll(Gen.choose(1L, 10000L), Gen.choose(0, 2), Gen.choose(0, 2)) { (seed, v1, v2) =>
+      val a = Chem.canonical(Chem.fusedFromSeed(seed, v1))
+      val b = Chem.canonical(Chem.fusedFromSeed(seed, v2))
+      a == b && a.exists(_.isLower) && Chem.canonical(a) == a
+    }
+
+  /** Lactim→lactam: amide and lactim renderings of a seed collapse to
+    * one keto-form fixpoint that still contains the C=O. */
+  property("lactam tautomer: renderings collapse to an amide fixpoint") =
+    forAll(Gen.choose(1L, 10000L), Gen.choose(0, 2), Gen.choose(0, 2)) { (seed, v1, v2) =>
+      val a = Chem.canonical(Chem.lactamFromSeed(seed, v1))
+      val b = Chem.canonical(Chem.lactamFromSeed(seed, v2))
+      a == b && (a.contains("=O") || a.contains("O=")) && Chem.canonical(a) == a
+    }
+
   property("kernels never throw on arbitrary input strings") = {
     val smilesAlphabet = Gen.oneOf("CNOSPcnos()[]@Hh+-=#/\\123456789%.FIBrl".toSeq)
     val garbage = Gen.oneOf(

@@ -340,11 +340,91 @@ class ChemSpec extends SparkSpecBase {
     assert(Chem.canonical("C1=CC=C1").contains("="))
     // saturated N ring (pentazolidine): five lone pairs are NOT a π system
     assert(!Chem.canonical("N1NNNN1").exists(_.isLower))
-    // fused systems are out of perception scope (documented): Kekulé
-    // naphthalene stays Kekulé; aromatic-INPUT naphthalene still works
-    // on trusted flags, and biphenyl's ISOLATED rings both perceive
-    assert(Chem.canonical("C1=CC=C2C=CC=CC2=C1") != Chem.canonical("c1ccc2ccccc2c1"))
+    // biphenyl's rings share no edge: two singleton systems, both perceive
     assert(Chem.canonical("C1=CC=CC=C1C1=CC=CC=C1") == Chem.canonical("c1ccccc1-c1ccccc1"))
+  }
+
+  test("fused-system perception: Kekulé phases of fused aromatics collapse") {
+    val naph = Chem.canonical("c1ccc2ccccc2c1")
+    // both Kekulé phases of naphthalene — the fusion bond double in one,
+    // single in the other (bond orders on the SHARED edge disagree)
+    assert(Chem.canonical("C1=CC=C2C=CC=CC2=C1") == naph)
+    assert(Chem.canonical("C1=CC2=CC=CC=C2C=C1") == naph)
+    // quinoline, indole (regains [nH]), benzofuran, benzimidazole
+    assert(Chem.canonical("N1=CC=CC2=CC=CC=C12") == Chem.canonical("c1ccc2ncccc2c1"))
+    val indole = Chem.canonical("c1ccc2[nH]ccc2c1")
+    assert(Chem.canonical("N1C=CC2=CC=CC=C12") == indole)
+    assert(indole.contains("[nH]"))
+    assert(Chem.canonical("O1C=CC2=CC=CC=C12") == Chem.canonical("c1ccc2occc2c1"))
+    assert(Chem.canonical("N1C=NC2=CC=CC=C12") == Chem.canonical("c1ccc2[nH]cnc2c1"))
+    // anthracene (three linearly fused rings, pi = 14)
+    assert(Chem.canonical("C1=CC=C2C=C3C=CC=CC3=CC2=C1") ==
+      Chem.canonical("c1ccc2cc3ccccc3cc2c1"))
+    // an sp3 neighbor ring fails plausibility WITHOUT dragging down the
+    // benzene it is fused to: indane / tetralin / indene perceive the
+    // benzene alone, the saturated ring stays as written
+    assert(Chem.canonical("C1CC2=CC=CC=C2C1") == Chem.canonical("C1Cc2ccccc2C1"))
+    assert(Chem.canonical("C1CCC2=CC=CC=C2C1") == Chem.canonical("C1CCc2ccccc2C1"))
+    assert(Chem.canonical("C1C=CC2=CC=CC=C12") == Chem.canonical("C1C=Cc2ccccc21"))
+    // Hückel rejects the whole system, not ring by ring: pentalene
+    // (pi = 8) stays Kekulé in any rendering
+    assert(Chem.canonical("C1=CC2=CC=CC2=C1").contains("="))
+    // fused substructure matching perceives both sides (ADVICE r9 #1:
+    // a Kekulé benzene pattern must find a Kekulé naphthalene target)
+    assert(Chem.hasSubstructure("C1=CC=C2C=CC=CC2=C1", "C1=CC=CC=C1"))
+    assert(Chem.hasSubstructure("c1ccc2ccccc2c1", "C1=CC=CC=C1"))
+    assert(Chem.hasSubstructure("N1C=CC2=CC=CC=C12", "c1cc[nH]c1"))
+  }
+
+  test("lactim -> lactam tautomer: renderings collapse, scope negatives stay") {
+    // acetamide drawn as the imidol / N-methylacetamide as the lactim
+    assert(Chem.canonical("CC(O)=N") == Chem.canonical("CC(N)=O"))
+    assert(Chem.canonical("CC(O)=NC") == Chem.canonical("CC(=O)NC"))
+    // ring lactam: caprolactam's lactim rendering collapses
+    assert(Chem.canonical("OC1=NCCCCC1") == Chem.canonical("O=C1NCCCCC1"))
+    // O-methyl imidate is NOT tautomerizable (no O-H to shift)
+    assert(Chem.canonical("COC(C)=N") != Chem.canonical("COC(C)N"))
+    assert(Chem.canonical("COC(C)=N").contains("="))
+    // aromatic-ring tautomers stay out of scope: 2-hydroxypyridine
+    // keeps its aromatic hydroxy form (perceived by aromatize), the
+    // tautomer rule never rewrites into an aromatic ring
+    assert(Chem.canonical("OC1=CC=CC=N1") == Chem.canonical("Oc1ccccn1"))
+  }
+
+  test("fused/lactam generators: renderings collapse per cell, cells stay apart, oracle contract holds") {
+    // fused lattice: moduli 4 (system) x 5 (methyl) -> span 20
+    val fCells = (1L to 20L).map(s => (math.floorMod(s, Chem.FusedSysMod),
+      math.floorMod(s * Chem.FusedMethMul, Chem.FusedMethMod) < Chem.FusedMethLt))
+    val fCanons = (1L to 20L).map { seed =>
+      val v = (0 to 2).map(Chem.fusedFromSeed(seed, _))
+      val c = v.map(Chem.canonical)
+      assert(c.distinct.size == 1, s"fused seed $seed renderings split: $v -> $c")
+      assert(c.head.exists(_.isLower), s"fused seed $seed did not aromatize: ${c.head}")
+      c.head
+    }
+    fCanons.zip(fCells).groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._1).distinct.size == 1, s"fused cell split: $g")
+    }
+    assert(fCanons.distinct.size == fCells.distinct.size)
+    // lactam lattice: moduli 3 (nsub) x 2 (acyl) -> span 6
+    val lCells = (1L to 6L).map(s =>
+      (math.floorMod(s, Chem.LactamNSubMod), math.floorMod(s, Chem.LactamAcylMod)))
+    val lCanons = (1L to 6L).map { seed =>
+      val v = (0 to 2).map(Chem.lactamFromSeed(seed, _))
+      val c = v.map(Chem.canonical)
+      assert(c.distinct.size == 1, s"lactam seed $seed renderings split: $v -> $c")
+      assert(c.head.contains("N") && (c.head.contains("=O") || c.head.contains("O=")),
+        s"not an amide: ${c.head}")
+      c.head
+    }
+    assert(lCanons.distinct.size == lCells.distinct.size)
+    // the registered queries' oracle contracts at the smoke SF
+    import queries.ChemQueries
+    Seq(ChemQueries.d12FusedAromatic(spark, sfDir).collect(),
+        ChemQueries.d13LactamCanonical(spark, sfDir).collect()).foreach { out =>
+      assert(out.nonEmpty)
+      assert(out.forall(r => r.getAs[Long]("n_renderings") == 3 * r.getAs[Long]("n_mols")))
+    }
   }
 
   test("arom generator: renderings collapse per cell, cells stay apart, oracle contract holds") {
