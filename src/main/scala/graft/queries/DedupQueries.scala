@@ -196,14 +196,40 @@ object DedupQueries {
     graft.SessionMemo.parquet(spark, "minhash_pairs", dir)(
       minhashPairsFrom(shingleTable(spark, dir)))
 
-  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
-    val banded = bandedDocs(sh)
-    val a = banded.select(col("band_val"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band_val"), col("doc_id").as("id_b"))
-    val cand = a.join(b, Seq("band_val"))
+  /** Hot-bucket occupancy fence for the MinHash band join (df-style
+    * cap, the PPJoin document-frequency trade applied to LSH buckets):
+    * a band bucket holding more than [[BandBucketCap]] docs is dropped
+    * from the candidate join — a low-entropy corpus (boilerplate pages,
+    * constant-band degenerate text) otherwise turns ONE bucket into an
+    * occ²/2 pair explosion that no later filter can undo. What a
+    * dropped bucket can lose: pairs findable ONLY through that bucket —
+    * at cap occupancy those members are overwhelmingly exact/near-exact
+    * duplicates, which the exact-digest dedup family catches upstream
+    * of any LSH pass (the production pipeline runs dedup_exact first).
+    * The cap is mirrored VERBATIM in the DuckDB oracle (same named
+    * constant), and it never triggers on the harness corpora — the
+    * fence spec drives it with a small cap on an adversarial corpus
+    * instead ([[minhashCandidates]]). */
+  val BandBucketCap = 4096
+
+  private def minhashPairsFrom(sh: DataFrame): DataFrame =
+    verifyAgainst(minhashCandidates(bandedDocs(sh), BandBucketCap), sh)
+
+  /** Candidate stage of [[minhashPairsFrom]], parameterized by the
+    * occupancy cap so the fence spec can measure the adversarial case.
+    * The occupancy agg shares the join's band_val partitioning (one
+    * logical shuffle; AQE reuses the exchange). */
+  private[graft] def minhashCandidates(banded: DataFrame, cap: Int): DataFrame = {
+    val cold = banded.groupBy(col("band_val"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= cap)
+      .select(col("band_val"))
+    val kept = banded.join(cold, Seq("band_val"))
+    val a = kept.select(col("band_val"), col("doc_id").as("id_a"))
+    val b = kept.select(col("band_val"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyAgainst(cand, sh)
   }
 
   /** (doc_id, band_val) LSH bucket keys for every doc of a shingle
@@ -336,26 +362,81 @@ object DedupQueries {
     graft.SessionMemo.parquet(spark, "simhash_pairs", dir)(
       simhashPairsLive(spark, dir))
 
+  /** Hot-bucket escalation threshold for the simhash pigeonhole join.
+    * Unlike the MinHash cap, this fence is EXACT: two prints within
+    * hamming ≤ [[SimhashMaxHamming]] = 6 over 8 chunks agree on AT
+    * LEAST TWO chunks (8 − 6), so a bucket hotter than the cap can
+    * escalate its members to two-chunk keys — every true pair inside
+    * the hot bucket still shares a second chunk and surfaces through
+    * the (chunk, chunk₂) join — instead of expanding occ²/2 one-key
+    * candidates. Output is provably identical to the all-pairs
+    * relation, so the DuckDB all-pairs oracle keeps checking it, cap
+    * triggered or not. Never hot on the harness corpora (≤ 2048
+    * possible buckets, near-uniform byte values); the fence spec
+    * drives the escalation with a tiny cap on an adversarial
+    * constant-chunk corpus instead ([[simhashCandidates]]). */
+  val SimhashBucketCap = 1024
+
   private def simhashPairsLive(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.documents(spark, dir)
       .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
       .persist()
     s.count() // materialize before the candidate and verify branches fan out
-    val chunkExprs = (0 until 8).map(i =>
-      shiftrightunsigned(col("sh"), i * 8).bitwiseAND(lit(0xFFL)))
-    val chunks = s.select(col("doc_id"),
-      posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk_val")))
-    val a = chunks.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_a"))
-    val b = chunks.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_b"))
-    val cand = a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cand = simhashCandidates(s, SimhashBucketCap)
     cand
       .join(s.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(s.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= SimhashMaxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Candidate stage of the simhash pipeline over a (doc_id, sh)
+    * fingerprint frame, with the two-level pigeonhole fence:
+    *
+    *  - COLD buckets (occupancy ≤ cap) self-join on (chunk_idx,
+    *    chunk_val) — the plain one-match pigeonhole, as before.
+    *  - HOT buckets escalate: each member re-keys by (hot chunk,
+    *    EVERY OTHER chunk) — 7 rows per membership — and the self-join
+    *    runs on the four-column two-chunk key. Completeness: a true
+    *    pair (hamming ≤ 6) matches on ≥ 2 of 8 chunks; if any matching
+    *    chunk's bucket is cold the cold path finds it, otherwise both
+    *    are hot and the pair shares (hot chunk i, second chunk j ≠ i).
+    *    A second escalation level has nothing to exploit (pairs are
+    *    only guaranteed TWO matches), and a corpus degenerate past
+    *    two-chunk keys has a genuinely quadratic TRUE-pair set —
+    *    bounded work relative to output is the best any scheme gets.
+    *
+    * The occupancy table is at most 8 × 256 = 2048 rows regardless of
+    * corpus size (one byte per chunk), so the hot/cold tagging join
+    * broadcasts — the fence costs one tiny agg, no extra fact shuffle. */
+  private[graft] def simhashCandidates(s: DataFrame, cap: Int): DataFrame = {
+    val chunkExprs = (0 until 8).map(i =>
+      shiftrightunsigned(col("sh"), i * 8).bitwiseAND(lit(0xFFL)))
+    val chunks = s.select(col("doc_id"), col("sh"),
+      posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val occ = chunks.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("occ"))
+    val tagged = chunks.join(broadcast(occ), Seq("chunk_idx", "chunk_val"))
+    val coldM = tagged.filter(col("occ") <= cap)
+      .select(col("chunk_idx"), col("chunk_val"), col("doc_id"))
+    val coldCand = coldM.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_a"))
+      .join(coldM.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_b")),
+        Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val hotM = tagged.filter(col("occ") > cap)
+      .select(col("chunk_idx"), col("chunk_val"), col("doc_id"), col("sh"))
+      .select(col("chunk_idx"), col("chunk_val"), col("doc_id"),
+        posexplode(array(chunkExprs: _*)).as(Seq("idx2", "val2")))
+      .filter(col("idx2") =!= col("chunk_idx"))
+    val hotCand = hotM.select(col("chunk_idx"), col("chunk_val"), col("idx2"), col("val2"),
+        col("doc_id").as("id_a"))
+      .join(hotM.select(col("chunk_idx"), col("chunk_val"), col("idx2"), col("val2"),
+        col("doc_id").as("id_b")), Seq("chunk_idx", "chunk_val", "idx2", "val2"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    coldCand.union(hotCand).distinct()
   }
 
   /** MinHash quality as ORACLE-CHECKED data: full-join the LSH pairs
@@ -1062,11 +1143,14 @@ object DedupQueries {
 
   /** Full DuckDB replay of [[dedupMinhashLsh]] — bucket join + exact
     * verify over the shared band layer, so even LSH's recall misses
-    * reproduce exactly and the result hash-matches. */
+    * reproduce exactly and the result hash-matches. The occupancy
+    * fence replays too (same [[BandBucketCap]] constant interpolated),
+    * so a capped bucket drops identically on both sides. */
   private[graft] val minhashLshSql: String =
     (lshBandsCtes +
+     s", coldb AS (SELECT band_val FROM bands GROUP BY band_val HAVING count(*) <= $BandBucketCap)" +
      ", cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a " +
-     "JOIN bands b USING (band_val) WHERE a.doc_id < b.doc_id) " +
+     "JOIN bands b USING (band_val) JOIN coldb USING (band_val) WHERE a.doc_id < b.doc_id) " +
      duckVerify("id_a", "id_b"))
 
   /** DuckDB replay of [[dedupIncremental]]: the same band layer, with

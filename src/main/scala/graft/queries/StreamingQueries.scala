@@ -464,7 +464,12 @@ object StreamingQueries {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val raw = spark.read.parquet(s"$dir/documents.parquet")
     val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
+    // constant ingest timestamp: the TTL machinery is armed (watermark,
+    // per-bucket timeouts) but can never fire inside the drain, so the
+    // drained result still equals the batch band join / its oracle —
+    // see the retention contract on StreamOps.lshCandidatePairs
     val banded = DedupQueries.streamBandedDocs(stream)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
     val qname = "t7_stream_lsh_dedup_" + java.lang.Integer.toHexString(dir.hashCode)
     val nStaged = raw.count()
     withStatePartitions(spark, 8) {

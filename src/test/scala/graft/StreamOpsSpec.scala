@@ -104,7 +104,8 @@ class StreamOpsSpec extends SparkSpecBase {
     }
     val stream = StreamOps.fileFeed(spark, feed.toString, docs, maxFilesPerTrigger = 1)
     val q = StreamOps.lshCandidatePairs(spark,
-        graft.queries.DedupQueries.streamBandedDocs(stream))
+        graft.queries.DedupQueries.streamBandedDocs(stream)
+          .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp")))
       .toDF("id_a", "id_b")
       .writeStream.format("memory").queryName("lsh_two_drops")
       .outputMode("append")
@@ -116,6 +117,41 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(streamed.count() > 0, "no pairs drained")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "two-drop streaming LSH diverges from the batch relation")
+  }
+
+  test("LSH bucket state honors the TTL retention contract: idle buckets evict, state row count drops") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-0$day 00:00:00")
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val out = s"lsh_ttl_${System.nanoTime()}"
+    val q = StreamOps.lshCandidatePairs(spark,
+        mem.toDF().toDF("band_val", "doc_id", "ts"), ttl = "1 day")
+      .toDF("id_a", "id_b")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    // batch 1, day 1: bucket 100 sees docs 1,2 -> pair (1,2)
+    mem.addData((100L, 1L, ts(1)), (100L, 2L, ts(1)))
+    q.processAllAvailable()
+    // batch 2, day 4: activity only in bucket 200; the watermark
+    // advances to day 3, past bucket 100's (day 1 + 1 day) timeout
+    mem.addData((200L, 7L, ts(4)))
+    q.processAllAvailable()
+    // batch 3 lets the timeout FIRE (timeouts run when a later batch
+    // executes with the advanced watermark), evicting bucket 100
+    mem.addData((200L, 8L, ts(4)))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    // batch 4, day 4: doc 3 lands in the EVICTED bucket 100 — the
+    // day-1 ids are beyond the dedup horizon, so no (1,3)/(2,3) pair
+    mem.addData((100L, 3L, ts(4)))
+    q.processAllAvailable()
+    val pairs = spark.table(out).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs.contains((1L, 2L)), s"within-horizon pair lost: $pairs")
+    assert(pairs == Set((1L, 2L), (7L, 8L)),
+      s"pairs across an evicted bucket must not surface: $pairs")
+    assert(stateRows == 1L,
+      s"idle bucket should have evicted (expected 1 live state row, got $stateRows)")
   }
 
   test("T8 upsert materialization equals the batch latest-state table") {
