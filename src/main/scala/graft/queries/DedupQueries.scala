@@ -207,9 +207,10 @@ object DedupQueries {
     * duplicates, which the exact-digest dedup family catches upstream
     * of any LSH pass (the production pipeline runs dedup_exact first).
     * The cap is mirrored VERBATIM in the DuckDB oracle (same named
-    * constant), and it never triggers on the harness corpora — the
-    * fence spec drives it with a small cap on an adversarial corpus
-    * instead ([[minhashCandidates]]). */
+    * constant), and it never triggers on the harness corpora (max band
+    * occupancy 21 at sf0.1, OccProbe r11; DedupQueriesSpec pins the
+    * gate SFs ≤ cap/4) — the fence spec drives it with a small cap on
+    * an adversarial corpus instead ([[minhashCandidates]]). */
   val BandBucketCap = 4096
 
   private def minhashPairsFrom(sh: DataFrame): DataFrame =
@@ -251,7 +252,7 @@ object DedupQueries {
     * expressible in the DuckDB oracle. A cross-band fold collision can
     * only ADD a candidate pair, which the exact verify rejects — and
     * the oracle replays the identical fold, so parity is exact. */
-  private def bandedDocs(sh: DataFrame): DataFrame = {
+  private[graft] def bandedDocs(sh: DataFrame): DataFrame = {
     val rows = MinhashPerms / Bands
     val ex = sh.select(col("doc_id"), explode(col("hs")).as("shash"))
       .withColumn("h", shiftrightunsigned(col("shash"), 29))
@@ -371,10 +372,13 @@ object DedupQueries {
     * the (chunk, chunk₂) join — instead of expanding occ²/2 one-key
     * candidates. Output is provably identical to the all-pairs
     * relation, so the DuckDB all-pairs oracle keeps checking it, cap
-    * triggered or not. Never hot on the harness corpora (≤ 2048
-    * possible buckets, near-uniform byte values); the fence spec
-    * drives the escalation with a tiny cap on an adversarial
-    * constant-chunk corpus instead ([[simhashCandidates]]). */
+    * triggered or not. Occupancy census (OccProbe, r11): the high
+    * simhash byte is SKEWED, not uniform — the sf0.1 bench corpus
+    * drives chunk bucket (7,1) to 4533 > cap, so the escalation runs
+    * LIVE (and exactly) in every sf0.1 bench; the gate SFs stay cold
+    * at max 444 (pinned ≤ cap in DedupQueriesSpec), and the fence spec
+    * additionally drives the escalation with a tiny cap on adversarial
+    * constant-chunk corpora ([[simhashCandidates]]). */
   val SimhashBucketCap = 1024
 
   private def simhashPairsLive(spark: SparkSession, dir: String): DataFrame = {
@@ -974,16 +978,18 @@ object DedupQueries {
   /** Marked positions of [[dedupExactSubstring]]: every duplicated-gram
     * occurrence except the globally-first one. */
   private def substrMarked(occ: DataFrame): DataFrame = {
-    // keeper = lexicographic min (doc_id, pos), packed into one long
-    // (pos < 2^32 per doc) so the agg ships a single 8-byte value
-    val packed = col("doc_id") * lit(4294967296L) + col("pos")
+    // keeper = lexicographic min (doc_id, pos) as a struct-min — NOT
+    // a doc_id*2^32+pos packed long, which silently corrupts keeper
+    // selection once doc_id >= 2^31 or pos >= 2^32 (production-scale
+    // ids); struct comparison is overflow-free at any id width
+    val key = struct(col("doc_id"), col("pos"))
     val dupGrams = occ
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt"), min(packed).as("keeper"))
+      .agg(count(lit(1)).as("cnt"), min(key).as("keeper"))
       .filter(col("cnt") >= 2)
       .select(col("h"), col("keeper"))
     occ.join(dupGrams, "h")
-      .filter(packed =!= col("keeper"))
+      .filter(key =!= col("keeper"))
       .select(col("doc_id"), col("pos"))
   }
 
@@ -1279,10 +1285,10 @@ object DedupQueries {
 
   /** Full-corpus keeper marking (dup -> mk). */
   private val substrMarkCtes =
-    "dup AS (SELECT gram, min(doc_id*4294967296+pos) AS keeper FROM occ " +
+    "dup AS (SELECT gram, min(struct_pack(d := doc_id, p := pos)) AS keeper FROM occ " +
     "GROUP BY gram HAVING count(*) >= 2), " +
     "mk AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (gram) " +
-    "WHERE o.doc_id*4294967296+o.pos <> d.keeper)"
+    "WHERE struct_pack(d := o.doc_id, p := o.pos) <> d.keeper)"
 
   private def substrAccountingSql(docFilter: String) =
     "ag AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e-s) AS dup_tokens FROM sp GROUP BY doc_id) " +

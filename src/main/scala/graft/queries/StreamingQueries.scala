@@ -474,7 +474,8 @@ object StreamingQueries {
     val nStaged = raw.count()
     withStatePartitions(spark, 8) {
       drainVerified(nStaged, qname) {
-        StreamOps.lshCandidatePairs(spark, banded).toDF("id_a", "id_b")
+        StreamOps.lshCandidatePairs(spark, banded, failOnHotBucket = true)
+          .toDF("id_a", "id_b")
           .writeStream.format("memory").queryName(qname)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
       }

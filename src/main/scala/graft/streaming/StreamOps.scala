@@ -175,12 +175,18 @@ object StreamOps {
     *    streaming counterpart of the batch band join's df-style
     *    hot-bucket drop (the batch side drops the WHOLE hot bucket;
     *    the stream, which cannot retract already-emitted pairs, keeps
-    *    the first cap's worth and ignores the rest). Neither fence
-    *    triggers on the harness corpora — DedupQueriesSpec pins max
-    *    occupancy at the gate SFs far below the cap, which is what
-    *    keeps t7 ≡ the capped batch oracle. */
+    *    the first cap's worth and ignores the rest). Because those two
+    *    semantics diverge once the cap trips, callers that promise
+    *    batch-oracle equality (t7) pass `failOnHotBucket = true` and
+    *    fail LOUDLY at the first over-cap id instead of hash-
+    *    mismatching downstream. Neither fence triggers on the harness
+    *    corpora — DedupQueriesSpec ("hot-bucket fences never trigger
+    *    on the gate corpora") pins max band/chunk occupancy at the
+    *    gate SFs far below the caps, which is what keeps t7 ≡ the
+    *    capped batch oracle. */
   def lshCandidatePairs(spark: SparkSession, banded: DataFrame,
-                        ttl: String = "24 hours"): Dataset[(Long, Long)] = {
+                        ttl: String = "24 hours",
+                        failOnHotBucket: Boolean = false): Dataset[(Long, Long)] = {
     import spark.implicits._
     val ttlMs = parseDurationMs(ttl)
     val cap = graft.queries.DedupQueries.BandBucketCap
@@ -189,14 +195,15 @@ object StreamOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         (_: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
-         state: GroupState[Array[Long]]) => {
+         state: GroupState[(Array[Long], Long)]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val prior = state.getOption.getOrElse(Array.empty[Long])
+            val (prior, priorMax) =
+              state.getOption.getOrElse((Array.empty[Long], Long.MinValue))
             val priorSet = prior.toSet
-            var maxTs = Long.MinValue
+            var maxTs = priorMax
             val newIds = rows.map { r =>
               if (r._3.getTime > maxTs) maxTs = r._3.getTime
               r._2
@@ -207,12 +214,28 @@ object StreamOps {
               if (seen.length < cap) {
                 seen.foreach { p => out += (if (p < id) (p, id) else (id, p)) }
                 seen = seen :+ id
+              } else if (failOnHotBucket) {
+                // gate/drain callers (t7) opt in: their oracle equality
+                // holds only while the fence never triggers (the batch
+                // twin DROPS a hot bucket whole; the stream, which
+                // cannot retract emitted pairs, keeps the first cap's
+                // worth) — so crossing the cap must fail loudly here,
+                // not surface as a silent hash mismatch downstream
+                throw new IllegalStateException(
+                  s"band bucket exceeded BandBucketCap=$cap during a " +
+                  "drain that promises batch-oracle equality")
               }
             }
-            state.update(seen)
+            state.update((seen, maxTs))
             // re-arm: evict once the watermark passes ttl beyond the
-            // newest doc this bucket has seen (must stay > watermark;
-            // maxTs >= watermark + anything unexpired guarantees it)
+            // newest doc this bucket has EVER seen. The lifetime max
+            // lives in state because GroupState cannot read back the
+            // current timeout: re-arming from only the CURRENT batch's
+            // max would let an out-of-order batch (older rows that the
+            // ttl-wide watermark delay still admits) move the timeout
+            // BACKWARDS and evict the bucket before its documented
+            // `newest doc + ttl` horizon (must stay > watermark;
+            // maxTs >= watermark + anything unexpired guarantees it).
             if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs + ttlMs)
             out.result().iterator
           }

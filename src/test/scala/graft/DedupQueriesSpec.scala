@@ -359,4 +359,80 @@ class DedupQueriesSpec extends SparkSpecBase {
     val brute = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     assert(core == brute)
   }
+
+  test("minhash band fence: a hot bucket is dropped WHOLE (oracle-mirrored), cold buckets unaffected") {
+    import spark.implicits._
+    // adversarial constant-band corpus: band 7 holds 5 docs (occ 5 > cap
+    // 2), band 9 holds 2 (cold) — the low-entropy shape the fence exists
+    // for, driven with a tiny cap the way the BandBucketCap scaladoc says
+    val banded = ((1L to 5L).map(d => (7L, d)) ++ Seq((9L, 10L), (9L, 11L)))
+      .toDF("band_val", "doc_id")
+    val uncapped = pairs(DedupQueries.minhashCandidates(banded, DedupQueries.BandBucketCap))
+    assert(uncapped.size == 11, s"sanity: 5*4/2 + 1 uncapped candidates, got ${uncapped.size}")
+    val capped = pairs(DedupQueries.minhashCandidates(banded, 2))
+    assert(capped == Set((10L, 11L)),
+      s"hot bucket must contribute ZERO pairs — dropped whole, exactly as the DuckDB oracle drops it: $capped")
+  }
+
+  test("simhash fence: hot-bucket escalation is EXACT and bounded (cap=2 adversarial corpora)") {
+    import spark.implicits._
+    // corpus A — every shared bucket hot, every pair a true pair: doc i
+    // flips one bit in chunk i of a shared base print (pairwise hamming
+    // 2). Each bucket (j, base_j) holds 4 docs > cap, so the cold path
+    // finds NOTHING; all 10 pairs must surface through the two-chunk
+    // escalation keys — the exactness claim on simhashCandidates.
+    val base = 0x5A5A5A5A5A5A5A5AL
+    val a = (0 until 5).map(i => (i.toLong, base ^ (1L << (8 * i)))).toDF("doc_id", "sh")
+    val candA = pairs(DedupQueries.simhashCandidates(a, 2))
+    val allA = (for (i <- 0 until 5; k <- i + 1 until 5) yield (i.toLong, k.toLong)).toSet
+    assert(candA == allA,
+      s"escalation != all-pairs relation; missing ${allA -- candA}, extra ${candA -- allA}")
+
+    // corpus B — one constant chunk, everything else pairwise distinct:
+    // 20 prints share chunk 0 (hot at cap 2); chunks 1..7 differ on every
+    // pair, so hamming >= 7 > 6 and there are NO true pairs. Uncapped,
+    // the chunk-0 bucket expands into C(20,2)=190 one-key candidates;
+    // escalated, the two-chunk keys are all singletons — candidates stay
+    // proportional to TRUE pairs, never occupancy².
+    val b = (0 until 20).map { i =>
+      val hi = (1 until 8).map(j => ((20 * j + i) & 0xFF).toLong << (8 * j)).sum
+      (i.toLong, hi | 0xAAL)
+    }.toDF("doc_id", "sh")
+    assert(pairs(DedupQueries.simhashCandidates(b, DedupQueries.SimhashBucketCap)).size == 190,
+      "sanity: uncapped one-key join explodes the hot bucket")
+    assert(pairs(DedupQueries.simhashCandidates(b, 2)).isEmpty,
+      "hot-bucket escalation must not emit occupancy² candidates for non-pairs")
+  }
+
+  test("hot-bucket fences never trigger on the gate corpora: max occupancy far below the caps") {
+    // this pin is what keeps t7 (stream keeps-first-cap semantics) equal
+    // to the capped batch oracle (drops-whole-bucket semantics) at the
+    // gate SFs; t7 itself also drains with failOnHotBucket = true
+    val gateDirs = Seq(sfDir, "/root/testdata/sf0.01")
+      .filter(d => new java.io.File(d).exists()).distinct
+    assert(gateDirs.nonEmpty)
+    gateDirs.foreach { dir =>
+      val banded = DedupQueries.bandedDocs(DedupQueries.shingleTable(spark, dir))
+      val maxBand = banded.groupBy(col("band_val")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      assert(maxBand <= DedupQueries.BandBucketCap / 4,
+        s"$dir: max band occupancy $maxBand not far below cap ${DedupQueries.BandBucketCap}")
+      val s = Tables.documents(spark, dir)
+        .select(col("doc_id"), graft.expr.hashfunctions.simhash64(split(col("text"), " ")).as("sh"))
+      val chunks = s.select(posexplode(array((0 until 8).map(i =>
+        shiftrightunsigned(col("sh"), i * 8).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+      // the gate SFs stay COLD (no escalation) — but only just: the
+      // high simhash byte is skewed (444/500 docs share chunk (7,1)
+      // here; at sf0.1 that bucket holds 4533 > cap and the escalation
+      // runs LIVE in the bench, exactly — see the simhashCandidates
+      // scaladoc). Unlike the band cap, going hot does not threaten
+      // oracle equality, so the pin is <= cap, not "far below".
+      val maxChunk = chunks.groupBy(col("chunk_idx"), col("chunk_val")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      assert(maxChunk <= DedupQueries.SimhashBucketCap,
+        s"$dir: max chunk occupancy $maxChunk crossed cap ${DedupQueries.SimhashBucketCap}" +
+        " — gate corpora now exercise the escalation; update the scaladoc census")
+    }
+  }
 }

@@ -154,6 +154,42 @@ class StreamOpsSpec extends SparkSpecBase {
       s"idle bucket should have evicted (expected 1 live state row, got $stateRows)")
   }
 
+  test("LSH bucket TTL re-arms from the LIFETIME max event time: an out-of-order batch cannot shrink the horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(day: Int, hour: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$day $hour%02d:00:00")
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val out = s"lsh_ooo_${System.nanoTime()}"
+    val q = StreamOps.lshCandidatePairs(spark,
+        mem.toDF().toDF("band_val", "doc_id", "ts"), ttl = "2 days")
+      .toDF("id_a", "id_b")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    // batch 1: bucket 100 newest doc at day 5 -> horizon = day 5 + 2d = day 7
+    mem.addData((100L, 1L, ts(5)))
+    q.processAllAvailable()
+    // batch 2: OUT-OF-ORDER row (day 4 — older than the bucket's newest,
+    // still above the day-3 watermark that the 2-day delay admits).
+    // A current-batch-max re-arm would move the timeout BACK to day 6.
+    mem.addData((100L, 2L, ts(4)))
+    q.processAllAvailable()
+    // batch 3+4: advance the watermark to day 6 12:00 — past the bogus
+    // day-6 timeout, short of the contractual day-7 one — then let
+    // timeouts fire (they run on the batch AFTER the watermark moves)
+    mem.addData((200L, 7L, ts(8, 12)))
+    q.processAllAvailable()
+    mem.addData((200L, 8L, ts(8, 12)))
+    q.processAllAvailable()
+    // batch 5: doc 3 joins bucket 100, inside the documented horizon —
+    // the within-horizon pairs (1,3)/(2,3) must surface
+    mem.addData((100L, 3L, ts(8, 12)))
+    q.processAllAvailable()
+    val pairs = spark.table(out).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(pairs == Set((1L, 2L), (7L, 8L), (1L, 3L), (2L, 3L)),
+      s"out-of-order batch shrank the eviction horizon: $pairs")
+  }
+
   test("T8 upsert materialization equals the batch latest-state table") {
     import org.apache.spark.sql.functions._
     val got = graft.queries.StreamingQueries.t8StreamMergeUpsert(spark, sfDir)
