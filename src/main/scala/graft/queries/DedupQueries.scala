@@ -1262,7 +1262,7 @@ object DedupQueries {
   /** Tokenize + gram CTEs shared by the three substring-dedup oracles
     * (t: tokens, g: grams + totals, o1/occ: 1-based positioned
     * occurrences). */
-  private val substrOccCtes = {
+  private[graft] val substrOccCtes = {
     val k = SubstrK
     val gramExpr = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
     s"WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +

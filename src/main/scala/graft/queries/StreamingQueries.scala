@@ -830,7 +830,11 @@ object StreamingQueries {
     * candidates, and appends the confirmed pairs via foreachBatch.
     * Per-delta-doc independence makes the union over micro-batches
     * equal the one-shot batch relation — so the streamed result shares
-    * `dedup_containment_incremental`'s full DuckDB oracle. */
+    * `dedup_containment_incremental`'s full DuckDB oracle. Index
+    * LIFECYCLE: the stored postings/df tables follow the same epoch
+    * merge+expire retention cycle as the gram index —
+    * [[t21IndexRetention]] / [[graft.ops.IndexRetention]]; this drain
+    * probes one frozen version, as a production reader would. */
   def t16StreamContainment(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = graft.ScratchDirs.dir("stream", tag, "containment_stream")
@@ -1039,7 +1043,11 @@ object StreamingQueries {
     * raw delta docs (odd ids) computes its own gram occurrences from
     * text, semi-joins the index set, merges marked positions into
     * spans and appends the per-doc removal accounting via
-    * `foreachBatch`. Every per-doc result is a pure function of
+    * `foreachBatch`. Index LIFECYCLE: over an endless feed this stored
+    * gram set is kept bounded by the epoch merge+expire cycle of
+    * [[t21IndexRetention]] / [[graft.ops.IndexRetention]] (entries
+    * unseen for the retention horizon leave at the next republish);
+    * the drain here probes one frozen version, as a reader would. Every per-doc result is a pure function of
     * (doc, index) — [[DedupQueries.substringIncrementalOfDelta]] is
     * shared verbatim with the batch query — so the union over any
     * micro-batch split equals the one-shot relation and t20 shares
@@ -1074,7 +1082,57 @@ object StreamingQueries {
         col("total_tokens"), col("dup_frac"))
   }
 
+  /** T21 — retention/compaction epochs for the persisted index
+    * artifacts (the missing lifecycle piece behind t16/t20: their
+    * stored gram/postings tables otherwise grow monotonically over an
+    * endless feed). The corpus arrives in 4 ingest epochs
+    * (epoch = doc_id % 4 — deterministic, standing in for the ingest
+    * date partition); each epoch's distinct gram hashes merge into the
+    * stored index through [[graft.ops.IndexRetention.mergeAndExpire]]
+    * with a 2-epoch retention horizon, and every epoch REWRITES the
+    * index as a new parquet version (the atomic-swap publish shape of
+    * x_shard_merge) — so the run exercises the real rolling
+    * merge→expire→republish cycle, not a closed-form shortcut. Output
+    * is the final index's per-epoch census plus the total expired
+    * count; the DuckDB oracle checks it against the closed form the
+    * rolling recurrence provably equals (per-gram max epoch within the
+    * retention window). Boundedness under a longer feed is pinned in
+    * StreamOpsSpec. */
+  def t21IndexRetention(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = 4
+    val keep = IndexRetentionKeep
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.ScratchDirs.dir("stream", tag, "gram_index_retention")
+    rmrf(new java.io.File(base))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    var stored: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("last_seen_epoch", org.apache.spark.sql.types.LongType))))
+    (0 until epochs).foreach { e =>
+      val delta = DedupQueries
+        .substrIndexGrams(docs.filter(pmod(col("doc_id"), lit(epochs)) === e))
+        .withColumn("last_seen_epoch", lit(e.toLong))
+      val merged = graft.ops.IndexRetention.mergeAndExpire(stored, delta, e, keep)
+      val v = s"$base/v$e"
+      merged.write.mode("overwrite").parquet(v) // versioned republish
+      stored = spark.read.parquet(v)
+    }
+    // two 1-row scalars (bounded driver reads): final size + all-time size
+    val expired = DedupQueries.substrIndexGrams(docs).count() - stored.count()
+    stored.groupBy(col("last_seen_epoch"))
+      .agg(count(lit(1)).as("n_grams"))
+      .withColumn("n_expired", lit(expired))
+      .orderBy(col("last_seen_epoch"))
+  }
+
+  /** Retention horizon (epochs) for [[t21IndexRetention]] — mirrored
+    * into its oracle's closed form. */
+  val IndexRetentionKeep = 2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_index_retention" -> (t21IndexRetention _),
     "t20_stream_substring_dedup" -> (t20StreamSubstringDedup _),
     "t19_stream_release" -> (t19StreamRelease _),
     "t18_stream_shard_append" -> (t18StreamShardAppend _),
@@ -1100,6 +1158,22 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the rolling merge→expire recurrence provably equals the
+    // closed-form "per-gram max epoch within the retention window":
+    // an entry survives epoch e iff last_seen > e - keep, so after the
+    // final epoch E the index holds exactly the grams seen in epochs
+    // > E - keep, stamped with their max such epoch (re-arrivals
+    // resurrect expired grams; survivors carry their refreshed stamp)
+    "t21_index_retention" -> {
+      val last = 4 - 1 - IndexRetentionKeep // oldest retained epoch - 1
+      s"${DedupQueries.substrOccCtes}, " +
+      "gall AS (SELECT DISTINCT gram FROM occ), " +
+      s"gr AS (SELECT gram, max(doc_id % 4) AS last_seen_epoch FROM occ " +
+      s"WHERE doc_id % 4 > $last GROUP BY gram) " +
+      "SELECT last_seen_epoch, count(*) AS n_grams, " +
+      "(SELECT count(*) FROM gall) - (SELECT count(*) FROM gr) AS n_expired " +
+      "FROM gr GROUP BY 1 ORDER BY 1"
+    },
     // per-doc marks are a pure function of (doc, stored gram index), so
     // the streamed union shares the batch incremental replay verbatim
     "t20_stream_substring_dedup" -> DedupQueries.oracle("dedup_substring_incremental"),

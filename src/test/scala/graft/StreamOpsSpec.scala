@@ -190,6 +190,29 @@ class StreamOpsSpec extends SparkSpecBase {
       s"out-of-order batch shrank the eviction horizon: $pairs")
   }
 
+  test("index retention: merge+expire keeps the stored index bounded across a multi-epoch feed") {
+    import spark.implicits._
+    val keep = 2
+    // gram 1 is refreshed EVERY epoch; gram 100+e is unique to epoch e —
+    // the shape of an endless feed with a hot core and a churning tail
+    var stored = Seq.empty[(Long, Long)].toDF("h", "last_seen_epoch")
+    (0 until 6).foreach { e =>
+      val delta = Seq((1L, e.toLong), ((100 + e).toLong, e.toLong)).toDF("h", "last_seen_epoch")
+      val rows = graft.ops.IndexRetention.mergeAndExpire(stored, delta, e, keep)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // BOUNDED: at most (live grams of the last `keep` epochs) survive —
+      // never the monotone all-epochs union the t16/t20 artifacts had
+      assert(rows.length <= 2 * keep,
+        s"epoch $e: stored index grew past the retention window: ${rows.toSeq}")
+      stored = rows.toSeq.toDF("h", "last_seen_epoch")
+    }
+    val fin = stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the refreshed gram survives with its LATEST stamp; epoch-unique
+    // grams older than the horizon are gone
+    assert(fin == Set((1L, 5L), (105L, 5L), (104L, 4L)),
+      s"retention window content wrong: $fin")
+  }
+
   test("T8 upsert materialization equals the batch latest-state table") {
     import org.apache.spark.sql.functions._
     val got = graft.queries.StreamingQueries.t8StreamMergeUpsert(spark, sfDir)
