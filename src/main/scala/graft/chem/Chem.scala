@@ -606,17 +606,36 @@ object Chem {
     * A donor N in a passing system keeps its pre-perception hydrogen
     * EXPLICITLY (`[nH]`, whose count the aromatic valence recompute
     * would otherwise lose; O and S recompute identically on both paths
-    * and stay implicit). Remaining documented scope limits: charged
-    * rings (cyclopentadienyl), systems containing pre-flagged aromatic
+    * and stay implicit).
+    *
+    * A system that FAILS the whole-system count (4n totals like
+    * pyrene's 16 or acenaphthylene's 12; quinoid partners whose sp2
+    * carbonyl carbons count 0) gets a PER-RING FALLBACK: each
+    * constituent ring re-perceives in isolation, still counting π
+    * contributions against the full system's atom set — see the
+    * fallback comment in the loop body for why that stays
+    * Kekulé-phase-independent and why ring-by-ring suffices (no
+    * intermediate subsystems needed). This perceives pyrene fully
+    * aromatic, keeps quinone rings Kekulé beside aromatic benzo rings
+    * (1,4-naphthoquinone, 9,10-anthraquinone), and renders
+    * acenaphthylene as aromatic naphthalene + CH=CH — RDKit parity,
+    * closing the r10 pyrene-class and quinoid-fused miss classes
+    * (d14's generator lattice drives all four, both phases).
+    *
+    * Remaining documented scope limits: charged rings
+    * (cyclopentadienyl), systems containing pre-flagged aromatic
     * atoms (a half-aromatic half-Kekulé rendering passes through as
-    * written), perimeter-aromatic polycyclics whose FULL-system count
-    * is 4n (pyrene: 16 π by this count, yet aromatic by the perimeter
-    * rule — stays Kekulé), and rings fused only through a non-5/6 ring
-    * (azulene's 7-ring is no candidate, and its 5-ring alone counts
-    * π = 4 in every valid Kekulé structure — consistently, so both
-    * renderings stay Kekulé). Tetrahedral marks on aromatized atoms
-    * and directional marks on aromatized bonds drop — neither can
-    * denote stereo on an aromatic system. */
+    * written), rings fused only through a non-5/6 ring (azulene's
+    * 7-ring is no candidate, and its 5-ring alone counts π = 4 in
+    * every valid Kekulé structure — consistently, so both renderings
+    * stay Kekulé), and fusion against a non-candidate CONJUGATED ring
+    * the perception cannot see (benzocyclobutadiene: the 4-ring is no
+    * candidate, so its benzo ring perceives alone as if isolated —
+    * RDKit's ring-of-size check likewise ignores the 4-ring, but the
+    * whole-molecule antiaromaticity is out of this kernel's scope).
+    * Tetrahedral marks on aromatized atoms and directional marks on
+    * aromatized bonds drop — neither can denote stereo on an aromatic
+    * system. */
   def aromatize(m: Mol): Mol = {
     val n = m.atoms.length
     if (n < 5 || !m.bonds.exists(b => b._3 == 2)) return m // no Kekulé input
@@ -692,20 +711,66 @@ object Chem {
     val hFix = mutable.Map[Int, Int]() // pyrrole-type N -> explicit H
     for (sys <- systems) {
       val sysAtoms: Set[Int] = sys.iterator.flatMap(ringList(_)).toSet
-      var pi = 0
-      var ok = true
-      for (a <- sysAtoms) {
+      // per-atom π contribution, ALWAYS counted against the full
+      // system's atom set (None = heteroatom veto): keeping the
+      // contribution frame fixed is what makes BOTH the whole-system
+      // count and the per-ring fallback below Kekulé-phase-independent
+      // — every atom of a perfectly-matched polycyclic has its one
+      // double bond inside the system in every phase, so a ring's
+      // count never depends on which side of a shared edge the phase
+      // parked the double bond
+      def contrib(a: Int): Option[Int] = {
         val el = m.atoms(a).element
         val intra = m.adj(a).exists { case (b, o) => o == 2 && sysAtoms(b) }
-        if (intra) pi += 1
-        else if (donorish(a)) pi += 2
-        else if (el != "C") ok = false // heteroatom with only exo multiple bonds
-        // else: sp2 carbon with an exocyclic multiple bond — contributes 0
+        if (intra) Some(1)
+        else if (donorish(a)) Some(2)
+        else if (el != "C") None // heteroatom with only exo multiple bonds
+        else Some(0) // sp2 carbon with an exocyclic multiple bond
       }
-      if (ok && pi % 4 == 2 && pi > 2) {
-        aromAtoms ++= sysAtoms
-        sys.foreach(k => aromBonds ++= ringEdges(k))
-        for (a <- sysAtoms) {
+      val sysContribs = sysAtoms.toVector.map(contrib)
+      val ok = sysContribs.forall(_.isDefined)
+      val pi = sysContribs.flatten.sum
+      val passAtoms: Set[Int] =
+        if (ok && pi % 4 == 2 && pi > 2) {
+          aromAtoms ++= sysAtoms
+          sys.foreach(k => aromBonds ++= ringEdges(k))
+          sysAtoms
+        } else {
+          // PER-RING FALLBACK for 4n (or vetoed) full-system counts —
+          // the pyrene/quinoid class: Hückel genuinely rejects some
+          // fused systems as a whole (pyrene counts 16 with its two
+          // internal atoms; a quinoid partner ring contributes sp2
+          // carbons worth 0), yet constituent rings are aromatic on
+          // their own. Re-perceive each ring in isolation with the
+          // SYSTEM-level contributions: pyrene's four rings each count
+          // 6 (every atom matched in-system) and all aromatize;
+          // 1,4-naphthoquinone / 9,10-anthraquinone keep their quinone
+          // ring Kekulé (π = 4) while the benzo rings perceive;
+          // acenaphthylene aromatizes its naphthalene and leaves the
+          // 5-ring CH=CH (π = 5) — RDKit parity on all four, and both
+          // Kekulé phases collapse identically. Subsystems BETWEEN one
+          // ring and the whole have nothing to add: with system-level
+          // contributions a 6-ring counts 6 iff all its atoms are
+          // live, so any aromatic subsystem's rings already pass one
+          // by one. Pentalene/s-indacene 5-rings count 5 (odd) and
+          // stay Kekulé in every phase.
+          val passed = Set.newBuilder[Int]
+          for (k <- sys) {
+            val cycle = ringList(k)
+            val cs = cycle.map(contrib)
+            if (cs.forall(_.isDefined)) {
+              val rpi = cs.flatten.sum
+              if (rpi % 4 == 2 && rpi > 2) {
+                aromAtoms ++= cycle
+                aromBonds ++= ringEdges(k)
+                passed ++= cycle
+              }
+            }
+          }
+          passed.result()
+        }
+      {
+        for (a <- passAtoms) {
           val at = m.atoms(a)
           // lone-pair N keeps its hydrogen count explicitly: the
           // aromatic recompute (bondSum + 1) would report 0 where the
@@ -1216,6 +1281,11 @@ object Chem {
   // the lactam lattice ([[lactamFromSeed]])
   val LactamNSubMod = 3L // N-substituent chain: 0..2 carbons
   val LactamAcylMod = 2L // acyl chain: 1..2 carbons
+  // the polycyclic/quinoid lattice ([[polyFromSeed]])
+  val PolySysMod = 4L // 0 pyrene / 1 acenaphthylene / 2 1,4-naphthoquinone / 3 9,10-anthraquinone
+  val PolyMethMul = 7L
+  val PolyMethMod = 5L
+  val PolyMethLt = 2L
 
   /** Deterministic CHIRAL molecule family for the stereo extension —
     * one tetrahedral center bearing four distinct substituents
@@ -1438,6 +1508,87 @@ object Chem {
     if (methyl) {
       atoms += Atom("C", aromatic = false, 0, -1)
       bonds += ((2, atoms.length - 1, 1))
+    }
+    val m = Mol(atoms.toVector, bonds.toVector)
+    val n = atoms.length
+    val start = math.floorMod(seed + 13L * variant, n.toLong).toInt
+    val scramble = math.floorMod(seed * 31 + variant * 7 + 1, 97).toInt
+    write(m, start, i => math.floorMod(i * scramble + variant, n))
+  }
+
+  /** Deterministic POLYCYCLIC/QUINOID family for the per-ring
+    * aromaticity fallback ([[aromatize]]'s 4n-system stage) — the
+    * silent-miss class the r10 verdict ranked next after fused rings:
+    *
+    *   sys    = seed mod [[PolySysMod]]   0 pyrene / 1 acenaphthylene /
+    *            2 1,4-naphthoquinone / 3 9,10-anthraquinone
+    *   methyl = (seed*[[PolyMethMul]] mod [[PolyMethMod]]) < [[PolyMethLt]]
+    *
+    * `variant` 0 renders the PERCEIVED form (pyrene fully aromatic;
+    * the others mixed: aromatic benzo/naphtho rings beside a Kekulé
+    * quinone ring or CH=CH bridge — the RDKit-parity rendering);
+    * variants 1..2 render two full-Kekulé PHASES whose perfect
+    * matchings differ on ring-internal and SHARED edges. All four
+    * systems fail whole-system Hückel (π = 16/12/8/12), so collapsing
+    * the three renderings is exactly what the per-ring fallback with
+    * system-level contributions must do — and must do identically for
+    * both phases. */
+  def polyFromSeed(seed: Long, variant: Int): String = {
+    val sys = math.floorMod(seed, PolySysMod).toInt
+    val methyl = math.floorMod(seed * PolyMethMul, PolyMethMod) < PolyMethLt
+    val v0 = variant == 0
+    // (elements, edges, aromaticAtoms(v0), aromaticEdges(v0),
+    //  always-doubles, phase-1 doubles, phase-2 doubles)
+    val perim14 = (0 until 13).map(i => (i, i + 1)).toVector :+ (13, 0)
+    val (els, edges, arAtoms, arEdges, fixed, ph1, ph2) = sys match {
+      case 0 => // pyrene: perimeter 0..13, internal 14-15, spokes at 0/4/7/11
+        val e = perim14 ++ Vector((14, 0), (14, 4), (15, 7), (15, 11), (14, 15))
+        (Vector.fill(16)("C"), e, (0 until 16).toSet, e.toSet,
+          Set.empty[(Int, Int)],
+          Set((14, 15), (0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (12, 13)),
+          Set((14, 15), (1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 0)))
+      case 1 => // acenaphthylene: naphthalene 0..9 + CH=CH bridge 10-11 at peri 4/6
+        val naph = Vector((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),
+          (5, 6), (6, 7), (7, 8), (8, 9), (9, 0))
+        val e = naph ++ Vector((4, 10), (10, 11), (11, 6))
+        (Vector.fill(12)("C"), e, (0 until 10).toSet, naph.toSet,
+          Set((10, 11)),
+          Set((5, 0), (1, 2), (3, 4), (6, 7), (8, 9)),
+          Set((0, 1), (2, 3), (4, 5), (6, 7), (8, 9)))
+      case 2 => // 1,4-naphthoquinone: benzo 0..5, quinone 5,6,7,8,9,0; O on 6/9
+        val benzo = Vector((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0))
+        val e = benzo ++ Vector((5, 6), (6, 7), (7, 8), (8, 9), (9, 0), (6, 10), (9, 11))
+        (Vector.fill(10)("C") ++ Vector("O", "O"), e, (0 until 6).toSet, benzo.toSet,
+          Set((6, 10), (9, 11), (7, 8)),
+          Set((5, 0), (1, 2), (3, 4)),
+          Set((0, 1), (2, 3), (4, 5)))
+      case _ => // 9,10-anthraquinone: benzo A 0..5, middle 4..9, benzo B 7,8,10..13; O on 6/9
+        val ringA = Vector((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0))
+        val ringB = Vector((7, 10), (10, 11), (11, 12), (12, 13), (13, 8), (8, 7))
+        val e = ringA ++ Vector((5, 6), (6, 7), (8, 9), (9, 4)) ++ ringB ++
+          Vector((6, 14), (9, 15))
+        (Vector.fill(14)("C") ++ Vector("O", "O"), e,
+          (0 until 6).toSet ++ Set(7, 8, 10, 11, 12, 13), (ringA ++ ringB).toSet,
+          Set((6, 14), (9, 15)),
+          Set((0, 1), (2, 3), (4, 5), (10, 11), (12, 13), (7, 8)),
+          Set((1, 2), (3, 4), (5, 0), (7, 10), (11, 12), (13, 8)))
+    }
+    val doubles = fixed ++ (if (v0) Set.empty else if (variant == 1) ph1 else ph2)
+    // edge-set membership must be orientation-blind: ring cycles store
+    // some shared edges reversed relative to the matching sets
+    def has(s: Set[(Int, Int)], a: Int, b: Int) = s((a, b)) || s((b, a))
+    val atoms = mutable.ArrayBuffer[Atom]()
+    els.zipWithIndex.foreach { case (el, i) =>
+      atoms += Atom(el, aromatic = v0 && arAtoms(i), 0, -1)
+    }
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    for ((a, b) <- edges)
+      bonds += ((a, b,
+        if (v0 && has(arEdges, a, b)) 4
+        else if (has(doubles, a, b)) 2 else 1))
+    if (methyl) {
+      atoms += Atom("C", aromatic = false, 0, -1)
+      bonds += ((1, atoms.length - 1, 1))
     }
     val m = Mol(atoms.toVector, bonds.toVector)
     val n = atoms.length

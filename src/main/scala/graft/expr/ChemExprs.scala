@@ -31,6 +31,8 @@ object ChemKernels {
     UTF8String.fromString(Chem.fusedFromSeed(seed, variant))
   def lactamFromSeed(seed: Long, variant: Int): UTF8String =
     UTF8String.fromString(Chem.lactamFromSeed(seed, variant))
+  def polyFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.polyFromSeed(seed, variant))
   def canonical(s: UTF8String): UTF8String =
     if (s == null) null else UTF8String.fromString(Chem.canonical(s.toString))
   def canonicalIso(s: UTF8String): UTF8String =
@@ -154,6 +156,25 @@ case class MolFusedFromSeed(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MolFusedFromSeed =
     copy(l, r)
   override def prettyName: String = "mol_fused_from_seed"
+}
+
+/** Polycyclic/quinoid twin of [[MolFusedFromSeed]]
+  * ([[Chem.polyFromSeed]]): renders the pyrene/acenaphthylene/quinone
+  * family as one perceived form and two full-Kekulé phases — the
+  * generative contract of [[Chem.aromatize]]'s per-ring fallback. */
+case class MolPolyFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_poly_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.polyFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.polyFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolPolyFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_poly_from_seed"
 }
 
 /** Lactam/amide twin of [[MolFromSeed]] ([[Chem.lactamFromSeed]]):
@@ -280,6 +301,8 @@ object chemfunctions {
     col(MolFusedFromSeed(expr(seed), expr(variant)))
   def mol_lactam_from_seed(seed: Column, variant: Column): Column =
     col(MolLactamFromSeed(expr(seed), expr(variant)))
+  def mol_poly_from_seed(seed: Column, variant: Column): Column =
+    col(MolPolyFromSeed(expr(seed), expr(variant)))
   def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
   def canonical_smiles_iso(c: Column): Column = col(CanonicalSmilesIso(expr(c)))
   def morgan_fp(c: Column): Column = col(MorganFingerprint(expr(c)))

@@ -250,7 +250,33 @@ object ChemQueries {
         count(lit(1)).as("n_renderings"))
       .select(col("cluster_rep"), col("n_mols"), col("n_renderings"))
 
+  /** D14 (extension) — PYRENE-CLASS canonical dedup over
+    * [[graft.chem.Chem.polyFromSeed]]'s polycyclic/quinoid family
+    * (pyrene / acenaphthylene / 1,4-naphthoquinone /
+    * 9,10-anthraquinone, optional methyl). Every system FAILS
+    * whole-system Hückel (4n or quinoid-vetoed counts), so each seed's
+    * perceived form and two Kekulé phases only collapse through
+    * [[graft.chem.Chem.aromatize]]'s per-ring fallback with
+    * system-level π contributions — closing the silent-miss class the
+    * r10 verdict ranked next after fused rings (two Kekulé phases of
+    * the same pyrene-class molecule deduping apart). Oracle: the
+    * (sys, methyl) lattice from the generator's named constants, the
+    * d8–d13 verification design. */
+  def d14PolyAromatic(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), mol_poly_from_seed(col("seed"), col("variant")).as("smiles"))
+      .select(col("seed"), canonical_smiles(col("smiles")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(
+        min(col("seed")).as("cluster_rep"),
+        countDistinct(col("seed")).as("n_mols"),
+        count(lit(1)).as("n_renderings"))
+      .select(col("cluster_rep"), col("n_mols"), col("n_renderings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_poly_aromatic"   -> (d14PolyAromatic _),
     "d2_smiles_canonical" -> (d2SmilesCanonical _),
     "d3_morgan_fp"        -> (d3MorganFp _),
     "d5_substructure"     -> (d5Substructure _),
@@ -351,6 +377,15 @@ object ChemQueries {
         "SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
         "count(*) AS n_mols, count(*) * 3 AS n_renderings " +
         "FROM fa GROUP BY sys, methyl"),
+    // the polycyclic/quinoid lattice (Chem.polyFromSeed): one cluster
+    // per (system, methyl) — the four skeletons and their methylated
+    // forms are pairwise distinct, no symmetry collapses
+    "d14_poly_aromatic" ->
+      (s"WITH pa AS (SELECT p_partkey, p_partkey % ${Chem.PolySysMod} AS sys, " +
+        s"((p_partkey * ${Chem.PolyMethMul}) % ${Chem.PolyMethMod} < ${Chem.PolyMethLt}) AS methyl FROM part) " +
+        "SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
+        "count(*) AS n_mols, count(*) * 3 AS n_renderings " +
+        "FROM pa GROUP BY sys, methyl"),
     // the lactam lattice (Chem.lactamFromSeed): one cluster per
     // (N-substituent length, acyl length)
     "d13_lactam_canonical" ->

@@ -226,6 +226,30 @@ object ChemProps extends Properties("chem") {
       a == b && a.exists(_.isLower) && Chem.canonical(a) == a
     }
 
+  /** Pyrene-class perception: any seed and any pair of renderings
+    * (perceived form, both full-Kekulé phases) collapse, the result is
+    * partly aromatic, and perception is a canonical fixpoint. Every
+    * generator system fails whole-system Hückel, so this property
+    * passes ONLY through the per-ring fallback — and its phase pairs
+    * differ on shared edges, so a phase-dependent fallback fails it. */
+  property("poly aromatize: pyrene-class phases collapse, canonical fixpoint") =
+    forAll(Gen.choose(1L, 10000L), Gen.choose(0, 2), Gen.choose(0, 2)) { (seed, v1, v2) =>
+      val a = Chem.canonical(Chem.polyFromSeed(seed, v1))
+      val b = Chem.canonical(Chem.polyFromSeed(seed, v2))
+      a == b && a.exists(_.isLower) && Chem.canonical(a) == a
+    }
+
+  /** Explicit-zero / zero-padded isotope specifications are REJECTED
+    * (canonical → null), never silently collapsed with the unlabeled
+    * atom; the unpadded label parses — pins the r10 bracket-parser
+    * rule (Chem.parseBracket's leading-zero fail). */
+  property("zero-padded isotopes reject, unpadded parse") =
+    forAll(Gen.choose(1, 999)) { mass =>
+      Chem.canonicalIso(s"[0${mass}C]") == null &&
+        Chem.canonicalIso("[0C]") == null &&
+        Chem.canonicalIso(s"[${mass}C]") != null
+    }
+
   /** Lactim→lactam: amide and lactim renderings of a seed collapse to
     * one keto-form fixpoint that still contains the C=O. */
   property("lactam tautomer: renderings collapse to an amide fixpoint") =

@@ -427,6 +427,41 @@ class ChemSpec extends SparkSpecBase {
     }
   }
 
+  test("poly generator: pyrene-class phases collapse per cell, RDKit-parity shapes, oracle contract holds") {
+    // poly lattice: moduli 4 (system) x 5 (methyl) -> span 20
+    val pCells = (1L to 20L).map(s => (math.floorMod(s, Chem.PolySysMod),
+      math.floorMod(s * Chem.PolyMethMul, Chem.PolyMethMod) < Chem.PolyMethLt))
+    val pCanons = (1L to 20L).map { seed =>
+      val v = (0 to 2).map(Chem.polyFromSeed(seed, _))
+      val c = v.map(Chem.canonical)
+      assert(c.distinct.size == 1, s"poly seed $seed renderings split: $v -> $c")
+      assert(c.head.exists(_.isLower), s"poly seed $seed did not aromatize: ${c.head}")
+      c.head
+    }
+    pCanons.zip(pCells).groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._1).distinct.size == 1, s"poly cell split: $g")
+    }
+    assert(pCanons.distinct.size == pCells.distinct.size)
+    // RDKit-parity shape checks on the perceived forms:
+    // pyrene (sys 0) fully aromatic — no '=' anywhere
+    val pyr = Chem.canonical(Chem.polyFromSeed(4L, 1)) // seed 4 -> sys 0; 4*7%5=3 no methyl
+    assert(!pyr.contains("=") && pyr.count(_ == 'c') == 16, s"pyrene not fully aromatic: $pyr")
+    // 1,4-naphthoquinone (sys 2): aromatic benzo + Kekulé quinone; the
+    // hand Kekulé rendering collapses with the generator's cell
+    val nq = Chem.canonical("O=C1C=CC(=O)C2=CC=CC=C12")
+    assert(nq != null && nq.exists(_.isLower) && nq.contains("=O"),
+      s"naphthoquinone benzo ring did not perceive: $nq")
+    // acenaphthylene (sys 1): naphthalene aromatic, bridge stays C=C
+    val ace = Chem.canonical(Chem.polyFromSeed(5L, 2)) // seed 5 -> sys 1; 5*7%5=0 methyl
+    assert(ace.exists(_.isLower) && ace.contains("C=C"),
+      s"acenaphthylene shape wrong: $ace")
+    // the registered query's oracle contract at the smoke SF
+    import queries.ChemQueries
+    val out = ChemQueries.d14PolyAromatic(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n_renderings") == 3 * r.getAs[Long]("n_mols")))
+  }
+
   test("arom generator: renderings collapse per cell, cells stay apart, oracle contract holds") {
     // one full lattice span: moduli 4 (ring) x 5 (methyl)
     val cells = (1L to 20L).map(s => (math.floorMod(s, Chem.AromRingMod),
