@@ -71,12 +71,16 @@ object Bench {
     // "errors":N so a broken round can't masquerade as a fast one (a
     // swallowed crash times at near-zero and the total still parses)
     var errors = 0
+    // per-query shuffle read/write bytes (VERDICT r10 #5): catches the
+    // byte regressions the plan-shape lints can't see
+    val shuffleBytes = scala.collection.mutable.Map[String, (Long, Long)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
       .map { case ((name, fn), qIdx) =>
       System.err.println(s"[bench-start] $name ${System.currentTimeMillis()}")
       val times = (1 to repeat).map { _ =>
+        val (r0, w0) = ShuffleTelemetry.snapshot(spark)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case t: Throwable =>
@@ -84,6 +88,8 @@ object Bench {
           System.err.println(s"[bench-error] $name: ${t.getClass.getName}: ${t.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val (r1, w1) = ShuffleTelemetry.snapshot(spark)
+        shuffleBytes(name) = (r1 - r0, w1 - w0) // last repeat wins, like the time
         // drop per-query persisted frames (Verify does the same): cached
         // blocks accumulating across 182 queries age the session and skew
         // the later queries' times
@@ -140,6 +146,10 @@ object Bench {
     val byName = results.toMap
     System.err.println(results.map { case (k, v) => s""""$k":${r3(v)}""" }
       .mkString("[bench-detail] {", ",", "}"))
+    System.err.println(results.map { case (k, _) =>
+        val (r, w) = shuffleBytes.getOrElse(k, (0L, 0L))
+        s""""$k":[$r,$w]"""
+      }.mkString("[bench-shuffle] {", ",", "}"))
     val qs = headline.flatMap(k => byName.get(k).map(v => s""""$k":${r3(v)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -151,14 +161,21 @@ object Bench {
     // fit the ~3 KB tail window at ~800 B each)
     println(s"[info] $json")
     println(json)
-    // SPARK_GRAFT_BENCH_OUT=path additionally writes the metric line to a
-    // file — used to commit the steady-state artifact (BENCH_steady_rN
-    // .json, SPARK_GRAFT_REPEAT=3 last-run values) alongside the driver's
-    // single-run BENCH_rN.json, so first-run codegen/memo tails are
-    // separable from plan cost without re-adjudicating from prose
+    // SPARK_GRAFT_BENCH_OUT=path additionally writes the FULL artifact —
+    // the headline metric line plus the complete per-query map with
+    // seconds and shuffle read/write bytes — used to commit the
+    // steady-state artifact (BENCH_steady_rN.json, SPARK_GRAFT_REPEAT=3
+    // last-run values) alongside the driver's single-run BENCH_rN.json,
+    // so first-run codegen/memo tails AND byte regressions are
+    // adjudicable from committed artifacts, not stderr archaeology
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      val detail = results.map { case (k, v) =>
+        val (r, w) = shuffleBytes.getOrElse(k, (0L, 0L))
+        s""""$k":{"sec":${r3(v)},"shuffle_read":$r,"shuffle_write":$w}"""
+      }.mkString("{", ",", "}")
+      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"sf":"$sfDir","queries_all":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
   }
