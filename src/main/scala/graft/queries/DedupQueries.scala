@@ -372,27 +372,52 @@ object DedupQueries {
     * the (chunk, chunk₂) join — instead of expanding occ²/2 one-key
     * candidates. Output is provably identical to the all-pairs
     * relation, so the DuckDB all-pairs oracle keeps checking it, cap
-    * triggered or not. Occupancy census (OccProbe, r11): the high
-    * simhash byte is SKEWED, not uniform — the sf0.1 bench corpus
-    * drives chunk bucket (7,1) to 4533 > cap, so the escalation runs
-    * LIVE (and exactly) in every sf0.1 bench; the gate SFs stay cold
-    * at max 444 (pinned ≤ cap in DedupQueriesSpec), and the fence spec
-    * additionally drives the escalation with a tiny cap on adversarial
-    * constant-chunk corpora ([[simhashCandidates]]). */
+    * triggered or not. Occupancy census (OccProbe, r11): under the old
+    * BYTE-ALIGNED chunks the majority-amplified high print bits made
+    * bucket (7,1) hold 4533/5000 docs at sf0.1 and the escalation's
+    * two-chunk joins went quadratic at 10× — the INTERLEAVED layout
+    * ([[simhashChunkExprs]]) dispersed that; the harness corpora now
+    * sit far below the cap at every SF (DedupQueriesSpec pins the gate
+    * SFs ≤ cap/4), and the fence spec drives the escalation with a
+    * tiny cap on adversarial constant-chunk corpora
+    * ([[simhashCandidates]]). */
   val SimhashBucketCap = 1024
+
+  /** ENTROPY-RANKED chunk layout for the live pipeline: one cheap
+    * aggregation pass counts each print bit's set fraction, bits are
+    * ranked by balance (|frac − ½|) and dealt round-robin across the 8
+    * chunks — so every chunk gets its share of the corpus's genuinely
+    * discriminating bits instead of a run of majority-amplified
+    * near-constant ones. On a homogeneous corpus (shared vocabulary ⇒
+    * corpus-wide print-bit bias, the r11 scale finding) this is what
+    * keeps bucket fractions small: the static interleave still left a
+    * 43%-occupancy bucket at sf0.1 because SPECIFIC bit positions are
+    * biased, which no position-oblivious layout can know. The pass is
+    * a 1-row bounded collect; at 100 TB it is one partial-agg scan of
+    * the (already materialized) print column, and the resulting 60-int
+    * assignment rides the plan as literals. Deterministic given the
+    * corpus (stable sort, ties by bit index); candidate keys only —
+    * hamming, verify, and the all-pairs oracle never see the layout. */
+  private[graft] def adaptiveSimhashChunks(s: DataFrame): Seq[org.apache.spark.sql.Column] = {
+    val aggs = (0 until 60).map(b =>
+      sum(shiftrightunsigned(col("sh"), b).bitwiseAND(lit(1L))).as(s"b$b")) :+
+      count(lit(1)).as("n")
+    val row = s.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(60)
+    val ranked = (0 until 60).sortBy(b => math.abs(row.getLong(b) - n / 2.0))
+    (0 until 8).map { c =>
+      ranked.zipWithIndex.filter(_._2 % 8 == c).map { case (bit, r) =>
+        shiftrightunsigned(col("sh"), bit).bitwiseAND(lit(1L)) * lit(1L << (r / 8))
+      }.reduce(_ + _)
+    }
+  }
 
   private def simhashPairsLive(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.documents(spark, dir)
       .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sh"))
       .persist()
-    s.count() // materialize before the candidate and verify branches fan out
-    val cand = simhashCandidates(s, SimhashBucketCap)
-    cand
-      .join(s.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(s.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= SimhashMaxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    s.count() // materialize before the stats and bucket-join branches fan out
+    simhashVerifiedPairs(s, SimhashBucketCap, adaptiveSimhashChunks(s))
   }
 
   /** Candidate stage of the simhash pipeline over a (doc_id, sh)
@@ -414,34 +439,87 @@ object DedupQueries {
     * The occupancy table is at most 8 × 256 = 2048 rows regardless of
     * corpus size (one byte per chunk), so the hot/cold tagging join
     * broadcasts — the fence costs one tiny agg, no extra fact shuffle. */
-  private[graft] def simhashCandidates(s: DataFrame, cap: Int): DataFrame = {
-    val chunkExprs = (0 until 8).map(i =>
-      shiftrightunsigned(col("sh"), i * 8).bitwiseAND(lit(0xFFL)))
+  /** The pigeonhole chunk layout: 8 INTERLEAVED bit groups — chunk i
+    * gathers print bits {i, i+8, i+16, ...} (< 60), packed low-to-high.
+    * NOT byte-aligned: the 60-bit simhash print's high bits are
+    * majority-amplified from slightly-biased poly61 token-hash bits,
+    * so several print bits are near-CONSTANT corpus-wide and a
+    * byte-aligned chunk that concentrates them becomes one Ω(N)
+    * mega-bucket — measured at sf0.1: byte chunk (7,1) held 4533/5000
+    * docs, and at 10× the escalation's two-chunk joins went quadratic
+    * (150 s isolated; the r11 scale-curve finding). Interleaving
+    * spreads the ≤1-2 biased bits across all 8 chunks, so bucket
+    * occupancy is driven by the uniform low bits. Pigeonhole
+    * completeness is untouched: the chunks still PARTITION the 60
+    * hamming bits, so hamming ≤ 6 still forces agreement on ≥ 2 of 8.
+    * The oracle needs no twin — it checks the all-pairs hamming
+    * relation, not the candidate keys. */
+  private[graft] def simhashChunkExprs(sh: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until 8).map { i =>
+      (0 until 8).flatMap { p =>
+        val b = i + 8 * p
+        if (b < 60)
+          Some(shiftrightunsigned(sh, b).bitwiseAND(lit(1L)) * lit(1L << p))
+        else None
+      }.reduce(_ + _)
+    }
+
+  private[graft] def simhashCandidates(s: DataFrame, cap: Int,
+      layout: Seq[org.apache.spark.sql.Column] = null): DataFrame =
+    simhashJoin(s, cap, Option(layout), earlyHamming = false)
+      .select(col("id_a"), col("id_b")).distinct()
+
+  /** Bucket self-join shared by the CANDIDATE view (fence specs drive
+    * it unfiltered) and the live pipeline's VERIFIED view. The live
+    * path sets `earlyHamming`: both join sides carry their print, so
+    * the hamming test FUSES into the join's whole-stage-codegen output
+    * loop (xor + popcount on two longs already in the row) and the
+    * quadratic bucket stream dies in-stage — instead of flooding the
+    * downstream distinct's hash map with ~occ² rows, the r11 10×
+    * finding: candidate-row handling, not generation, dominated the
+    * 34 s simhash bench. It also makes the two post-candidate sh-fetch
+    * joins unnecessary (the verified view emits hamming directly). */
+  private def simhashJoin(s: DataFrame, cap: Int,
+      layout: Option[Seq[org.apache.spark.sql.Column]],
+      earlyHamming: Boolean): DataFrame = {
+    val chunkExprs: Seq[org.apache.spark.sql.Column] =
+      layout.getOrElse(simhashChunkExprs(col("sh")))
     val chunks = s.select(col("doc_id"), col("sh"),
       posexplode(array(chunkExprs: _*)).as(Seq("chunk_idx", "chunk_val")))
     val occ = chunks.groupBy(col("chunk_idx"), col("chunk_val"))
       .agg(count(lit(1)).as("occ"))
     val tagged = chunks.join(broadcast(occ), Seq("chunk_idx", "chunk_val"))
+    def pairUp(m: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = m.select(keys.map(col) :+ col("doc_id").as("id_a") :+ col("sh").as("sh_a"): _*)
+      val b = m.select(keys.map(col) :+ col("doc_id").as("id_b") :+ col("sh").as("sh_b"): _*)
+      val joined = a.join(b, keys).filter(col("id_a") < col("id_b"))
+      val filtered =
+        if (earlyHamming)
+          joined.filter(
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long") <= SimhashMaxHamming)
+        else joined
+      filtered.select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+    }
     val coldM = tagged.filter(col("occ") <= cap)
-      .select(col("chunk_idx"), col("chunk_val"), col("doc_id"))
-    val coldCand = coldM.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_a"))
-      .join(coldM.select(col("chunk_idx"), col("chunk_val"), col("doc_id").as("id_b")),
-        Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("chunk_idx"), col("chunk_val"), col("doc_id"), col("sh"))
+    val coldCand = pairUp(coldM, Seq("chunk_idx", "chunk_val"))
     val hotM = tagged.filter(col("occ") > cap)
       .select(col("chunk_idx"), col("chunk_val"), col("doc_id"), col("sh"))
-      .select(col("chunk_idx"), col("chunk_val"), col("doc_id"),
+      .select(col("chunk_idx"), col("chunk_val"), col("doc_id"), col("sh"),
         posexplode(array(chunkExprs: _*)).as(Seq("idx2", "val2")))
       .filter(col("idx2") =!= col("chunk_idx"))
-    val hotCand = hotM.select(col("chunk_idx"), col("chunk_val"), col("idx2"), col("val2"),
-        col("doc_id").as("id_a"))
-      .join(hotM.select(col("chunk_idx"), col("chunk_val"), col("idx2"), col("val2"),
-        col("doc_id").as("id_b")), Seq("chunk_idx", "chunk_val", "idx2", "val2"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    coldCand.union(hotCand).distinct()
+    val hotCand = pairUp(hotM, Seq("chunk_idx", "chunk_val", "idx2", "val2"))
+    coldCand.union(hotCand)
   }
+
+  /** Verified simhash pairs (id_a, id_b, hamming) — the live pipeline:
+    * hamming filtered inside the bucket join, one distinct on the
+    * survivors only. */
+  private[graft] def simhashVerifiedPairs(s: DataFrame, cap: Int,
+      layout: Seq[org.apache.spark.sql.Column]): DataFrame =
+    simhashJoin(s, cap, Option(layout), earlyHamming = true)
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
 
   /** MinHash quality as ORACLE-CHECKED data: full-join the LSH pairs
     * against the exact n-gram Jaccard pairs and emit the true-pair

@@ -374,14 +374,27 @@ class DedupQueriesSpec extends SparkSpecBase {
       s"hot bucket must contribute ZERO pairs — dropped whole, exactly as the DuckDB oracle drops it: $capped")
   }
 
+  /** Pack per-chunk values into a print under the INTERLEAVED layout
+    * ([[DedupQueries.simhashChunkExprs]]): bit p of chunk c sits at
+    * print bit c + 8p — the test-side inverse of the chunk exprs. */
+  private def packChunks(vals: Seq[Long]): Long = {
+    var sh = 0L
+    for (c <- 0 until 8; p <- 0 until 8) {
+      val b = c + 8 * p
+      if (b < 60 && ((vals(c) >> p) & 1L) == 1L) sh |= 1L << b
+    }
+    sh
+  }
+
   test("simhash fence: hot-bucket escalation is EXACT and bounded (cap=2 adversarial corpora)") {
     import spark.implicits._
     // corpus A — every shared bucket hot, every pair a true pair: doc i
-    // flips one bit in chunk i of a shared base print (pairwise hamming
-    // 2). Each bucket (j, base_j) holds 4 docs > cap, so the cold path
-    // finds NOTHING; all 10 pairs must surface through the two-chunk
-    // escalation keys — the exactness claim on simhashCandidates.
-    val base = 0x5A5A5A5A5A5A5A5AL
+    // flips one chunk-0 bit of a shared base print (pairwise hamming 2).
+    // Chunks 1..7 are identical across all 5 docs, so each of their
+    // buckets holds 5 > cap and the cold path finds NOTHING; all 10
+    // pairs must surface through the two-chunk escalation keys — the
+    // exactness claim on simhashCandidates.
+    val base = 0x05A5A5A5A5A5A5AL
     val a = (0 until 5).map(i => (i.toLong, base ^ (1L << (8 * i)))).toDF("doc_id", "sh")
     val candA = pairs(DedupQueries.simhashCandidates(a, 2))
     val allA = (for (i <- 0 until 5; k <- i + 1 until 5) yield (i.toLong, k.toLong)).toSet
@@ -395,8 +408,8 @@ class DedupQueriesSpec extends SparkSpecBase {
     // escalated, the two-chunk keys are all singletons — candidates stay
     // proportional to TRUE pairs, never occupancy².
     val b = (0 until 20).map { i =>
-      val hi = (1 until 8).map(j => ((20 * j + i) & 0xFF).toLong << (8 * j)).sum
-      (i.toLong, hi | 0xAAL)
+      val vals = 0x2AL +: (1 until 8).map(j => ((20 * j + i) % 128).toLong)
+      (i.toLong, packChunks(vals))
     }.toDF("doc_id", "sh")
     assert(pairs(DedupQueries.simhashCandidates(b, DedupQueries.SimhashBucketCap)).size == 190,
       "sanity: uncapped one-key join explodes the hot bucket")
@@ -419,20 +432,18 @@ class DedupQueriesSpec extends SparkSpecBase {
         s"$dir: max band occupancy $maxBand not far below cap ${DedupQueries.BandBucketCap}")
       val s = Tables.documents(spark, dir)
         .select(col("doc_id"), graft.expr.hashfunctions.simhash64(split(col("text"), " ")).as("sh"))
-      val chunks = s.select(posexplode(array((0 until 8).map(i =>
-        shiftrightunsigned(col("sh"), i * 8).bitwiseAND(lit(0xFFL))): _*))
+      // the ENTROPY-RANKED layout the live pipeline runs (the r11 fix:
+      // byte-aligned chunk (7,1) held 444/500 here and 4533/5000 at
+      // sf0.1 — majority-amplified print bits made the escalation
+      // quadratic at 10×); ranked dealing keeps gate buckets small
+      val chunks = s.select(posexplode(array(
+          DedupQueries.adaptiveSimhashChunks(s): _*))
         .as(Seq("chunk_idx", "chunk_val")))
-      // the gate SFs stay COLD (no escalation) — but only just: the
-      // high simhash byte is skewed (444/500 docs share chunk (7,1)
-      // here; at sf0.1 that bucket holds 4533 > cap and the escalation
-      // runs LIVE in the bench, exactly — see the simhashCandidates
-      // scaladoc). Unlike the band cap, going hot does not threaten
-      // oracle equality, so the pin is <= cap, not "far below".
       val maxChunk = chunks.groupBy(col("chunk_idx"), col("chunk_val")).count()
         .agg(max(col("count"))).collect()(0).getLong(0)
-      assert(maxChunk <= DedupQueries.SimhashBucketCap,
-        s"$dir: max chunk occupancy $maxChunk crossed cap ${DedupQueries.SimhashBucketCap}" +
-        " — gate corpora now exercise the escalation; update the scaladoc census")
+      assert(maxChunk <= DedupQueries.SimhashBucketCap / 4,
+        s"$dir: max chunk occupancy $maxChunk not far below cap ${DedupQueries.SimhashBucketCap}" +
+        " — the entropy-ranked layout should keep gate buckets small; re-run OccProbe")
     }
   }
 }

@@ -27,7 +27,7 @@ class ShuffleDriftSpec extends SparkSpecBase {
     ("dedup_exact", 125947L, 125947L), // digest-keyed groupBy, one exchange
     ("dedup_exact_substring", 737123L, 737123L), // compact 8-byte gram keys, no text
     ("dedup_minhash_lsh", 149632L, 149632L), // band keys + verify joins
-    ("dedup_simhash", 138532L, 138532L))  // chunk pigeonhole + hamming verify
+    ("dedup_simhash", 134888L, 134888L))  // pigeonhole join with fused hamming (re-pinned r11)
 
   test("shuffle bytes stay within 2x of their pinned sf0.001 baselines") {
     pins.foreach { case (name, pinR, pinW) =>
