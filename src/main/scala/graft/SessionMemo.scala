@@ -29,6 +29,35 @@ object SessionMemo {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
   private lazy val sessionTag = java.lang.Long.toHexString(System.nanoTime())
 
+  private val valueMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Any]]()
+
+  /** Small DRIVER-SIDE memoized value for (`kind`, `dir`) — the scalar
+    * sibling of [[parquet]] for derived statistics that are a pure
+    * function of a corpus (the entropy-ranked simhash bit layout: 60
+    * ints) but cost a full corpus scan to compute. Same future-holder
+    * shape (build outside the bin lock, retract on failure); no
+    * sessionTag needed — the map itself is per-JVM, and a dir's
+    * contents are immutable within a session (see class doc). Only for
+    * BOUNDED values (the caller's `build` already ends in a 1-row
+    * collect); a big value belongs in [[parquet]]. */
+  def value[T](kind: String, dir: String)(build: => T): T = {
+    val key = s"$kind|$dir"
+    val fresh = new java.util.concurrent.CompletableFuture[Any]()
+    val prior = valueMemo.putIfAbsent(key, fresh)
+    val holder = if (prior == null) fresh else prior
+    if (prior == null) {
+      try fresh.complete(build)
+      catch {
+        case t: Throwable =>
+          valueMemo.remove(key, fresh)
+          fresh.completeExceptionally(t)
+          throw t
+      }
+    }
+    holder.join().asInstanceOf[T]
+  }
+
   /** The memoized frame for (`kind`, `dir`), building it via `build`
     * exactly once per JVM. */
   def parquet(spark: SparkSession, kind: String, dir: String)(build: => DataFrame): DataFrame = {

@@ -34,13 +34,20 @@ final class ShuffleTelemetry extends SparkListener {
 }
 
 object ShuffleTelemetry {
-  private val installed = new ConcurrentHashMap[SparkSession, ShuffleTelemetry]()
+  // keyed by SparkContext, not SparkSession (r11 ADVICE): task metrics
+  // are context-wide, so two sessions sharing one context would each
+  // install a listener seeing ALL tasks and double-count deltas; one
+  // listener per context is both correct and the natural lifetime (it
+  // dies with the context — contexts are few and long-lived per JVM,
+  // so the strong-ref map never accumulates)
+  private val installed =
+    new ConcurrentHashMap[org.apache.spark.SparkContext, ShuffleTelemetry]()
 
-  /** The session's telemetry listener, installing it on first use. */
+  /** The context's telemetry listener, installing it on first use. */
   def on(spark: SparkSession): ShuffleTelemetry =
-    installed.computeIfAbsent(spark, { s =>
+    installed.computeIfAbsent(spark.sparkContext, { sc =>
       val t = new ShuffleTelemetry
-      s.sparkContext.addSparkListener(t)
+      sc.addSparkListener(t)
       t
     })
 

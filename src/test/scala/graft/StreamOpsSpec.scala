@@ -213,6 +213,36 @@ class StreamOpsSpec extends SparkSpecBase {
       s"retention window content wrong: $fin")
   }
 
+  test("postings retention (t22 kernel): doc-granular expiry keeps postings bounded; df over survivors tracks the live index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keep = 2
+    // doc 1 re-arrives EVERY epoch (hot core, alternating one shingle);
+    // doc 100+e is unique to its epoch (churning tail); shingle 7 is
+    // shared by everyone — the df staleness probe
+    var stored = Seq.empty[(Long, Long, Long)].toDF("id_b", "shingle", "last_seen_epoch")
+    (0 until 6).foreach { e =>
+      val delta = Seq(
+        (1L, 7L, e.toLong), (1L, 10L + (e % 2).toLong, e.toLong),
+        (100L + e.toLong, 7L, e.toLong), (100L + e.toLong, 1000L + e.toLong, e.toLong))
+        .toDF("id_b", "shingle", "last_seen_epoch")
+      stored = graft.ops.IndexRetention.mergeAndExpire(stored, delta, e, keep,
+        keyCols = Seq("id_b", "shingle")).localCheckpoint()
+      // BOUNDED: the hot doc's live postings (≤3) + the last `keep`
+      // epochs' tail docs (2 postings each) — never the all-epochs union
+      assert(stored.count() <= 3 + 2 * keep,
+        s"epoch $e: postings grew past the retention window")
+    }
+    // df REBUILT from survivors counts live docs only: doc 1 + the two
+    // in-window tail docs; the stale all-time count would be 7
+    val df7 = stored.filter(col("shingle") === 7).count()
+    assert(df7 == 1 + keep,
+      s"df(shared shingle) over survivors must be live docs only, got $df7")
+    // doc-granular expiry: an expired doc leaves with ALL its postings
+    assert(stored.filter(col("id_b") === 100L).count() == 0,
+      "epoch-0 tail doc should have expired whole")
+  }
+
   test("T8 upsert materialization equals the batch latest-state table") {
     import org.apache.spark.sql.functions._
     val got = graft.queries.StreamingQueries.t8StreamMergeUpsert(spark, sfDir)
