@@ -622,7 +622,10 @@ object Chem {
     * closing the r10 pyrene-class and quinoid-fused miss classes
     * (d14's generator lattice drives all four, both phases).
     *
-    * Remaining documented scope limits: charged rings
+    * Remaining documented scope limits — the charged-ring and
+    * fused-non-candidate classes below are FLAGGED for routing by
+    * [[perceptionIncompleteGraph]] (d15), so downstream dedup never
+    * silently trusts their keys: charged rings
     * (cyclopentadienyl), systems containing pre-flagged aromatic
     * atoms (a half-aromatic half-Kekulé rendering passes through as
     * written), rings fused only through a non-5/6 ring (azulene's
@@ -1046,6 +1049,109 @@ object Chem {
         catch { case _: IllegalArgumentException => InvalidSmiles })
       if (r == InvalidSmiles) null else r
     }
+
+  // ------------------------------------------- perception quarantine
+
+  /** Small rings (sizes 3..8) via the shortest cycle through each bond
+    * — the detector's own ring slice (aromatize keeps its inline 5/6
+    * version: the perceiver and the quarantine gate evolve
+    * independently, and this one must also see the 3/4/7/8-rings the
+    * perceiver by design ignores). */
+  private def smallRings(m: Mol): Vector[Vector[Int]] = {
+    val n = m.atoms.length
+    val rings = mutable.LinkedHashMap[Set[Int], Vector[Int]]()
+    for ((u, v, _) <- m.bonds) {
+      val prev = Array.fill(n)(-2)
+      prev(u) = -1
+      val q = mutable.Queue(u)
+      var found = false
+      while (q.nonEmpty && !found) {
+        val a = q.dequeue()
+        for ((b, _) <- m.adj(a) if prev(b) == -2 && !(a == u && b == v)) {
+          prev(b) = a
+          if (b == v) found = true else q += b
+        }
+      }
+      if (found) {
+        var path = List(v)
+        while (prev(path.head) >= 0) path = prev(path.head) :: path
+        if (path.length >= 3 && path.length <= 8) {
+          val key = path.toSet
+          if (key.size == path.length) rings.getOrElseUpdate(key, path.toVector)
+        }
+      }
+    }
+    rings.values.toVector
+  }
+
+  /** PERCEPTION-INCOMPLETE quarantine (VERDICT r11 #4): true when the
+    * INPUT rendering contains a structure class [[aromatize]] documents
+    * as out of scope, so downstream dedup can ROUTE the molecule (exact
+    * graph-isomorphism dedup, a quarantine shard, manual review)
+    * instead of silently trusting a canonical key that may not collapse
+    * with the molecule's other renderings. Exactly the reference
+    * pipeline's posture: RDKit sanitization REJECTS what it cannot
+    * perceive rather than emitting a wrong key
+    * (/root/reference/scripts/finalize_realease.py:230-249 drops
+    * sanitization failures). Two classes, matching the documented
+    * scope limits:
+    *
+    *  1. CHARGED RING CARBON (cyclopentadienyl anion, tropylium): ring
+    *     plausibility requires uncharged atoms, and [[uncharge]] turns
+    *     a ring C± into a CH/CH₂ whose Kekulé form cannot equal an
+    *     aromatic-input rendering of the same ion — the one class where
+    *     charge is RESONANCE, not protonation state. Conservative on
+    *     purpose: any charged carbon on any 3..8-ring quarantines (an
+    *     sp3 ring carbanion is also a key the kernel cannot certify).
+    *  2. CANDIDATE RING FUSED TO A CONJUGATED NON-CANDIDATE RING
+    *     (benzocyclobutadiene, azulene): the 3/4/7/8-ring is invisible
+    *     to the 5/6-ring perceiver, so the candidate ring perceives as
+    *     if isolated — in-engine renderings stay consistent, but the
+    *     whole-system aromaticity (azulene's 10 π) or antiaromaticity
+    *     (benzocyclobutadiene) is out of kernel scope and an
+    *     externally-aromatized rendering may not collapse. The
+    *     candidate side must be perception-RELEVANT (every atom
+    *     multiple-bonded/aromatic or an N/O/S donor) and the fused
+    *     partner fully conjugated — plain sp3 fusion (indane's 5-ring,
+    *     benzosuberane's 7-ring) does not quarantine.
+    *
+    * Evaluated on the PARSED graph before normalization ([[uncharge]]
+    * wipes exactly the evidence class 1 needs). Unparseable input also
+    * returns true — a key the kernel cannot produce is a fortiori one
+    * it cannot certify. */
+  def perceptionIncompleteGraph(m: Mol): Boolean = {
+    val rings = smallRings(m)
+    def conjugated(a: Int): Boolean =
+      m.atoms(a).aromatic || m.adj(a).exists(t => t._2 >= 2)
+    def donorLike(a: Int): Boolean = {
+      val el = m.atoms(a).element
+      el == "N" || el == "O" || el == "S"
+    }
+    val chargedRingC = rings.exists(_.exists(a =>
+      m.atoms(a).element == "C" && m.atoms(a).charge != 0))
+    def edgesOf(cycle: Vector[Int]): Set[(Int, Int)] =
+      cycle.indices.map { k =>
+        val a = cycle(k); val b = cycle((k + 1) % cycle.length)
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    lazy val ringEdges = rings.map(edgesOf)
+    lazy val candidate = rings.indices.filter { k =>
+      val sz = rings(k).length
+      (sz == 5 || sz == 6) && rings(k).forall(a => conjugated(a) || donorLike(a))
+    }
+    lazy val nonCandConj = rings.indices.filter { k =>
+      val sz = rings(k).length
+      sz != 5 && sz != 6 && rings(k).forall(conjugated)
+    }
+    chargedRingC || candidate.exists(c =>
+      nonCandConj.exists(nc => (ringEdges(c) & ringEdges(nc)).nonEmpty))
+  }
+
+  /** String entry of [[perceptionIncompleteGraph]]. */
+  def perceptionIncomplete(smiles: String): Boolean =
+    if (smiles == null) true
+    else (try perceptionIncompleteGraph(parse(smiles))
+          catch { case _: IllegalArgumentException => true })
 
   // ------------------------------------------------------------- Morgan
 
@@ -1611,6 +1717,94 @@ object Chem {
     * render the LACTIM graph (C–OH, C=N) from scrambled DFS roots —
     * two of the three renderings only collapse through the tautomer
     * rewrite, the d2 enol-variant design with an N acceptor. */
+  // the perception-quarantine lattice ([[quarFromSeed]])
+  val QuarSysMod = 4L // 0 benzene (benign) / 1 cyclopentadienyl anion / 2 tropylium / 3 benzocyclobutadiene
+  val QuarMethMul = 11L
+  val QuarMethMod = 97L
+  val QuarMethLt = 48L
+
+  /** Deterministic QUARANTINE-CLASS family for
+    * [[perceptionIncompleteGraph]] (the d15 generative oracle):
+    *
+    *   sys    = seed mod [[QuarSysMod]]   0 benzene (benign control) /
+    *            1 cyclopentadienyl anion / 2 tropylium /
+    *            3 benzocyclobutadiene
+    *   methyl = (seed*[[QuarMethMul]] mod [[QuarMethMod]]) < [[QuarMethLt]]
+    *
+    * `variant` 0 renders the AROMATIC form (lowercase atoms, the
+    * rendering an RDKit-style perceiver would emit); variants 1..2
+    * render Kekulé forms — benzene and benzocyclobutadiene as two
+    * Kekulé PHASES (their perception collapses all three renderings to
+    * ONE canonical key), the charged ions as one Kekulé graph under two
+    * scrambled atom orders (their aromatic form CANNOT collapse with
+    * the Kekulé one — uncharge turns the ring C± into CH/CH₂ — which
+    * is exactly what the quarantine flag warns about; canonical keys
+    * per seed: sys 1/2 → 2, sys 0/3 → 1, pinned by the d15 oracle).
+    * Every rendering of sys 1-3 must flag, every sys-0 rendering must
+    * not — the flag is a function of the molecule CLASS, not the
+    * rendering. */
+  def quarFromSeed(seed: Long, variant: Int): String = {
+    val sys = math.floorMod(seed, QuarSysMod).toInt
+    val methyl = math.floorMod(seed * QuarMethMul, QuarMethMod) < QuarMethLt
+    val v0 = variant == 0
+    // (nAtoms, ring edges, charge atom -> charge, always-doubles,
+    //  phase-1 doubles, phase-2 doubles)
+    val (nAtoms, edges, chargeAt, fixed, ph1, ph2) = sys match {
+      case 0 => // benzene: two genuine Kekulé phases
+        val ring = (0 until 5).map(i => (i, i + 1)).toVector :+ (5, 0)
+        (6, ring, -1,
+          Set.empty[(Int, Int)],
+          Set((0, 1), (2, 3), (4, 5)), Set((1, 2), (3, 4), (5, 0)))
+      case 1 => // cyclopentadienyl anion: C- at 0, dienes at (1,2)/(3,4)
+        val ring = (0 until 4).map(i => (i, i + 1)).toVector :+ (4, 0)
+        (5, ring, 0,
+          Set.empty[(Int, Int)],
+          Set((1, 2), (3, 4)), Set((1, 2), (3, 4)))
+      case 2 => // tropylium: C+ at 0, trienes at (1,2)/(3,4)/(5,6)
+        val ring = (0 until 6).map(i => (i, i + 1)).toVector :+ (6, 0)
+        (7, ring, 0,
+          Set.empty[(Int, Int)],
+          Set((1, 2), (3, 4), (5, 6)), Set((1, 2), (3, 4), (5, 6)))
+      case _ => // benzocyclobutadiene: benzo 0..5 + 4-ring 0,1,7,6
+        val benzo = (0 until 5).map(i => (i, i + 1)).toVector :+ (5, 0)
+        val e = benzo ++ Vector((1, 7), (7, 6), (6, 0))
+        (8, e, -1,
+          Set((7, 6)),
+          Set((0, 1), (2, 3), (4, 5)), Set((1, 2), (3, 4), (5, 0)))
+    }
+    // the aromatic form flags only the RING SYSTEM the perceiver would
+    // see: benzene/ions whole, benzocyclobutadiene its benzo ring only
+    // (the 4-ring CH=CH stays Kekulé, as in the d14 mixed renderings)
+    val aromAtomSet: Set[Int] =
+      if (sys == 3) (0 until 6).toSet else (0 until nAtoms).toSet
+    val aromEdgeSet: Set[(Int, Int)] =
+      if (sys == 3) edges.take(6).toSet else edges.toSet
+    val doubles = fixed ++ (if (v0) Set.empty else if (variant == 1) ph1 else ph2)
+    def has(s: Set[(Int, Int)], a: Int, b: Int) = s((a, b)) || s((b, a))
+    val atoms = mutable.ArrayBuffer[Atom]()
+    (0 until nAtoms).foreach { i =>
+      val arom = v0 && aromAtomSet(i)
+      val charge = if (i == chargeAt) (if (sys == 1) -1 else 1) else 0
+      // the charged atom pins its one H explicitly (bracket form); all
+      // others recompute implicitly on both paths
+      atoms += Atom("C", arom, charge, if (charge != 0) 1 else -1)
+    }
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    for ((a, b) <- edges)
+      bonds += ((a, b,
+        if (v0 && has(aromEdgeSet, a, b)) 4
+        else if (has(doubles, a, b)) 2 else 1))
+    if (methyl) {
+      atoms += Atom("C", aromatic = false, 0, -1)
+      bonds += ((2, atoms.length - 1, 1))
+    }
+    val m = Mol(atoms.toVector, bonds.toVector)
+    val n = atoms.length
+    val start = math.floorMod(seed + 13L * variant, n.toLong).toInt
+    val scramble = math.floorMod(seed * 31 + variant * 7 + 1, 97).toInt
+    write(m, start, i => math.floorMod(i * scramble + variant, n))
+  }
+
   def lactamFromSeed(seed: Long, variant: Int): String = {
     val nsub = math.floorMod(seed, LactamNSubMod).toInt
     val acyl = (1 + math.floorMod(seed, LactamAcylMod)).toInt

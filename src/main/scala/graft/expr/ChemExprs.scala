@@ -33,6 +33,10 @@ object ChemKernels {
     UTF8String.fromString(Chem.lactamFromSeed(seed, variant))
   def polyFromSeed(seed: Long, variant: Int): UTF8String =
     UTF8String.fromString(Chem.polyFromSeed(seed, variant))
+  def quarFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.quarFromSeed(seed, variant))
+  def perceptionIncomplete(s: UTF8String): Boolean =
+    Chem.perceptionIncomplete(if (s == null) null else s.toString)
   def canonical(s: UTF8String): UTF8String =
     if (s == null) null else UTF8String.fromString(Chem.canonical(s.toString))
   def canonicalIso(s: UTF8String): UTF8String =
@@ -177,6 +181,47 @@ case class MolPolyFromSeed(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "mol_poly_from_seed"
 }
 
+/** Quarantine-class twin of [[MolPolyFromSeed]] ([[Chem.quarFromSeed]]):
+  * renders the charged-aromatic/fused-non-candidate family (plus a
+  * benign benzene control) as one aromatic and two Kekulé forms — the
+  * generative oracle of the d15 perception-quarantine flag. */
+case class MolQuarFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_quar_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.quarFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.quarFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolQuarFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_quar_from_seed"
+}
+
+/** D15 — the perception-incomplete quarantine flag
+  * ([[Chem.perceptionIncomplete]]): true when the input rendering is in
+  * a class the aromatize kernel documents as out of scope (charged ring
+  * carbons; candidate rings fused to conjugated non-candidate rings),
+  * so downstream dedup routes the molecule instead of trusting a
+  * canonical key that may not collapse with its other renderings.
+  * True for unparseable input as well. */
+case class PerceptionIncomplete(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"perception_incomplete requires a string argument, got ${child.dataType.catalogString}")
+  override def nullSafeEval(input: Any): Any =
+    ChemKernels.perceptionIncomplete(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ChemKernels.perceptionIncomplete($c)")
+  override protected def withNewChildInternal(newChild: Expression): PerceptionIncomplete =
+    copy(newChild)
+  override def prettyName: String = "perception_incomplete"
+}
+
 /** Lactam/amide twin of [[MolFromSeed]] ([[Chem.lactamFromSeed]]):
   * renders an amide family as one amide and two lactim (C–OH, C=N)
   * forms, for the lactim→lactam tautomer rule's generative oracle. */
@@ -303,6 +348,9 @@ object chemfunctions {
     col(MolLactamFromSeed(expr(seed), expr(variant)))
   def mol_poly_from_seed(seed: Column, variant: Column): Column =
     col(MolPolyFromSeed(expr(seed), expr(variant)))
+  def mol_quar_from_seed(seed: Column, variant: Column): Column =
+    col(MolQuarFromSeed(expr(seed), expr(variant)))
+  def perception_incomplete(c: Column): Column = col(PerceptionIncomplete(expr(c)))
   def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
   def canonical_smiles_iso(c: Column): Column = col(CanonicalSmilesIso(expr(c)))
   def morgan_fp(c: Column): Column = col(MorganFingerprint(expr(c)))

@@ -275,7 +275,42 @@ object ChemQueries {
         count(lit(1)).as("n_renderings"))
       .select(col("cluster_rep"), col("n_mols"), col("n_renderings"))
 
+  /** D15 (extension) — PERCEPTION QUARANTINE over
+    * [[graft.chem.Chem.quarFromSeed]]'s charged/fused family
+    * (cyclopentadienyl anion / tropylium / benzocyclobutadiene, plus a
+    * benign benzene control, optional methyl). These are the documented
+    * out-of-scope classes of [[graft.chem.Chem.aromatize]] (VERDICT r11
+    * #4): their aromatic and Kekulé renderings may NOT collapse to one
+    * canonical key, so [[graft.chem.Chem.perceptionIncomplete]] flags
+    * them for routing (exact-graph dedup, quarantine shard) instead of
+    * letting dedup trust a silently-wrong key — the reference
+    * pipeline's posture, which DROPS sanitization failures rather than
+    * emitting a key (finalize_realease.py:230-249). Output per seed:
+    * the flag (must be a function of the molecule class — `flag_stable`
+    * pins rendering-invariance across all three forms) and the actual
+    * canonical-key count (the charged ions genuinely split 2-way:
+    * aromatic input stays aromatic while the Kekulé form uncharges to
+    * the diene/triene — exactly the split the flag warns about; benzene
+    * and benzocyclobutadiene collapse to 1 through perception). Oracle:
+    * the (sys, methyl) lattice from the generator's named constants. */
+  def d15PerceptionQuarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), mol_quar_from_seed(col("seed"), col("variant")).as("smiles"))
+      .select(col("seed"), perception_incomplete(col("smiles")).as("flag"),
+        canonical_smiles(col("smiles")).as("canon"))
+      .groupBy(col("seed"))
+      .agg(
+        bool_or(col("flag")).as("quarantined"),
+        (bool_and(col("flag")) === bool_or(col("flag"))).as("flag_stable"),
+        countDistinct(col("canon")).as("n_canon"),
+        count(lit(1)).as("n_renderings"))
+      .select(col("seed"), col("quarantined"), col("flag_stable"),
+        col("n_canon"), col("n_renderings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_perception_quarantine" -> (d15PerceptionQuarantine _),
     "d14_poly_aromatic"   -> (d14PolyAromatic _),
     "d2_smiles_canonical" -> (d2SmilesCanonical _),
     "d3_morgan_fp"        -> (d3MorganFp _),
@@ -386,6 +421,18 @@ object ChemQueries {
         "SELECT CAST(min(p_partkey) AS BIGINT) AS cluster_rep, " +
         "count(*) AS n_mols, count(*) * 3 AS n_renderings " +
         "FROM pa GROUP BY sys, methyl"),
+    // the quarantine lattice (Chem.quarFromSeed): flag = sys != 0,
+    // rendering-stable by construction; canonical keys split 2-way for
+    // the charged ions (aromatic form cannot collapse with the
+    // uncharged Kekulé diene/triene — the split the flag warns about)
+    // and collapse to 1 for benzene/benzocyclobutadiene, whose
+    // perception IS in scope
+    "d15_perception_quarantine" ->
+      (s"SELECT CAST(p_partkey AS BIGINT) AS seed, " +
+        s"(p_partkey % ${Chem.QuarSysMod}) != 0 AS quarantined, " +
+        "TRUE AS flag_stable, " +
+        s"CAST(CASE WHEN p_partkey % ${Chem.QuarSysMod} IN (1, 2) THEN 2 ELSE 1 END AS BIGINT) AS n_canon, " +
+        "CAST(3 AS BIGINT) AS n_renderings FROM part"),
     // the lactam lattice (Chem.lactamFromSeed): one cluster per
     // (N-substituent length, acyl length)
     "d13_lactam_canonical" ->

@@ -462,6 +462,41 @@ class ChemSpec extends SparkSpecBase {
     assert(out.forall(r => r.getAs[Long]("n_renderings") == 3 * r.getAs[Long]("n_mols")))
   }
 
+  test("perception quarantine: named molecules flag by class, benign aromatics never flag") {
+    // class 1: charged ring carbons (resonance charge, not protonation)
+    assert(Chem.perceptionIncomplete("[CH-]1C=CC=C1"), "Kekulé cyclopentadienyl anion")
+    assert(Chem.perceptionIncomplete("[cH-]1cccc1"), "aromatic cyclopentadienyl anion")
+    assert(Chem.perceptionIncomplete("[CH+]1C=CC=CC=C1"), "Kekulé tropylium")
+    assert(Chem.perceptionIncomplete("[cH+]1cccccc1"), "aromatic tropylium")
+    // class 2: candidate ring fused to a conjugated non-candidate ring
+    assert(Chem.perceptionIncomplete("C1=CC2=CC=CC=CC2=C1"), "azulene (5-7 fusion)")
+    assert(Chem.perceptionIncomplete(Chem.quarFromSeed(3L, 1)), "benzocyclobutadiene")
+    // unparseable input cannot be certified either
+    assert(Chem.perceptionIncomplete("C1=CC"), "unclosed ring")
+    // benign: everything perception handles stays unflagged, including
+    // the d11-d14 families (charged N is protonation state, uncharge's
+    // job, not resonance)
+    for (s <- Seq("c1ccccc1", "C1=CC=CC=C1", "c1ccncc1", "c1cc[nH]c1",
+                  "c1ccc2[nH]ccc2c1", "C1CCCCC1", "C1CCC2=CC=CC=C2C1",
+                  "O=C1C=CC(=O)C2=CC=CC=C12", "C[NH3+]", "CC([O-])=O",
+                  "c1cc[nH+]cc1"))
+      assert(!Chem.perceptionIncomplete(s), s"benign molecule flagged: $s")
+    for (seed <- 1L to 20L; v <- 0 to 2)
+      assert(Chem.perceptionIncomplete(Chem.quarFromSeed(seed, v)) ==
+             (math.floorMod(seed, Chem.QuarSysMod) != 0),
+        s"quar seed $seed variant $v flag wrong: ${Chem.quarFromSeed(seed, v)}")
+    // pyrene (d14's hardest case) must NOT quarantine: all rings 5/6
+    assert(!Chem.perceptionIncomplete(Chem.polyFromSeed(4L, 1)), "pyrene")
+    // canonical-key structure the d15 oracle pins: ions split exactly
+    // aromatic-vs-Kekulé; benzene/benzocyclobutadiene collapse to one
+    for (seed <- 1L to 20L) {
+      val canons = (0 to 2).map(v => Chem.canonical(Chem.quarFromSeed(seed, v)))
+      assert(canons.forall(_ != null), s"quar seed $seed unparseable rendering")
+      val want = if (Seq(1L, 2L).contains(math.floorMod(seed, Chem.QuarSysMod))) 2 else 1
+      assert(canons.distinct.size == want, s"quar seed $seed canon split: $canons")
+    }
+  }
+
   test("arom generator: renderings collapse per cell, cells stay apart, oracle contract holds") {
     // one full lattice span: moduli 4 (ring) x 5 (methyl)
     val cells = (1L to 20L).map(s => (math.floorMod(s, Chem.AromRingMod),
