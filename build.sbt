@@ -47,4 +47,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench session GC-bound by the time the later queries run (driver
   // round 1 measured d1_classify_aggregate 25 s aged vs 4 s fresh).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pin the heap and madvise it huge: this VM faults fresh 4 KiB pages
+  // at only ~120 MB/s, serialized on mmap_lock across the 32 task
+  // threads (kernel stacks: do_user_addr_fault -> lock_mm_and_find_vma;
+  // 60-180 s sys-time stalls hitting RANDOM bench repeats). An unpinned
+  // G1 heap re-triggers the storm every time it uncommits after the
+  // periodic System.gc() and regrows; -Xms=-Xmx makes each page fault
+  // at most once per JVM, and THP madvise cuts the fault count 512x.
+  // Measured on dedup_ngram_jaccard at the 10x bench corpus:
+  // 67/90/14 s (unpinned) -> 7/3/2 s repeats with these flags.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+UseTransparentHugePages",
 )

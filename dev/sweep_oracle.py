@@ -228,8 +228,13 @@ class Sweeper:
         self.failed = set()   # chain-hash that timed out / errored
         self.rewrote = set()  # query names where any fast path applied
         for t in TABLES:
+            # a table is either a single parquet file (driver testdata) or
+            # a Spark-written directory of part files (ScaleCorpus output)
+            p = f'{sf_dir}/{t}.parquet'
+            if os.path.isdir(p):
+                p = f'{p}/*.parquet'
             con.execute(f"CREATE OR REPLACE VIEW {t} AS "
-                        f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+                        f"SELECT * FROM read_parquet('{p}')")
 
     def _timed(self, sql, budget_box):
         """Execute with the remaining per-query budget; interrupt on
@@ -348,6 +353,12 @@ def main():
     ap.add_argument('out_dir', help='graft.Verify output dir at the same SF')
     ap.add_argument('--timeout', type=float, default=600.0,
                     help='per-query budget in seconds')
+    ap.add_argument('--threads', type=int, default=None,
+                    help='cap DuckDB threads (default: DuckDB default)')
+    ap.add_argument('--memory-limit', default=None,
+                    help="cap DuckDB memory, e.g. '32GB' (default: DuckDB "
+                         'default, 80%% of RAM — a replay that explodes an '
+                         'intermediate then stalls the whole host)')
     ap.add_argument('--selfcheck', action='store_true',
                     help='also run every REWRITTEN query verbatim and diff '
                          'fast-vs-verbatim (use at a small SF)')
@@ -356,6 +367,10 @@ def main():
 
     oracle = json.load(open(os.path.join(args.out_dir, 'oracle_sql.json')))
     con = duckdb.connect()
+    if args.threads:
+        con.execute(f"SET threads = {args.threads}")
+    if args.memory_limit:
+        con.execute(f"SET memory_limit = '{args.memory_limit}'")
     sw = Sweeper(con, args.sf_dir, fast=True, timeout=args.timeout)
 
     results, t_total = {}, time.time()

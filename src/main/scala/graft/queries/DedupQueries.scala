@@ -1359,8 +1359,12 @@ object DedupQueries {
     * quantity (span lengths, counts, the occurrence≠keeper test) is
     * invariant under the constant shift. */
   /** Tokenize + gram CTEs shared by the three substring-dedup oracles
-    * (t: tokens, g: grams + totals, o1/occ: 1-based positioned
-    * occurrences). */
+    * (t: tokens, g: grams + totals, occ: 1-based positioned
+    * occurrences). occ zips two same-length unnests in ONE select —
+    * DuckDB aligns them positionally — instead of the former
+    * unnest-pos-then-index form (`o1` carrying the whole `grams` list
+    * per position row), whose CTE materialization is O(grams²) per doc
+    * and ground the 10x-corpus oracle replay to a halt. */
   private[graft] val substrOccCtes = {
     val k = SubstrK
     val gramExpr = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
@@ -1368,8 +1372,8 @@ object DedupQueries {
     s"g AS (SELECT doc_id, len(ws) AS total_tokens, CASE WHEN len(ws) >= $k THEN " +
     s"list_transform(generate_series(1, len(ws)-${k - 1}), i -> $gramExpr) " +
     "ELSE [] END AS grams FROM t), " +
-    "o1 AS (SELECT doc_id, grams, unnest(generate_series(1, len(grams))) AS pos FROM g), " +
-    "occ AS (SELECT doc_id, pos, grams[pos] AS gram FROM o1)"
+    "occ AS (SELECT doc_id, unnest(generate_series(1, len(grams))) AS pos, " +
+    "unnest(grams) AS gram FROM g)"
   }
 
   /** Gaps-and-islands merge CTEs (mk -> sp), shared by the oracles. */
@@ -1382,12 +1386,20 @@ object DedupQueries {
     s"sp AS (SELECT doc_id, island, min(pos) AS s, max(pos+$k) AS e FROM m4 GROUP BY doc_id, island)"
   }
 
-  /** Full-corpus keeper marking (dup -> mk). */
+  /** Full-corpus keeper marking (dupd -> dup -> mk). The keeper is the
+    * lexicographic min over (doc_id, pos) — computed in two integer
+    * steps (min doc_id per dup gram, then min pos within that doc)
+    * rather than one `min(struct_pack(...))`: DuckDB's struct-min
+    * aggregate is pathologically slow at millions of groups (>20 min
+    * and ~45 GB at the 10x bench corpus vs <1 s for this form). */
   private val substrMarkCtes =
-    "dup AS (SELECT gram, min(struct_pack(d := doc_id, p := pos)) AS keeper FROM occ " +
+    "dupd AS (SELECT gram, min(doc_id) AS kd FROM occ " +
     "GROUP BY gram HAVING count(*) >= 2), " +
-    "mk AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (gram) " +
-    "WHERE struct_pack(d := o.doc_id, p := o.pos) <> d.keeper)"
+    "dup AS (SELECT o.gram, o.doc_id AS kd, min(o.pos) AS kp FROM occ o " +
+    "JOIN dupd ON o.gram = dupd.gram AND o.doc_id = dupd.kd " +
+    "GROUP BY o.gram, o.doc_id), " +
+    "mk AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup d ON o.gram = d.gram " +
+    "WHERE NOT (o.doc_id = d.kd AND o.pos = d.kp))"
 
   private def substrAccountingSql(docFilter: String) =
     "ag AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e-s) AS dup_tokens FROM sp GROUP BY doc_id) " +
@@ -1405,8 +1417,8 @@ object DedupQueries {
   private val substrCleanSql =
     s"$substrOccCtes, $substrMarkCtes, $substrSpanCtes, " +
     "covered AS (SELECT doc_id, unnest(generate_series(s, e-1)) AS idx FROM sp), " +
-    "tk1 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS idx FROM t), " +
-    "tk AS (SELECT doc_id, idx, ws[idx] AS tok FROM tk1), " +
+    "tk AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS idx, " +
+    "unnest(ws) AS tok FROM t), " +
     "keptt AS (SELECT tk.doc_id, tk.idx, tk.tok FROM tk LEFT JOIN covered c " +
     "ON tk.doc_id = c.doc_id AND tk.idx = c.idx WHERE c.idx IS NULL), " +
     "kept AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text, " +

@@ -48,6 +48,23 @@ class SparkEntrySpec extends AnyFunSuite {
       s"README 'Current state' must read '$n queries, $n/$n oracle-ok' — update it")
   }
 
+  test("steady-state bench artifact exists for the round in progress") {
+    // r10 and r11 both closed without the promised BENCH_steady_rN
+    // artifact, leaving single-run regressions unadjudicable — pin its
+    // existence like the README count. The round in progress is
+    // max(BENCH_rN)+1 (the driver commits BENCH_rN at round CLOSE), and
+    // the previous round's artifact keeps the suite green at round start
+    // before this round's steady bench has run.
+    val benchRe = "BENCH_r(\\d+)\\.json".r
+    val latest = new java.io.File(".").listFiles.toSeq.flatMap { f =>
+      benchRe.findFirstMatchIn(f.getName).map(_.group(1).toInt)
+    }.max
+    val candidates = Seq(latest + 1, latest).map(n => s"BENCH_steady_r$n.json")
+    assert(candidates.exists(p => new java.io.File(p).isFile),
+      s"missing steady-state bench artifact: commit one of $candidates " +
+        "(SPARK_GRAFT_REPEAT=3 SPARK_GRAFT_BENCH_OUT=... runMain graft.Bench)")
+  }
+
   test("oracle coverage: EVERY registered query has a DuckDB oracle") {
     // round 3 closed the last rows-only gaps: the former hash-seeded
     // five (minhash-LSH, simhash, sign-bucket LSH, IVF, winnowing) now
