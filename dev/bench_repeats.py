@@ -1,6 +1,11 @@
 #!/usr/bin/env python3
-"""Parse graft.Bench stderr `[bench] name: t1 t2 ...` repeat lines into a
-JSON map {name: {"repeats": [...], "min": m, "median": d}}.
+"""Parse graft.Bench stderr repeat lines into a JSON map
+{name: {"repeats": [...], "min": m, "median": d,
+        "sys_steal": [...], "minflt": [...], "majflt": [...]}}.
+
+Two line formats feed it:
+  [bench] name: t1 t2 ...                       seconds per sample
+  [bench-host] name: t@storm/minflt/majflt ...  per-sample host evidence
 
 The bench host is a VM that faults fresh 4 KiB pages at ~120 MB/s with
 mmap_lock serialization (see build.sbt's heap-pinning comment) and takes
@@ -8,7 +13,8 @@ bursty co-tenant contention windows (sys/steal storms measured via
 /proc/stat). Both noise sources are strictly ADDITIVE, so the MIN over
 repeats is the consistent estimator of a query's steady plan cost; the
 committed scale-curve ratios in BASELINE.md use min-of-repeats, with the
-full repeat vectors recorded alongside so the noise is auditable.
+full repeat vectors AND per-sample host state recorded alongside so
+every slow sample carries its own storm-or-not adjudication.
 
 Usage: dev/bench_repeats.py <bench-stderr-file> [<out.json>]
 """
@@ -17,18 +23,48 @@ import re
 import statistics
 import sys
 
+BENCH = re.compile(r'\[bench\] (\S+): ([0-9. ]+)$')
+HOST = re.compile(r'\[bench-host\] (\S+): (.+)$')
+HOST_SAMPLE = re.compile(r'([0-9.]+)@([0-9.]+)/(\d+)/(\d+)$')
+
 
 def parse(path):
-    out = {}
+    # accumulate per name WITHIN a file too (r12 ADVICE): an appended
+    # log with two bench sessions must not drop the earlier session's
+    # samples — build_steady_artifact merges across files the same way
+    secs, host = {}, {}
     for line in open(path):
-        m = re.match(r'\[bench\] (\S+): ([0-9. ]+)$', line.strip())
+        line = line.strip()
+        m = BENCH.match(line)
         if m:
-            ts = [float(x) for x in m.group(2).split()]
-            out[m.group(1)] = {
-                'repeats': ts,
-                'min': min(ts),
-                'median': round(statistics.median(ts), 3),
-            }
+            secs.setdefault(m.group(1), []).extend(
+                float(x) for x in m.group(2).split())
+            continue
+        m = HOST.match(line)
+        if m:
+            h = host.setdefault(m.group(1),
+                                {'sec': [], 'storm': [], 'minflt': [], 'majflt': []})
+            for tok in m.group(2).split():
+                s = HOST_SAMPLE.match(tok)
+                if s:
+                    h['sec'].append(float(s.group(1)))
+                    h['storm'].append(float(s.group(2)))
+                    h['minflt'].append(int(s.group(3)))
+                    h['majflt'].append(int(s.group(4)))
+    out = {}
+    for name in sorted(set(secs) | set(host)):
+        # [bench] only prints for >1 samples; [bench-host] always does —
+        # prefer whichever saw more samples (they agree when both fire)
+        h = host.get(name, {'sec': [], 'storm': [], 'minflt': [], 'majflt': []})
+        ts = h['sec'] if len(h['sec']) >= len(secs.get(name, [])) else secs[name]
+        out[name] = {
+            'repeats': ts,
+            'min': min(ts),
+            'median': round(statistics.median(ts), 3),
+            'sys_steal': h['storm'],
+            'minflt': h['minflt'],
+            'majflt': h['majflt'],
+        }
     return out
 
 

@@ -7,7 +7,8 @@ Why min and not last: the bench host is a co-tenant VM that takes
 bursty contention windows (sys/steal storms up to 90% of a 5 s sample,
 measured via /proc/stat — see BASELINE.md "Host noise") which inflate
 RANDOM repeats 10-100x. The storms are strictly additive, so the min
-over repeats estimates steady plan cost; the full repeat vectors are
+over repeats estimates steady plan cost; the full repeat vectors — and,
+since r13, the per-sample sys+steal fraction and fault deltas — are
 committed alongside (BENCH_steady_rN_repeats.json) so every min is
 auditable against its raw samples.
 
@@ -16,6 +17,7 @@ Usage:
       BENCH_OUT.json stderr1 [stderr2 ...]
 """
 import json
+import os
 import sys
 
 from bench_repeats import parse
@@ -27,11 +29,15 @@ def main():
     merged = {}
     for path in sys.argv[4:]:
         for name, rec in parse(path).items():
-            m = merged.setdefault(name, [])
-            m.extend(rec['repeats'])
+            m = merged.setdefault(
+                name, {'repeats': [], 'sys_steal': [], 'minflt': [], 'majflt': []})
+            m['repeats'].extend(rec['repeats'])
+            m['sys_steal'].extend(rec.get('sys_steal', []))
+            m['minflt'].extend(rec.get('minflt', []))
+            m['majflt'].extend(rec.get('majflt', []))
     qs = {}
     for name, detail in sorted(art['queries_all'].items()):
-        reps = merged.get(name)
+        reps = merged.get(name, {}).get('repeats')
         if not reps:
             raise SystemExit(f"no repeat samples for {name}")
         qs[name] = {
@@ -43,10 +49,16 @@ def main():
     final = {
         'metric': 'total', 'value': total, 'unit': 'sec',
         'errors': art['errors'], 'sf': art['sf'],
-        'protocol': 'min over all committed repeats per query '
+        # byte provenance (VERDICT r12 #4): name the exact run the
+        # shuffle bytes came from — bytes are plan-deterministic (and
+        # drift-pinned) but the artifact should say so itself
+        'protocol': 'seconds: min over all committed repeats per query '
                     '(SPARK_GRAFT_REPEAT runs; additive host-noise '
-                    'storms documented in BASELINE.md), shuffle bytes '
-                    'from the SPARK_GRAFT_BENCH_OUT artifact',
+                    'storms documented in BASELINE.md, per-sample '
+                    'sys+steal/fault evidence in the repeats file); '
+                    'shuffle bytes: from the single '
+                    f'SPARK_GRAFT_BENCH_OUT run {os.path.basename(bench_out)} '
+                    '(plan-deterministic, pinned by ShuffleDriftSpec)',
         'repeats_file': repeats_out.split('/')[-1],
         'queries_all': qs,
     }

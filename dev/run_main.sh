@@ -20,7 +20,11 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-TMPD=/dev/shm/graft_tmp; mkdir -p "$TMPD"
+# mirror build.sbt's forkTmpDir fallback: /dev/shm when writable
+# (RAM-backed scratch), else /tmp — set -e must not die on hosts
+# without a writable /dev/shm
+if [ -d /dev/shm ] && [ -w /dev/shm ]; then TMPD=/dev/shm/graft_tmp; else TMPD=/tmp; fi
+mkdir -p "$TMPD"
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Djava.io.tmpdir="$TMPD" \

@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Storm-retry decision (VERDICT r12 #1), kept pure so BenchRetrySpec
+  * can pin it. The bench host is a co-tenant VM whose contention
+  * windows (sys+steal storms, measured via /proc/stat at up to 90% of
+  * a 5 s sample) inflate RANDOM single-run samples 10-100× over the
+  * committed min-of-repeats steady value while the plans — byte-pinned
+  * by ShuffleDriftSpec — are unchanged. A single-pass bench therefore
+  * needs an in-run defense: re-run (once, time-budgeted) any query
+  * whose sample is implausible against its committed steady value or
+  * demonstrably overlapped a storm, and keep the min. The min is the
+  * right estimator because the noise is strictly additive. */
+object BenchRetry {
+  /** sys+steal fraction above which a window counts as storm-hit. */
+  val StormFrac = 0.20
+  /** No-storm-evidence path: retry only a sample this many × steady —
+    * far outside the measured quiet-host run-to-run band (<1.3×). */
+  val SlowFactor = 3.0
+  /** With storm evidence the bar drops: the window is KNOWN dirty. */
+  val StormSlowFactor = 1.5
+  /** Expectation for queries with no committed steady value (new this
+    * round): the r12 steady fleet mean, 0.76 s/q. */
+  val DefaultSteady = 0.76
+
+  def shouldRetry(sec: Double, steady: Option[Double], stormFrac: Double): Boolean = {
+    val s = steady.getOrElse(DefaultSteady)
+    sec > math.max(2.0, SlowFactor * s) ||
+      (stormFrac > StormFrac && sec > math.max(1.0, StormSlowFactor * s))
+  }
+}
+
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Results go through the `noop` sink, not count():
   * count() lets Catalyst prune every projection (a text-cleaning chain
@@ -9,6 +38,13 @@ import org.apache.spark.sql.SparkSession
   * real operator cost.
   */
 object Bench {
+
+  /** One timed sample plus the host-state evidence recorded around it:
+    * the sys+steal fraction of the window and the process fault deltas
+    * (the mmap_lock page-fault storms show up as minflt bursts). */
+  final case class Sample(sec: Double, storm: Double,
+      minflt: Long, majflt: Long, errored: Boolean)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,22 +110,42 @@ object Bench {
     // per-query shuffle read/write bytes (VERDICT r10 #5): catches the
     // byte regressions the plan-shape lints can't see
     val shuffleBytes = scala.collection.mutable.Map[String, (Long, Long)]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // storm-retry state (VERDICT r12 #1): the committed steady artifact
+    // is the per-query expectation; thresholds only apply when this run
+    // is at the artifact's SF. Retries are time-budgeted so a genuinely
+    // regressed fleet can't double the run: half the steady total,
+    // clamped to [60, 300] s. Retry applies to the driver's single-pass
+    // mode only — SPARK_GRAFT_REPEAT runs want raw samples (the repeat
+    // tooling takes its own min), as does SPARK_GRAFT_NO_RETRY=1.
+    val steadyRef = SteadyRef.load()
+    val steadySfOk = steadyRef.exists(_.sf == sfDir)
+    def steadyFor(name: String): Option[Double] =
+      if (steadySfOk) steadyRef.flatMap(_.secs.get(name)) else None
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .zipWithIndex
-      .map { case ((name, fn), qIdx) =>
+    val steadySum = selected.flatMap(q => steadyFor(q._1)).sum
+    val retryEnabled = repeat == 1 && !sys.env.contains("SPARK_GRAFT_NO_RETRY")
+    val retryBudget0 =
+      if (steadySum > 0) math.min(300.0, math.max(60.0, 0.5 * steadySum)) else 120.0
+    var retryBudget = retryBudget0
+    var retries = 0
+    val hostDetail = scala.collection.mutable.Map[String, Vector[Sample]]()
+    val results = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
       System.err.println(s"[bench-start] $name ${System.currentTimeMillis()}")
-      val times = (1 to repeat).map { _ =>
+      def sampleOnce(): Sample = {
+        val c0 = HostStat.cpu(); val f0 = HostStat.faults()
         val (r0, w0) = ShuffleTelemetry.snapshot(spark)
         val t0 = System.nanoTime()
+        var errored = false
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case t: Throwable =>
-          errors += 1
+          errors += 1; errored = true
           System.err.println(s"[bench-error] $name: ${t.getClass.getName}: ${t.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val c1 = HostStat.cpu(); val f1 = HostStat.faults()
         val (r1, w1) = ShuffleTelemetry.snapshot(spark)
-        shuffleBytes(name) = (r1 - r0, w1 - w0) // last repeat wins, like the time
+        shuffleBytes(name) = (r1 - r0, w1 - w0) // last sample wins (bytes are plan-deterministic)
         // drop per-query persisted frames (Verify does the same): cached
         // blocks accumulating across 182 queries age the session and skew
         // the later queries' times
@@ -97,17 +153,42 @@ object Bench {
         // RDD-level blocks (localCheckpoint) survive catalog.clearCache —
         // drop them explicitly
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        dt
+        Sample(dt, HostStat.stormFrac(c0, c1),
+          f1.minor - f0.minor, f1.major - f0.major, errored)
       }
+      var samples = (1 to repeat).toVector.map(_ => sampleOnce())
+      val first = samples.last
+      if (retryEnabled && !first.errored && retryBudget > 0 &&
+          BenchRetry.shouldRetry(first.sec, steadyFor(name), first.storm)) {
+        System.err.println(f"[bench-retry] $name first=${first.sec}%.2f " +
+          f"storm=${first.storm}%.3f steady=${steadyFor(name).getOrElse(-1.0)}%.2f " +
+          f"budget=$retryBudget%.1f")
+        val again = sampleOnce() // may overdraw the budget once; bounded by the slowest query
+        retries += 1
+        retryBudget -= again.sec
+        samples :+= again
+      }
+      // single-pass mode keeps the MIN across first+retry (additive
+      // noise); repeat mode keeps the LAST, unchanged since r2 (isolates
+      // first-run codegen cost; the repeat tooling mins over stderr)
+      val kept = if (repeat > 1) samples.last.sec else samples.map(_.sec).min
       // shuffle files on the RAM-backed scratch dir are only reclaimed
       // when the ContextCleaner sees their references die in a DRIVER
       // GC — across a 182-query session that backlog is the measured
       // 2-7x late-query inflation. A periodic explicit GC keeps the
       // scratch tmpfs (and the executor block manager) near-empty.
       if (qIdx % 8 == 7) System.gc()
-      if (repeat > 1)
-        System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      name -> times.last
+      if (samples.size > 1)
+        System.err.println(f"[bench] $name: ${samples.map(s => f"${s.sec}%.2f").mkString(" ")}")
+      // per-sample host evidence: sec@sysStealFrac/minflt/majflt —
+      // committed via the BENCH_OUT artifact and parsed by
+      // dev/bench_repeats.py, so every slow sample carries its own
+      // storm-or-not adjudication (VERDICT r12 #2)
+      System.err.println(s"[bench-host] $name: " +
+        samples.map(s => f"${s.sec}%.3f@${s.storm}%.3f/${s.minflt}/${s.majflt}")
+          .mkString(" "))
+      hostDetail(name) = samples
+      name -> kept
     }
     // The driver captures only a ~3 KB TAIL of stdout and parses the
     // metric line out of it (r01 recorded parsed:null because the full
@@ -153,7 +234,20 @@ object Bench {
     val qs = headline.flatMap(k => byName.get(k).map(v => s""""$k":${r3(v)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
+    // self-describing protocol (VERDICT r12 #1): the metric line says
+    // HOW it was measured — which steady artifact gated retries, the
+    // thresholds, and how much of the retry budget was spent — so the
+    // number adjudicates itself without prose. Kept compact: both
+    // stdout copies must fit the driver's ~3 KB tail window.
+    val protocol =
+      if (!retryEnabled) s"raw samples (repeat=$repeat, no storm-retry)"
+      else {
+        val ref = steadyRef.filter(_ => steadySfOk).map(_.file).getOrElse("none")
+        f"storm-retry(min of 2): rerun if t>max(2s,${BenchRetry.SlowFactor}%.0fx steady) " +
+          f"or sys+steal>${BenchRetry.StormFrac}%.2f and t>${BenchRetry.StormSlowFactor}%.1fx; " +
+          f"steady=$ref; budget ${retryBudget0}%.0fs used ${retryBudget0 - retryBudget}%.1fs"
+      }
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"retries":$retries,"protocol":"$protocol","queries":$qs,"sf":"$sfDir"}"""
     // emit twice: a prefixed copy for parsers that strip an sbt-style
     // "[info] " tag, then the bare JSON as the LAST stdout line for
     // parsers that json.loads the final line directly (build.sbt sets
@@ -171,9 +265,16 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       val detail = results.map { case (k, v) =>
         val (r, w) = shuffleBytes.getOrElse(k, (0L, 0L))
-        s""""$k":{"sec":${r3(v)},"shuffle_read":$r,"shuffle_write":$w}"""
+        val ss = hostDetail.getOrElse(k, Vector.empty)
+        // full per-sample evidence: seconds, the window's sys+steal
+        // fraction, and (minflt, majflt) deltas — the committed record
+        // that makes slow samples mechanically adjudicable
+        val samplesJ = ss.map(s => r3(s.sec)).mkString("[", ",", "]")
+        val stormJ = ss.map(s => r3(s.storm)).mkString("[", ",", "]")
+        val faultsJ = ss.map(s => s"[${s.minflt},${s.majflt}]").mkString("[", ",", "]")
+        s""""$k":{"sec":${r3(v)},"shuffle_read":$r,"shuffle_write":$w,"samples":$samplesJ,"sys_steal":$stormJ,"faults":$faultsJ}"""
       }.mkString("{", ",", "}")
-      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"sf":"$sfDir","queries_all":$detail}"""
+      val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"retries":$retries,"protocol":"$protocol","sf":"$sfDir","queries_all":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }

@@ -58,7 +58,9 @@ class SparkEntrySpec extends AnyFunSuite {
     val benchRe = "BENCH_r(\\d+)\\.json".r
     val latest = new java.io.File(".").listFiles.toSeq.flatMap { f =>
       benchRe.findFirstMatchIn(f.getName).map(_.group(1).toInt)
-    }.max
+    }.maxOption.getOrElse(
+      fail("no BENCH_rN.json in the working directory — this spec must " +
+        "run with cwd = repo root (sbt's forked test JVM does)"))
     val candidates = Seq(latest + 1, latest).map(n => s"BENCH_steady_r$n.json")
     assert(candidates.exists(p => new java.io.File(p).isFile),
       s"missing steady-state bench artifact: commit one of $candidates " +
