@@ -48,6 +48,12 @@ object Functions {
     "multi_contains_any"  -> (e => MultiContainsAny(e.head, e.tail.map(str))),
     "jaro_winkler"        -> (e => JaroWinklerSim(e(0), e(1))),
     "cdc_boundaries"      -> (e => CdcBoundaries(e.head)),
+    // bpe_apply_merges(word, a1, b1, a2, b2, ...): the whole ordered
+    // merge table in one call — pairs as alternating literals
+    "bpe_apply_merges"    -> (e => {
+      val pairs = e.tail.map(str).grouped(2).map(p => (p(0), p(1))).toSeq
+      BpeApplyMerges(e.head, pairs.map(_._1), pairs.map(_._2))
+    }),
     "topk_mean"           -> (e => TopKMean(e(0), int(e(1)))),
     "topk_pairs"          -> (e => TopKPairs(e(0), e(1), int(e(2)))),
     // Spark's internal runtime-filter bloom pair, surfaced as SQL

@@ -299,4 +299,44 @@ object KernelProps extends Properties("kernels") {
       s1 == s2 && s1 >= 0.0 && s1 <= 1.0 &&
         (a != b || a.isEmpty || s1 == 1.0)
     }
+
+  // BpeKernel.applyAll must equal the per-merge left fold the DuckDB
+  // oracle replays with list_reduce (and the pre-r13 chained-withColumn
+  // plan computed): model the fold directly, compare on random words
+  // and random (possibly inapplicable, possibly chaining) merge tables.
+  private def foldOneMerge(syms: List[String], a: String, b: String): List[String] =
+    syms.foldLeft(List.empty[String]) { (acc, s) =>
+      if (s == b && acc.headOption.contains(a)) (a + b) :: acc.tail
+      else s :: acc
+    }.reverse
+
+  private val bpeWord: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+
+  private val mergeTable: Gen[List[(String, String)]] =
+    Gen.chooseNum(0, 6).flatMap { n =>
+      // grow realistic chained merges: later pairs may reference
+      // symbols only earlier merges can produce
+      def step(k: Int, have: List[String], acc: List[(String, String)])
+          : Gen[List[(String, String)]] =
+        if (k == 0) Gen.const(acc.reverse)
+        else for {
+          a <- Gen.oneOf(have)
+          b <- Gen.oneOf(have)
+          r <- step(k - 1, (a + b) :: have, (a, b) :: acc)
+        } yield r
+      step(n, List("a", "b", "c", "d"), Nil)
+    }
+
+  property("bpe applyAll equals the per-merge oracle fold") =
+    forAll(bpeWord, mergeTable) { (w, merges) =>
+      val want = merges.foldLeft(w.map(String.valueOf(_)).toList) {
+        case (syms, (a, b)) => foldOneMerge(syms, a, b)
+      }.mkString(" ")
+      val got = graft.expr.BpeKernel.applyAll(UTF8String.fromString(w),
+        merges.map(_._1).toArray, merges.map(_._2).toArray,
+        merges.map(p => p._1 + p._2).toArray).toString
+      got == want
+    }
 }
