@@ -1093,7 +1093,7 @@ object Chem {
     * pipeline's posture: RDKit sanitization REJECTS what it cannot
     * perceive rather than emitting a wrong key
     * (/root/reference/scripts/finalize_realease.py:230-249 drops
-    * sanitization failures). Two classes, matching the documented
+    * sanitization failures). Three classes, matching the documented
     * scope limits:
     *
     *  1. CHARGED RING CARBON (cyclopentadienyl anion, tropylium): ring
@@ -1114,6 +1114,27 @@ object Chem {
     *     multiple-bonded/aromatic or an N/O/S donor) and the fused
     *     partner fully conjugated — plain sp3 fusion (indane's 5-ring,
     *     benzosuberane's 7-ring) does not quarantine.
+    *
+    *  3. HALF-AROMATIC RENDERING (VERDICT r12 #4, closing the last
+    *     documented silent-collapse trajectory): a 5/6-ring containing
+    *     BOTH pre-flagged aromatic atoms AND Kekulé-written double
+    *     bonds on its own edges, where the ring WOULD perceive
+    *     aromatic in an all-Kekulé rendering (hypothetical Hückel
+    *     count against the full fused system: aromatic C→1,
+    *     aromatic [nH]/o/s→2, aromatic n→1, in-system double→1,
+    *     lone-pair donor→2, exo-sp2 C→0; sp3 / charged / ≥2 donors
+    *     veto). Real-world corpora do emit such mixed forms (one ring
+    *     flagged aromatic, the fused ring written Kekulé); plausibility
+    *     vetoes any ring containing a pre-flagged atom, so the mixed
+    *     form passes through AS WRITTEN and its key cannot collapse
+    *     with the fully-Kekulé/fully-aromatic twins. The hypothetical-π
+    *     gate is what keeps certifiable mixed renderings OUT of the
+    *     quarantine: a quinoid ring beside an aromatic benzo (RDKit's
+    *     own output form for 1,4-naphthoquinone) counts π = 4 and does
+    *     not flag, and a Kekulé benzene isolated from the aromatic
+    *     part by an sp3 ring (9,10-dihydroanthracene) contains no
+    *     aromatic atom and is not evaluated — both collapse fine
+    *     through normal perception.
     *
     * Evaluated on the PARSED graph before normalization ([[uncharge]]
     * wipes exactly the evidence class 1 needs). Unparseable input also
@@ -1143,8 +1164,68 @@ object Chem {
       val sz = rings(k).length
       sz != 5 && sz != 6 && rings(k).forall(conjugated)
     }
+    // class 3: per-ring aromatic/Kekulé mixing. The fused closure is
+    // over ALL small rings (not just plausible ones) so shared-edge
+    // doubles parked on a neighbor ring still count in-system.
+    lazy val halfAromatic: Boolean = {
+      lazy val systems: Vector[Vector[Int]] = {
+        val unassigned = mutable.LinkedHashSet(rings.indices: _*)
+        val out = Vector.newBuilder[Vector[Int]]
+        while (unassigned.nonEmpty) {
+          val comp = mutable.ArrayBuffer(unassigned.head)
+          unassigned -= comp.head
+          var i = 0
+          while (i < comp.length) {
+            val joins = unassigned.filter(j =>
+              (ringEdges(comp(i)) & ringEdges(j)).nonEmpty)
+            joins.foreach { j => comp += j; unassigned -= j }
+            i += 1
+          }
+          out += comp.toVector
+        }
+        out.result()
+      }
+      def wouldAromatize(cycle: Vector[Int], sysAtoms: Set[Int]): Boolean = {
+        var pi = 0
+        var donors = 0
+        for (a <- cycle) {
+          val at = m.atoms(a)
+          val el = at.element
+          if (at.charge != 0) return false
+          if (at.aromatic) el match {
+            case "C" => pi += 1
+            case "N" => pi += (if (at.hExplicit > 0) 2 else 1)
+            case "O" | "S" => pi += 2
+            case _ => return false
+          } else {
+            if (!OrganicSubset.contains(el)) return false
+            val multiple = m.adj(a).exists(t => t._2 == 2 || t._2 == 3)
+            val intra = m.adj(a).exists { case (b, o) => o == 2 && sysAtoms(b) }
+            if (intra) pi += 1
+            else if (!multiple && donorLike(a)) { pi += 2; donors += 1 }
+            else if (el == "C" && multiple) () // exo-only sp2 carbon: 0
+            else return false // sp3 C, or heteroatom with exo-only multiple
+          }
+        }
+        donors <= 1 && pi % 4 == 2 && pi > 2
+      }
+      val bondOrd: Map[(Int, Int), Int] = m.bonds.map { case (u, v, o) =>
+        ((math.min(u, v), math.max(u, v)), o)
+      }.toMap
+      systems.exists { sys =>
+        val sysAtoms: Set[Int] = sys.iterator.flatMap(rings(_)).toSet
+        sysAtoms.exists(m.atoms(_).aromatic) && sys.exists { k =>
+          val cycle = rings(k)
+          (cycle.length == 5 || cycle.length == 6) &&
+            cycle.exists(m.atoms(_).aromatic) &&
+            ringEdges(k).exists(e => bondOrd.getOrElse(e, 1) == 2 || bondOrd.getOrElse(e, 1) == 3) &&
+            wouldAromatize(cycle, sysAtoms)
+        }
+      }
+    }
     chargedRingC || candidate.exists(c =>
-      nonCandConj.exists(nc => (ringEdges(c) & ringEdges(nc)).nonEmpty))
+      nonCandConj.exists(nc => (ringEdges(c) & ringEdges(nc)).nonEmpty)) ||
+      halfAromatic
   }
 
   /** String entry of [[perceptionIncompleteGraph]]. */
@@ -1717,6 +1798,109 @@ object Chem {
     * render the LACTIM graph (C–OH, C=N) from scrambled DFS roots —
     * two of the three renderings only collapse through the tautomer
     * rewrite, the d2 enol-variant design with an N acceptor. */
+  // the half-aromatic rendering lattice ([[halfFromSeed]])
+  val HalfSysMod = 4L // 0 naphthalene / 1 quinoline / 2 indole / 3 1,4-naphthoquinone (certifiable control)
+  val HalfMethMul = 7L
+  val HalfMethMod = 97L
+  val HalfMethLt = 48L
+
+  /** Deterministic HALF-AROMATIC rendering family for
+    * [[perceptionIncompleteGraph]]'s class 3 (the d16 generative
+    * oracle — VERDICT r12 #4):
+    *
+    *   sys    = seed mod [[HalfSysMod]]   0 naphthalene / 1 quinoline /
+    *            2 indole / 3 1,4-naphthoquinone (certifiable control)
+    *   methyl = (seed*[[HalfMethMul]] mod [[HalfMethMod]]) < [[HalfMethLt]]
+    *
+    * `variant` renders the SAME fused bicyclic three ways:
+    *   0 — the fully-AROMATIC form for sys 0-2 (the rendering the
+    *       perceiver itself emits); for sys 3 the perceiver's actual
+    *       output form: aromatic benzo + Kekulé quinone ring.
+    *   1 — fully KEKULÉ, fusion-bond-double phase.
+    *   2 — for sys 0-2 the HALF-AROMATIC form real corpora emit: the
+    *       benzo ring flagged aromatic, the fused ring written Kekulé.
+    *       Plausibility vetoes the mixed ring, so this rendering passes
+    *       through AS WRITTEN and cannot collapse with variants 0/1 —
+    *       exactly what class 3 must flag. For sys 3 the second
+    *       all-Kekulé phase (fusion single): every naphthoquinone
+    *       rendering is certifiable, so the control seed must collapse
+    *       3→1 with NO flag on any rendering.
+    *
+    * Expected per seed (the d16 oracle's closed form): sys 0-2 →
+    * n_flagged 1 (only variant 2), n_canon 2; sys 3 → n_flagged 0,
+    * n_canon 1. Named-molecule negatives (fully-aromatic and
+    * fully-Kekulé must NOT flag) ride in as variants 0/1 of every
+    * seed, plus the literal-SMILES pins in ChemSpec. */
+  def halfFromSeed(seed: Long, variant: Int): String = {
+    val sys = math.floorMod(seed, HalfSysMod).toInt
+    val methyl = math.floorMod(seed * HalfMethMul, HalfMethMod) < HalfMethLt
+    val fiveRing = sys == 2 // indole
+    val quinone = sys == 3
+    val hetero: Option[(Int, String)] = sys match {
+      case 1 => Some(1 -> "N") // quinoline: pyridine-type N in the benzo ring
+      case 2 => Some(6 -> "N") // indole: donor N adjacent to the fusion
+      case _ => None
+    }
+    val nRing = if (fiveRing) 9 else 10
+    // benzo ring A: 0-1-2-3-4-5-0; ring B shares edge (5,0):
+    //   6-6: B = 5-6-7-8-9-0;  6-5: B = 5-6-7-8-0
+    val ringAEdges = Vector((0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0))
+    val ringBEdges =
+      if (fiveRing) Vector((5, 6), (6, 7), (7, 8), (8, 0))
+      else Vector((5, 6), (6, 7), (7, 8), (8, 9), (9, 0))
+    // Kekulé doubles per region: ring A with/without the fusion bond,
+    // ring B's interior alternation (indole's donor N stays single)
+    val aKekFusion = Set((5, 0), (1, 2), (3, 4))
+    val aKekPlain = Set((0, 1), (2, 3), (4, 5))
+    val bKek: Set[(Int, Int)] =
+      if (fiveRing) Set((7, 8))
+      else if (quinone) Set((7, 8))
+      else Set((6, 7), (8, 9))
+    // which atoms are written aromatic, and which edges carry doubles
+    val (aromAtomSet, doubles): (Set[Int], Set[(Int, Int)]) = variant match {
+      case 0 =>
+        if (quinone) ((0 to 5).toSet, bKek) // aromatic benzo + Kekulé quinone
+        else ((0 until nRing).toSet, Set.empty)
+      case 1 => (Set.empty[Int], aKekFusion ++ bKek)
+      case _ =>
+        if (quinone) (Set.empty[Int], aKekPlain ++ bKek) // 2nd Kekulé phase
+        else ((0 to 5).toSet, bKek) // THE half-aromatic rendering
+    }
+    val atoms = mutable.ArrayBuffer[Atom]()
+    for (k <- 0 until nRing) {
+      val el = hetero.collect { case (at, e) if at == k => e }.getOrElse("C")
+      val arom = aromAtomSet(k)
+      // aromatic indole N carries its H explicitly ([nH]), as in
+      // fusedFromSeed; Kekulé/half forms leave it valence-implicit
+      val hx = if (arom && fiveRing && k == 6) 1 else -1
+      atoms += Atom(el, arom, 0, hx)
+    }
+    def has(s: Set[(Int, Int)], a: Int, b: Int) = s((a, b)) || s((b, a))
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    // a ring edge is aromatic iff both endpoints are (the half form's
+    // B edges touch a non-aromatic atom except the fusion bond, which
+    // ring A owns); otherwise it carries its written Kekulé order
+    for ((a, b) <- ringAEdges ++ ringBEdges)
+      bonds += ((a, b,
+        if (aromAtomSet(a) && aromAtomSet(b)) 4
+        else if (has(doubles, a, b)) 2 else 1))
+    if (quinone) { // the two exocyclic carbonyl oxygens
+      val o1 = { atoms += Atom("O", aromatic = false, 0, -1); atoms.length - 1 }
+      bonds += ((6, o1, 2))
+      val o2 = { atoms += Atom("O", aromatic = false, 0, -1); atoms.length - 1 }
+      bonds += ((9, o2, 2))
+    }
+    if (methyl) {
+      atoms += Atom("C", aromatic = false, 0, -1)
+      bonds += ((2, atoms.length - 1, 1))
+    }
+    val m = Mol(atoms.toVector, bonds.toVector)
+    val n = atoms.length
+    val start = math.floorMod(seed + 13L * variant, n.toLong).toInt
+    val scramble = math.floorMod(seed * 31 + variant * 7 + 1, 97).toInt
+    write(m, start, i => math.floorMod(i * scramble + variant, n))
+  }
+
   // the perception-quarantine lattice ([[quarFromSeed]])
   val QuarSysMod = 4L // 0 benzene (benign) / 1 cyclopentadienyl anion / 2 tropylium / 3 benzocyclobutadiene
   val QuarMethMul = 11L

@@ -35,6 +35,8 @@ object ChemKernels {
     UTF8String.fromString(Chem.polyFromSeed(seed, variant))
   def quarFromSeed(seed: Long, variant: Int): UTF8String =
     UTF8String.fromString(Chem.quarFromSeed(seed, variant))
+  def halfFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.halfFromSeed(seed, variant))
   def perceptionIncomplete(s: UTF8String): Boolean =
     Chem.perceptionIncomplete(if (s == null) null else s.toString)
   def canonical(s: UTF8String): UTF8String =
@@ -200,10 +202,32 @@ case class MolQuarFromSeed(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "mol_quar_from_seed"
 }
 
-/** D15 — the perception-incomplete quarantine flag
+/** Half-aromatic rendering twin of [[MolQuarFromSeed]]
+  * ([[Chem.halfFromSeed]]): renders a fused bicyclic as the aromatic
+  * form, a full Kekulé form, and the HALF-aromatic mixed form real
+  * corpora emit — the generative oracle of the d16 class-3 quarantine
+  * flag (plus a naphthoquinone control whose mixed rendering is
+  * certifiable and must NOT flag). */
+case class MolHalfFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_half_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.halfFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.halfFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolHalfFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_half_from_seed"
+}
+
+/** D15/D16 — the perception-incomplete quarantine flag
   * ([[Chem.perceptionIncomplete]]): true when the input rendering is in
   * a class the aromatize kernel documents as out of scope (charged ring
-  * carbons; candidate rings fused to conjugated non-candidate rings),
+  * carbons; candidate rings fused to conjugated non-candidate rings;
+  * half-aromatic mixed renderings that pass through as written),
   * so downstream dedup routes the molecule instead of trusting a
   * canonical key that may not collapse with its other renderings.
   * True for unparseable input as well. */
@@ -350,6 +374,8 @@ object chemfunctions {
     col(MolPolyFromSeed(expr(seed), expr(variant)))
   def mol_quar_from_seed(seed: Column, variant: Column): Column =
     col(MolQuarFromSeed(expr(seed), expr(variant)))
+  def mol_half_from_seed(seed: Column, variant: Column): Column =
+    col(MolHalfFromSeed(expr(seed), expr(variant)))
   def perception_incomplete(c: Column): Column = col(PerceptionIncomplete(expr(c)))
   def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
   def canonical_smiles_iso(c: Column): Column = col(CanonicalSmilesIso(expr(c)))

@@ -309,7 +309,41 @@ object ChemQueries {
       .select(col("seed"), col("quarantined"), col("flag_stable"),
         col("n_canon"), col("n_renderings"))
 
+  /** D16 (extension) — HALF-AROMATIC RENDERING quarantine over
+    * [[graft.chem.Chem.halfFromSeed]]'s mixed-rendering family
+    * (naphthalene / quinoline / indole, plus a 1,4-naphthoquinone
+    * control, optional methyl). Each seed renders ONE fused bicyclic
+    * as its aromatic form, a full Kekulé phase, and the HALF-aromatic
+    * form real corpora emit (benzo ring flagged aromatic, fused ring
+    * written Kekulé) — the rendering class [[graft.chem.Chem.aromatize]]
+    * documents as pass-through (plausibility vetoes any ring containing
+    * a pre-flagged atom), so the mixed key cannot collapse with its
+    * twins and [[graft.chem.Chem.perceptionIncomplete]]'s class 3 must
+    * flag EXACTLY it (VERDICT r12 #4): the fully-aromatic and
+    * fully-Kekulé variants are the in-lattice named-molecule negatives,
+    * and the quinone control's mixed rendering (RDKit's own output
+    * form, hypothetical π = 4) must not flag on any variant. Output
+    * per seed: n_flagged (1 for sys 0-2 — the half form only — else
+    * 0), the canonical-key count (2 for sys 0-2: aromatic+Kekulé
+    * collapse, the half form splits; 1 for the control), renderings.
+    * Oracle: the (sys, methyl) lattice closed form from the
+    * generator's named constants, the d8–d15 verification design. */
+  def d16HalfAromaticQuarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("seed"))
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), mol_half_from_seed(col("seed"), col("variant")).as("smiles"))
+      .select(col("seed"), perception_incomplete(col("smiles")).as("flag"),
+        canonical_smiles(col("smiles")).as("canon"))
+      .groupBy(col("seed"))
+      .agg(
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+        countDistinct(col("canon")).as("n_canon"),
+        count(lit(1)).as("n_renderings"))
+      .select(col("seed"), col("n_flagged"), col("n_canon"), col("n_renderings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_half_aromatic_quarantine" -> (d16HalfAromaticQuarantine _),
     "d15_perception_quarantine" -> (d15PerceptionQuarantine _),
     "d14_poly_aromatic"   -> (d14PolyAromatic _),
     "d2_smiles_canonical" -> (d2SmilesCanonical _),
@@ -427,6 +461,15 @@ object ChemQueries {
     // uncharged Kekulé diene/triene — the split the flag warns about)
     // and collapse to 1 for benzene/benzocyclobutadiene, whose
     // perception IS in scope
+    // the half-aromatic lattice (Chem.halfFromSeed): only the sys 0-2
+    // HALF rendering (variant 2) flags — 1 of 3 renderings — and only
+    // it refuses to collapse (n_canon 2); the naphthoquinone control
+    // is fully certifiable (n_flagged 0, n_canon 1)
+    "d16_half_aromatic_quarantine" ->
+      (s"SELECT CAST(p_partkey AS BIGINT) AS seed, " +
+        s"CAST(CASE WHEN p_partkey % ${Chem.HalfSysMod} = 3 THEN 0 ELSE 1 END AS BIGINT) AS n_flagged, " +
+        s"CAST(CASE WHEN p_partkey % ${Chem.HalfSysMod} = 3 THEN 1 ELSE 2 END AS BIGINT) AS n_canon, " +
+        "CAST(3 AS BIGINT) AS n_renderings FROM part"),
     "d15_perception_quarantine" ->
       (s"SELECT CAST(p_partkey AS BIGINT) AS seed, " +
         s"(p_partkey % ${Chem.QuarSysMod}) != 0 AS quarantined, " +

@@ -497,6 +497,56 @@ class ChemSpec extends SparkSpecBase {
     }
   }
 
+  test("half-aromatic quarantine: mixed renderings flag, pure and certifiable-mixed never do") {
+    // class 3 positives: one ring flagged aromatic, the fused ring
+    // written Kekulé — plausibility vetoes the mixed ring, the form
+    // passes through as written, and its key cannot collapse
+    assert(Chem.perceptionIncomplete("c1ccc2c(c1)C=CC=C2"), "half-aromatic naphthalene")
+    assert(Chem.perceptionIncomplete("c1ccc2c(c1)C=CN2"), "half-aromatic indole")
+    assert(Chem.perceptionIncomplete("c1ccc2c(c1)C=CO2"), "half-aromatic benzofuran")
+    // named-molecule negatives: fully aromatic / fully Kekulé never flag
+    for (s <- Seq("c1ccc2ccccc2c1", "C1=CC=C2C=CC=CC2=C1",
+                  "c1ccc2[nH]ccc2c1", "C1=CC2=CC=CC=C2N1"))
+      assert(!Chem.perceptionIncomplete(s), s"pure rendering flagged: $s")
+    // certifiable MIXED renderings must not flag: exocyclic doubles
+    // beside an aromatic ring (styrene), the quinoid ring's π = 4
+    // (RDKit's own output form of 1,4-naphthoquinone), an sp3 member
+    // in the Kekulé ring (1,2-dihydronaphthalene, tetralin), and a
+    // Kekulé benzene isolated from the aromatic ring by an sp3 ring
+    // (9,10-dihydroanthracene written half) — all collapse through
+    // normal perception
+    for (s <- Seq("c1ccccc1C=C", "O=C1C=CC(=O)c2ccccc12",
+                  "c1ccc2c(c1)CC=CC2", "c1ccc2c(c1)CCCC2",
+                  "c1ccc2c(c1)CC1=CC=CC=C1C2"))
+      assert(!Chem.perceptionIncomplete(s), s"certifiable rendering flagged: $s")
+    // generator lattice: flag fires EXACTLY on the sys 0-2 half form
+    for (seed <- 1L to 24L; v <- 0 to 2) {
+      val sys = math.floorMod(seed, Chem.HalfSysMod)
+      assert(Chem.perceptionIncomplete(Chem.halfFromSeed(seed, v)) ==
+             (sys != 3 && v == 2),
+        s"half seed $seed variant $v flag wrong: ${Chem.halfFromSeed(seed, v)}")
+    }
+    // canonical-key structure the d16 oracle pins: aromatic+Kekulé
+    // collapse, the half form splits; the quinone control collapses 3->1
+    for (seed <- 1L to 24L) {
+      val canons = (0 to 2).map(v => Chem.canonical(Chem.halfFromSeed(seed, v)))
+      assert(canons.forall(_ != null), s"half seed $seed unparseable rendering")
+      assert(canons(0) == canons(1), s"half seed $seed pure forms split: $canons")
+      val want = if (math.floorMod(seed, Chem.HalfSysMod) == 3) 1 else 2
+      assert(canons.distinct.size == want, s"half seed $seed canon split: $canons")
+    }
+    // the registered query's oracle contract at the smoke SF
+    import queries.ChemQueries
+    val out = ChemQueries.d16HalfAromaticQuarantine(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ctl = math.floorMod(r.getAs[Long]("seed"), Chem.HalfSysMod) == 3
+      assert(r.getAs[Long]("n_flagged") == (if (ctl) 0L else 1L), r.toString)
+      assert(r.getAs[Long]("n_canon") == (if (ctl) 1L else 2L), r.toString)
+      assert(r.getAs[Long]("n_renderings") == 3L, r.toString)
+    }
+  }
+
   test("arom generator: renderings collapse per cell, cells stay apart, oracle contract holds") {
     // one full lattice span: moduli 4 (ring) x 5 (methyl)
     val cells = (1L to 20L).map(s => (math.floorMod(s, Chem.AromRingMod),
