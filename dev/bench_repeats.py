@@ -25,7 +25,10 @@ import sys
 
 BENCH = re.compile(r'\[bench\] (\S+): ([0-9. ]+)$')
 HOST = re.compile(r'\[bench-host\] (\S+): (.+)$')
-HOST_SAMPLE = re.compile(r'([0-9.]+)@([0-9.]+)/(\d+)/(\d+)$')
+# sec@sysSteal/minflt/majflt[/cpuRatio] — cpuRatio (our process's
+# cpu/wall for the window) added r13: low ratio on a slow sample =
+# descheduled (co-tenant USER-cpu contention, invisible to sys+steal)
+HOST_SAMPLE = re.compile(r'([0-9.]+)@([0-9.]+)/(\d+)/(\d+)(?:/([0-9.]+))?$')
 
 
 def parse(path):
@@ -43,7 +46,8 @@ def parse(path):
         m = HOST.match(line)
         if m:
             h = host.setdefault(m.group(1),
-                                {'sec': [], 'storm': [], 'minflt': [], 'majflt': []})
+                                {'sec': [], 'storm': [], 'minflt': [], 'majflt': [],
+                                 'cpu_ratio': []})
             for tok in m.group(2).split():
                 s = HOST_SAMPLE.match(tok)
                 if s:
@@ -51,11 +55,13 @@ def parse(path):
                     h['storm'].append(float(s.group(2)))
                     h['minflt'].append(int(s.group(3)))
                     h['majflt'].append(int(s.group(4)))
+                    h['cpu_ratio'].append(float(s.group(5)) if s.group(5) else None)
     out = {}
     for name in sorted(set(secs) | set(host)):
         # [bench] only prints for >1 samples; [bench-host] always does —
         # prefer whichever saw more samples (they agree when both fire)
-        h = host.get(name, {'sec': [], 'storm': [], 'minflt': [], 'majflt': []})
+        h = host.get(name, {'sec': [], 'storm': [], 'minflt': [], 'majflt': [],
+                            'cpu_ratio': []})
         ts = h['sec'] if len(h['sec']) >= len(secs.get(name, [])) else secs[name]
         out[name] = {
             'repeats': ts,
@@ -64,6 +70,7 @@ def parse(path):
             'sys_steal': h['storm'],
             'minflt': h['minflt'],
             'majflt': h['majflt'],
+            'cpu_ratio': h['cpu_ratio'],
         }
     return out
 

@@ -30,11 +30,13 @@ def main():
     for path in sys.argv[4:]:
         for name, rec in parse(path).items():
             m = merged.setdefault(
-                name, {'repeats': [], 'sys_steal': [], 'minflt': [], 'majflt': []})
+                name, {'repeats': [], 'sys_steal': [], 'minflt': [], 'majflt': [],
+                       'cpu_ratio': []})
             m['repeats'].extend(rec['repeats'])
             m['sys_steal'].extend(rec.get('sys_steal', []))
             m['minflt'].extend(rec.get('minflt', []))
             m['majflt'].extend(rec.get('majflt', []))
+            m['cpu_ratio'].extend(rec.get('cpu_ratio', []))
     qs = {}
     for name, detail in sorted(art['queries_all'].items()):
         reps = merged.get(name, {}).get('repeats')

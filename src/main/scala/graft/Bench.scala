@@ -40,10 +40,14 @@ object BenchRetry {
 object Bench {
 
   /** One timed sample plus the host-state evidence recorded around it:
-    * the sys+steal fraction of the window and the process fault deltas
-    * (the mmap_lock page-fault storms show up as minflt bursts). */
+    * the sys+steal fraction of the window, the process fault deltas
+    * (the mmap_lock page-fault storms show up as minflt bursts), and
+    * our own process's cpu/wall ratio for the window — low ratio on a
+    * slow sample = we were descheduled (co-tenant USER-cpu contention
+    * that sys+steal cannot see); high ratio = a genuine compute/GC/JIT
+    * cost inside the JVM. */
   final case class Sample(sec: Double, storm: Double,
-      minflt: Long, majflt: Long, errored: Boolean)
+      minflt: Long, majflt: Long, cpuRatio: Double, errored: Boolean)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,6 +138,7 @@ object Bench {
       System.err.println(s"[bench-start] $name ${System.currentTimeMillis()}")
       def sampleOnce(): Sample = {
         val c0 = HostStat.cpu(); val f0 = HostStat.faults()
+        val p0 = HostStat.procCpuSec()
         val (r0, w0) = ShuffleTelemetry.snapshot(spark)
         val t0 = System.nanoTime()
         var errored = false
@@ -144,6 +149,7 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         val c1 = HostStat.cpu(); val f1 = HostStat.faults()
+        val p1 = HostStat.procCpuSec()
         val (r1, w1) = ShuffleTelemetry.snapshot(spark)
         shuffleBytes(name) = (r1 - r0, w1 - w0) // last sample wins (bytes are plan-deterministic)
         // drop per-query persisted frames (Verify does the same): cached
@@ -154,7 +160,8 @@ object Bench {
         // drop them explicitly
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         Sample(dt, HostStat.stormFrac(c0, c1),
-          f1.minor - f0.minor, f1.major - f0.major, errored)
+          f1.minor - f0.minor, f1.major - f0.major,
+          if (dt > 0) (p1 - p0) / dt else 0.0, errored)
       }
       var samples = (1 to repeat).toVector.map(_ => sampleOnce())
       val first = samples.last
@@ -180,12 +187,13 @@ object Bench {
       if (qIdx % 8 == 7) System.gc()
       if (samples.size > 1)
         System.err.println(f"[bench] $name: ${samples.map(s => f"${s.sec}%.2f").mkString(" ")}")
-      // per-sample host evidence: sec@sysStealFrac/minflt/majflt —
-      // committed via the BENCH_OUT artifact and parsed by
+      // per-sample host evidence: sec@sysStealFrac/minflt/majflt/cpuRatio
+      // — committed via the BENCH_OUT artifact and parsed by
       // dev/bench_repeats.py, so every slow sample carries its own
       // storm-or-not adjudication (VERDICT r12 #2)
       System.err.println(s"[bench-host] $name: " +
-        samples.map(s => f"${s.sec}%.3f@${s.storm}%.3f/${s.minflt}/${s.majflt}")
+        samples.map(s =>
+            f"${s.sec}%.3f@${s.storm}%.3f/${s.minflt}/${s.majflt}/${s.cpuRatio}%.2f")
           .mkString(" "))
       hostDetail(name) = samples
       name -> kept
@@ -272,7 +280,9 @@ object Bench {
         val samplesJ = ss.map(s => r3(s.sec)).mkString("[", ",", "]")
         val stormJ = ss.map(s => r3(s.storm)).mkString("[", ",", "]")
         val faultsJ = ss.map(s => s"[${s.minflt},${s.majflt}]").mkString("[", ",", "]")
-        s""""$k":{"sec":${r3(v)},"shuffle_read":$r,"shuffle_write":$w,"samples":$samplesJ,"sys_steal":$stormJ,"faults":$faultsJ}"""
+        val cpuJ = ss.map(s => String.format(java.util.Locale.ROOT, "%.2f", s.cpuRatio))
+          .mkString("[", ",", "]")
+        s""""$k":{"sec":${r3(v)},"shuffle_read":$r,"shuffle_write":$w,"samples":$samplesJ,"sys_steal":$stormJ,"faults":$faultsJ,"cpu_ratio":$cpuJ}"""
       }.mkString("{", ",", "}")
       val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,"retries":$retries,"protocol":"$protocol","sf":"$sfDir","queries_all":$detail}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

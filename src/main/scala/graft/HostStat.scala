@@ -47,13 +47,32 @@ object HostStat {
   /** Cumulative process fault counters from /proc/self/stat. */
   def faults(): Faults =
     try {
-      val s = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/self/stat")),
-        java.nio.charset.StandardCharsets.US_ASCII)
-      // proc(5): fields after the parenthesized comm (split on the LAST
-      // ')' — comm may itself contain one); 1-based field 10 = minflt,
-      // 12 = majflt, and rest(0) is field 3 (state).
-      val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      val rest = selfStatTail()
       Faults(rest(7).toLong, rest(9).toLong)
     } catch { case scala.util.control.NonFatal(_) => Faults(0L, 0L) }
+
+  /** Cumulative CPU seconds (utime+stime) of THIS process. The
+    * discriminator sys+steal alone lacks: a co-tenant burning USER
+    * cpu (or scheduler throttling) inflates wall time with no
+    * sys/steal signature — but it shows up as a LOW cpu/wall ratio
+    * for our own process, while a genuine compute/GC/JIT cost shows
+    * cpu ≈ parallelism × wall. Bench records the per-sample ratio. */
+  def procCpuSec(): Double =
+    try {
+      val rest = selfStatTail()
+      // 1-based fields 14 (utime) + 15 (stime), in clock ticks
+      (rest(11).toLong + rest(12).toLong).toDouble / Ticks
+    } catch { case scala.util.control.NonFatal(_) => 0.0 }
+
+  private val Ticks: Double = 100.0 // Linux USER_HZ; fixed since 2.6
+
+  // proc(5): fields after the parenthesized comm (split on the LAST
+  // ')' — comm may itself contain one); 1-based field 10 = minflt,
+  // 12 = majflt, 14/15 = utime/stime, and rest(0) is field 3 (state).
+  private def selfStatTail(): Array[String] = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/self/stat")),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    s.substring(s.lastIndexOf(')') + 2).split(" ")
+  }
 }

@@ -21,6 +21,11 @@ object PlanAudit {
       .foreach { case (name, fn) =>
         try {
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          // SPARK_GRAFT_PLAN=full: dump the whole physical plan (dev
+          // loop for is-the-expensive-projection-above-the-exchange
+          // questions the one-line census can't answer)
+          if (sys.env.get("SPARK_GRAFT_PLAN").contains("full"))
+            println(s"[audit-plan] $name\n$plan")
           def c(p: String) = p.r.findAllIn(plan).size
           val flags = Seq(
             "xch" -> c("Exchange hashpartitioning"),

@@ -35,9 +35,28 @@ import graft.expr.chemfunctions._
 object ChemQueries {
 
   /** The 3-variant rendered corpus: (seed, variant, smiles). */
-  private def rendered(spark: SparkSession, dir: String): DataFrame =
+  /** Molecule seeds fanned out across the cluster BEFORE the expensive
+    * per-row kernels. `part` at the bench SFs is one small parquet
+    * split (2 MB ≪ openCostInBytes), so a scan-side canonicalization /
+    * perception projection runs SINGLE-THREADED — the r13 probes
+    * measured exactly that (cpu/wall ≈ 1.2 on a 32-thread session, d16
+    * 10-16 s serial vs ~12 cpu-seconds of kernel work) with the serial
+    * loop's per-session JIT quality as the d2 variance the r12 verdict
+    * flagged. One ~160 KB seed shuffle parallelizes the projection
+    * 32-way; at 100 TB the same shape holds (kernels run after the
+    * exchange, never pinned to input-split parallelism). The partition
+    * count is EXPLICIT: a bare repartition(col) plans as
+    * REPARTITION_BY_COL, which AQE coalesces back to ~1 partition on
+    * byte size (500 KB of seeds) — precisely wrong for a stage whose
+    * cost is CPU per row, not bytes. */
+  private def seeds(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .select(col("p_partkey").cast("long").as("seed"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("seed"))
+
+  private def rendered(spark: SparkSession, dir: String): DataFrame =
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), col("variant"),
         mol_from_seed(col("seed"), col("variant")).as("smiles"))
@@ -91,8 +110,7 @@ object ChemQueries {
     * out FALSE for enols through the same step. The oracle derives
     * every flag from the seed arithmetic. */
   def d5Substructure(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), mol_from_seed(col("seed"), lit(2)).as("smiles"))
       .select(
         col("seed").as("mol_id"),
@@ -114,8 +132,7 @@ object ChemQueries {
     * (tail, hydroxyl, hand) lattice as modular arithmetic, exactly the
     * d2 verification design. */
   def d8StereoCanonical(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), mol_chiral_from_seed(col("seed"), col("variant")).as("smiles"))
       .select(col("seed"),
@@ -140,8 +157,7 @@ object ChemQueries {
     * (`n_flat_forms` = 1). Oracle: the (lenA, hydroxyl, cis) lattice
     * as modular arithmetic, the d2/d8 verification design. */
   def d9EzCanonical(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), mol_ez_from_seed(col("seed"), col("variant")).as("smiles"))
       .select(col("seed"),
@@ -166,8 +182,7 @@ object ChemQueries {
     * symmetry collapse as CASE arithmetic, built from the same named
     * constants the generator uses. */
   def d10IsotopeCanonical(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), mol_iso_from_seed(col("seed"), col("variant")).as("smiles"))
       .select(col("seed"),
@@ -191,8 +206,7 @@ object ChemQueries {
     * cell; the oracle replays that arithmetic from the generator's own
     * named constants, the d2/d8/d9/d10 verification design. */
   def d11AromaticCanonical(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), mol_arom_from_seed(col("seed"), col("variant")).as("smiles"))
       .select(col("seed"), canonical_smiles(col("smiles")).as("canon"))
@@ -217,8 +231,7 @@ object ChemQueries {
     * the (sys, methyl) lattice from the generator's own named
     * constants, the d2/d8–d11 verification design. */
   def d12FusedAromatic(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), mol_fused_from_seed(col("seed"), col("variant")).as("smiles"))
       .select(col("seed"), canonical_smiles(col("smiles")).as("canon"))
@@ -238,8 +251,7 @@ object ChemQueries {
     * r9 verdict ranked second). Oracle: the (nsub, acyl) lattice from
     * the generator's named constants. */
   def d13LactamCanonical(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), mol_lactam_from_seed(col("seed"), col("variant")).as("smiles"))
       .select(col("seed"), canonical_smiles(col("smiles")).as("canon"))
@@ -263,8 +275,7 @@ object ChemQueries {
     * (sys, methyl) lattice from the generator's named constants, the
     * d8–d13 verification design. */
   def d14PolyAromatic(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), mol_poly_from_seed(col("seed"), col("variant")).as("smiles"))
       .select(col("seed"), canonical_smiles(col("smiles")).as("canon"))
@@ -294,8 +305,7 @@ object ChemQueries {
     * and benzocyclobutadiene collapse to 1 through perception). Oracle:
     * the (sys, methyl) lattice from the generator's named constants. */
   def d15PerceptionQuarantine(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), mol_quar_from_seed(col("seed"), col("variant")).as("smiles"))
       .select(col("seed"), perception_incomplete(col("smiles")).as("flag"),
@@ -329,8 +339,7 @@ object ChemQueries {
     * Oracle: the (sys, methyl) lattice closed form from the
     * generator's named constants, the d8–d15 verification design. */
   def d16HalfAromaticQuarantine(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
-      .select(col("p_partkey").cast("long").as("seed"))
+    seeds(spark, dir)
       .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
       .select(col("seed"), mol_half_from_seed(col("seed"), col("variant")).as("smiles"))
       .select(col("seed"), perception_incomplete(col("smiles")).as("flag"),
