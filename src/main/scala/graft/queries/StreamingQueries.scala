@@ -47,6 +47,31 @@ object StreamingQueries {
     * fresh start re-registers the sink table empty and re-snapshots the
     * feed). `expectedFactor` covers plans that scan the feed once per
     * SIDE (the stream-stream self-join counts its input per branch). */
+  /** Stage a parquet table into a stream-feed dir, handling BOTH
+    * shipped layouts: the driver's single-file testdata tables AND a
+    * Spark-written DIRECTORY of part files (ScaleCorpus's 10× corpora).
+    * A naive Files.copy of a directory copies only the empty directory
+    * entry, and the feed silently goes blank — the t7 drain guard
+    * caught exactly that on the first streaming scale arm (r13). Part
+    * files keep their sorted order under a name prefix so multi-part
+    * corpora become a deterministic multi-batch feed (the realistic
+    * at-scale ingest shape: maxFilesPerTrigger batches). */
+  private def stageTable(dir: String, table: String, feed: java.nio.file.Path): Unit = {
+    val src = java.nio.file.Paths.get(s"$dir/$table")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = src.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          feed.resolve(f"${i}%04d_$table"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } else
+      java.nio.file.Files.copy(src, feed.resolve(table),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def drainVerified(expectedRows: Long, what: String, expectedFactor: Int = 1)
                            (start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val want = expectedRows * expectedFactor
@@ -165,10 +190,7 @@ object StreamingQueries {
     val feed = java.nio.file.Paths.get(
       graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "events_feed"))
     java.nio.file.Files.createDirectories(feed)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      feed.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stageTable(dir, "events.parquet", feed)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
@@ -458,12 +480,17 @@ object StreamingQueries {
     val feed = java.nio.file.Paths.get(
       graft.ScratchDirs.dir("stream", dir.replaceAll("[^a-zA-Z0-9]", "_"), "docs_feed"))
     java.nio.file.Files.createDirectories(feed)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/documents.parquet"),
-      feed.resolve("documents.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stageTable(dir, "documents.parquet", feed)
     val raw = spark.read.parquet(s"$dir/documents.parquet")
-    val stream = StreamOps.fileFeed(spark, feed.toString, raw, maxFilesPerTrigger = 1)
+    // drain in ≤4 micro-batches regardless of the corpus's part-file
+    // count: a multi-part 10× corpus at maxFilesPerTrigger=1 would pay
+    // one ~2.4 s state-commit floor PER FILE (32 commits dominated the
+    // first streaming scale arm), measuring file layout instead of
+    // data volume — while a single mega-batch would stop exercising
+    // the cross-batch bucket state this query exists to drive
+    val nFeedFiles = feed.toFile.listFiles().count(_.getName.endsWith(".parquet"))
+    val stream = StreamOps.fileFeed(spark, feed.toString, raw,
+      maxFilesPerTrigger = math.max(1, (nFeedFiles + 3) / 4))
     // constant ingest timestamp: the TTL machinery is armed (watermark,
     // per-bucket timeouts) but can never fire inside the drain, so the
     // drained result still equals the batch band join / its oracle —
