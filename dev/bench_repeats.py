@@ -63,14 +63,20 @@ def parse(path):
         h = host.get(name, {'sec': [], 'storm': [], 'minflt': [], 'majflt': [],
                             'cpu_ratio': []})
         ts = h['sec'] if len(h['sec']) >= len(secs.get(name, [])) else secs[name]
+        # evidence arrays must align 1:1 with the chosen repeats vector
+        # (r13 ADVICE): when repeats fall back to [bench] seconds from a
+        # mixed pre-r13/new log, the host arrays describe a DIFFERENT
+        # sample set — emit them empty rather than misattributed
+        aligned = ts is h['sec'] and all(
+            len(h[k]) == len(ts) for k in ('storm', 'minflt', 'majflt', 'cpu_ratio'))
         out[name] = {
             'repeats': ts,
             'min': min(ts),
             'median': round(statistics.median(ts), 3),
-            'sys_steal': h['storm'],
-            'minflt': h['minflt'],
-            'majflt': h['majflt'],
-            'cpu_ratio': h['cpu_ratio'],
+            'sys_steal': h['storm'] if aligned else [],
+            'minflt': h['minflt'] if aligned else [],
+            'majflt': h['majflt'] if aligned else [],
+            'cpu_ratio': h['cpu_ratio'] if aligned else [],
         }
     return out
 

@@ -1139,7 +1139,27 @@ object Chem {
     * Evaluated on the PARSED graph before normalization ([[uncharge]]
     * wipes exactly the evidence class 1 needs). Unparseable input also
     * returns true — a key the kernel cannot produce is a fortiori one
-    * it cannot certify. */
+    * it cannot certify.
+    *
+    * TAXONOMY CLOSURE (VERDICT r13 #7): the three classes are complete
+    * for the kernel's documented scope. The candidate "class 4" —
+    * a >2-ring fused system mixed across BOTH fusion bonds — reduces
+    * to class 3: fusion atoms are SHARED between rings, so marking any
+    * proper subset of a fused system's rings aromatic leaves some ring
+    * holding both aromatic (fusion) atoms and, for its remaining
+    * carbons to stay sp2 without changing the molecule, Kekulé double
+    * bonds on its own edges — i.e. a mixed ring, which class 3
+    * evaluates with the Hückel count taken over the WHOLE fused
+    * closure (`systems` below spans every small ring, so shared-edge
+    * doubles parked on a neighbor ring count in-system regardless of
+    * system size). The only way to mix a multi-ring rendering WITHOUT
+    * creating a mixed ring is to drop the boundary carbons to sp3 —
+    * which is a different molecule (9,10-dihydroanthracene vs
+    * anthracene), not a rendering. [[triFromSeed]] (d17) pins this
+    * generatively on 3-ring systems mixed at one and at both fusion
+    * bonds; ChemSpec's closure property asserts no-silent-split over
+    * the lattice (every rendering either collapses to the all-Kekulé
+    * key or is flagged). */
   def perceptionIncompleteGraph(m: Mol): Boolean = {
     val rings = smallRings(m)
     def conjugated(a: Int): Boolean =
@@ -1890,6 +1910,92 @@ object Chem {
       val o2 = { atoms += Atom("O", aromatic = false, 0, -1); atoms.length - 1 }
       bonds += ((9, o2, 2))
     }
+    if (methyl) {
+      atoms += Atom("C", aromatic = false, 0, -1)
+      bonds += ((2, atoms.length - 1, 1))
+    }
+    val m = Mol(atoms.toVector, bonds.toVector)
+    val n = atoms.length
+    val start = math.floorMod(seed + 13L * variant, n.toLong).toInt
+    val scramble = math.floorMod(seed * 31 + variant * 7 + 1, 97).toInt
+    write(m, start, i => math.floorMod(i * scramble + variant, n))
+  }
+
+  // the tricyclic mixed-rendering lattice ([[triFromSeed]])
+  val TriSysMod = 4L // 0 anthracene mid-aromatic / 1 anthracene end-aromatic / 2 acridine mid-aromatic / 3 anthracene 2-phase control
+  val TriMethMul = 17L
+  val TriMethMod = 97L
+  val TriMethLt = 48L
+
+  /** Deterministic TRICYCLIC mixed-rendering family — the d17
+    * generative closure of the quarantine taxonomy (VERDICT r13 #7).
+    * The candidate "class 4" was a >2-ring fused system with mixed
+    * renderings across BOTH fusion bonds; this lattice demonstrates it
+    * REDUCES to class 3 (see [[perceptionIncompleteGraph]]'s closure
+    * note): fusion atoms are shared between rings, so any valence-sane
+    * mixed rendering of a linear tricyclic necessarily contains a ring
+    * that is itself mixed — aromatic fusion atoms plus Kekulé doubles
+    * on its own edges — and class 3 evaluates exactly those rings over
+    * the full fused closure.
+    *
+    *   sys    = seed mod [[TriSysMod]]
+    *     0 anthracene, mixed form = MIDDLE ring aromatic, both outer
+    *       rings Kekulé (both fusion bonds border a Kekulé ring; the
+    *       two OUTER rings are the mixed ones)
+    *     1 anthracene, mixed form = ONE END ring aromatic, rest Kekulé
+    *       (the MIDDLE ring is the mixed one)
+    *     2 acridine (pyridine-type N at a meso position), mixed form
+    *       as sys 0 — the heteroatom rides the aromatic middle ring
+    *     3 anthracene CONTROL: variant 2 is the SECOND Kekulé phase
+    *       (ring A's alternation flipped through the fusion bond) —
+    *       every rendering certifiable, must collapse 3→1 unflagged
+    *   methyl = (seed*[[TriMethMul]] mod [[TriMethMod]]) < [[TriMethLt]]
+    *
+    * `variant` 0 renders the fully-AROMATIC form, 1 the fully-KEKULÉ
+    * phase-1 form (both in-lattice negatives: no flag, collapse
+    * together), 2 the sys-dependent mixed form (sys 0-2: must flag and
+    * cannot collapse) or control phase (sys 3).
+    *
+    * Expected per seed (the d17 oracle's closed form): sys 0-2 →
+    * n_flagged 1, n_canon 2; sys 3 → n_flagged 0, n_canon 1 — the
+    * same shape as [[halfFromSeed]]'s, one more ring out. */
+  def triFromSeed(seed: Long, variant: Int): String = {
+    val sys = math.floorMod(seed, TriSysMod).toInt
+    val methyl = math.floorMod(seed * TriMethMul, TriMethMod) < TriMethLt
+    // linear fusion: ring A = 0..5, ring B = 5-6-7-8-9-0 (fusion edge
+    // (5,0)), ring C = 7-10-11-12-13-8 (fusion edge (7,8)); acridine
+    // puts N at meso atom 9
+    val nRing = 14
+    val edges = Vector(
+      (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),          // ring A
+      (5, 6), (6, 7), (7, 8), (8, 9), (9, 0),                  // ring B rest
+      (7, 10), (10, 11), (11, 12), (12, 13), (13, 8))          // ring C rest
+    // Kekulé phase 1: a perfect matching (every carbon exactly one
+    // double); phase 2 flips ring A's alternation through the fusion
+    val ph1 = Set((0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (12, 13))
+    val ph2 = Set((5, 0), (1, 2), (3, 4), (6, 7), (8, 9), (10, 11), (12, 13))
+    val midAtoms = Set(5, 6, 7, 8, 9, 0)
+    val endAtoms = Set(0, 1, 2, 3, 4, 5)
+    val (aromAtomSet, doubles): (Set[Int], Set[(Int, Int)]) = variant match {
+      case 0 => ((0 until nRing).toSet, Set.empty[(Int, Int)])
+      case 1 => (Set.empty[Int], ph1)
+      case _ => sys match {
+        case 1 => (endAtoms, Set((6, 7), (8, 9), (10, 11), (12, 13)))
+        case 3 => (Set.empty[Int], ph2)
+        case _ => (midAtoms, Set((1, 2), (3, 4), (10, 11), (12, 13)))
+      }
+    }
+    val atoms = mutable.ArrayBuffer[Atom]()
+    for (k <- 0 until nRing) {
+      val el = if (sys == 2 && k == 9) "N" else "C"
+      atoms += Atom(el, aromAtomSet(k), 0, -1)
+    }
+    def has(s: Set[(Int, Int)], a: Int, b: Int) = s((a, b)) || s((b, a))
+    val bonds = mutable.ArrayBuffer[(Int, Int, Int)]()
+    for ((a, b) <- edges)
+      bonds += ((a, b,
+        if (aromAtomSet(a) && aromAtomSet(b)) 4
+        else if (has(doubles, a, b)) 2 else 1))
     if (methyl) {
       atoms += Atom("C", aromatic = false, 0, -1)
       bonds += ((2, atoms.length - 1, 1))

@@ -37,6 +37,8 @@ object ChemKernels {
     UTF8String.fromString(Chem.quarFromSeed(seed, variant))
   def halfFromSeed(seed: Long, variant: Int): UTF8String =
     UTF8String.fromString(Chem.halfFromSeed(seed, variant))
+  def triFromSeed(seed: Long, variant: Int): UTF8String =
+    UTF8String.fromString(Chem.triFromSeed(seed, variant))
   def perceptionIncomplete(s: UTF8String): Boolean =
     Chem.perceptionIncomplete(if (s == null) null else s.toString)
   def canonical(s: UTF8String): UTF8String =
@@ -223,6 +225,26 @@ case class MolHalfFromSeed(left: Expression, right: Expression) extends BinaryEx
   override def prettyName: String = "mol_half_from_seed"
 }
 
+/** Tricyclic mixed-rendering twin of [[MolHalfFromSeed]]
+  * ([[Chem.triFromSeed]]): renders a linear 3-ring system mixed at one
+  * and at both fusion bonds — the d17 generative CLOSURE of the
+  * quarantine taxonomy (the candidate "class 4" reduces to class 3;
+  * see [[Chem.perceptionIncompleteGraph]]'s closure note). */
+case class MolTriFromSeed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mol_tri_from_seed requires (bigint, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(seed: Any, variant: Any): Any =
+    ChemKernels.triFromSeed(seed.asInstanceOf[Long], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.ChemKernels.triFromSeed($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MolTriFromSeed =
+    copy(l, r)
+  override def prettyName: String = "mol_tri_from_seed"
+}
+
 /** D15/D16 — the perception-incomplete quarantine flag
   * ([[Chem.perceptionIncomplete]]): true when the input rendering is in
   * a class the aromatize kernel documents as out of scope (charged ring
@@ -376,6 +398,8 @@ object chemfunctions {
     col(MolQuarFromSeed(expr(seed), expr(variant)))
   def mol_half_from_seed(seed: Column, variant: Column): Column =
     col(MolHalfFromSeed(expr(seed), expr(variant)))
+  def mol_tri_from_seed(seed: Column, variant: Column): Column =
+    col(MolTriFromSeed(expr(seed), expr(variant)))
   def perception_incomplete(c: Column): Column = col(PerceptionIncomplete(expr(c)))
   def canonical_smiles(c: Column): Column = col(CanonicalSmiles(expr(c)))
   def canonical_smiles_iso(c: Column): Column = col(CanonicalSmilesIso(expr(c)))

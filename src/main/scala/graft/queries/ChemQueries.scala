@@ -351,7 +351,36 @@ object ChemQueries {
         count(lit(1)).as("n_renderings"))
       .select(col("seed"), col("n_flagged"), col("n_canon"), col("n_renderings"))
 
+  /** D17 (extension) — TRICYCLIC mixed-rendering CLOSURE over
+    * [[graft.chem.Chem.triFromSeed]]'s family (anthracene mixed at the
+    * middle ring / at an end ring, acridine, plus a two-Kekulé-phase
+    * anthracene control, optional methyl). This is the quarantine
+    * taxonomy's closure query (VERDICT r13 #7): the candidate
+    * "class 4" — a >2-ring system mixed across BOTH fusion bonds —
+    * reduces to class 3 because fusion atoms are shared, so every
+    * valence-sane mixed rendering contains a mixed RING, which
+    * [[graft.chem.Chem.perceptionIncomplete]] evaluates over the full
+    * fused closure. Per seed: sys 0-2 → exactly the mixed rendering
+    * flags (n_flagged 1) and refuses to collapse (n_canon 2); the sys
+    * 3 control's second Kekulé phase must collapse 3→1 unflagged —
+    * proving the perceiver itself handles tricyclic phase choice and
+    * the flag fires on mixing, not on ring count. Oracle: the (sys,
+    * methyl) closed form from the generator's named constants. */
+  def d17TricyclicMixedQuarantine(spark: SparkSession, dir: String): DataFrame =
+    seeds(spark, dir)
+      .select(col("seed"), explode(array(lit(0), lit(1), lit(2))).as("variant"))
+      .select(col("seed"), mol_tri_from_seed(col("seed"), col("variant")).as("smiles"))
+      .select(col("seed"), perception_incomplete(col("smiles")).as("flag"),
+        canonical_smiles(col("smiles")).as("canon"))
+      .groupBy(col("seed"))
+      .agg(
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+        countDistinct(col("canon")).as("n_canon"),
+        count(lit(1)).as("n_renderings"))
+      .select(col("seed"), col("n_flagged"), col("n_canon"), col("n_renderings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_tricyclic_mixed_quarantine" -> (d17TricyclicMixedQuarantine _),
     "d16_half_aromatic_quarantine" -> (d16HalfAromaticQuarantine _),
     "d15_perception_quarantine" -> (d15PerceptionQuarantine _),
     "d14_poly_aromatic"   -> (d14PolyAromatic _),
@@ -474,6 +503,14 @@ object ChemQueries {
     // HALF rendering (variant 2) flags — 1 of 3 renderings — and only
     // it refuses to collapse (n_canon 2); the naphthoquinone control
     // is fully certifiable (n_flagged 0, n_canon 1)
+    // the tricyclic closure lattice (Chem.triFromSeed): same closed
+    // form as d16, one ring out — only the sys 0-2 mixed rendering
+    // flags and splits; the sys-3 two-phase control collapses 3→1
+    "d17_tricyclic_mixed_quarantine" ->
+      (s"SELECT CAST(p_partkey AS BIGINT) AS seed, " +
+        s"CAST(CASE WHEN p_partkey % ${Chem.TriSysMod} = 3 THEN 0 ELSE 1 END AS BIGINT) AS n_flagged, " +
+        s"CAST(CASE WHEN p_partkey % ${Chem.TriSysMod} = 3 THEN 1 ELSE 2 END AS BIGINT) AS n_canon, " +
+        "CAST(3 AS BIGINT) AS n_renderings FROM part"),
     "d16_half_aromatic_quarantine" ->
       (s"SELECT CAST(p_partkey AS BIGINT) AS seed, " +
         s"CAST(CASE WHEN p_partkey % ${Chem.HalfSysMod} = 3 THEN 0 ELSE 1 END AS BIGINT) AS n_flagged, " +

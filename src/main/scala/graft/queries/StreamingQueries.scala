@@ -58,6 +58,15 @@ object StreamingQueries {
     * at-scale ingest shape: maxFilesPerTrigger batches). */
   private def stageTable(dir: String, table: String, feed: java.nio.file.Path): Unit = {
     val src = java.nio.file.Paths.get(s"$dir/$table")
+    // clear THIS table's previously staged files first (r13 ADVICE): a
+    // corpus rebuilt at the same path with fewer part files (or
+    // switched between single-file and directory layout) would
+    // otherwise leave stale NNNN_-prefixed copies in the feed,
+    // inflating drained rows and tripping the drain guard. Other
+    // tables' staged files in a shared feed dir are left alone.
+    Option(feed.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == table || f.getName.matches(s"\\d{4}_${java.util.regex.Pattern.quote(table)}"))
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
     if (java.nio.file.Files.isDirectory(src)) {
       val parts = src.toFile.listFiles()
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))

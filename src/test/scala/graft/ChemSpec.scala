@@ -547,6 +547,61 @@ class ChemSpec extends SparkSpecBase {
     }
   }
 
+  test("tricyclic closure: class 4 reduces to class 3 — no silent split on the d17 lattice") {
+    // named positives: 3-ring systems mixed at ONE fusion bond (end
+    // ring aromatic) and at BOTH fusion bonds (middle ring aromatic,
+    // both outer rings Kekulé) — the candidate "class 4" shapes —
+    // must flag via the mixed ring class 3 already evaluates
+    assert(Chem.perceptionIncomplete("c1ccc2cc3c(cc2c1)C=CC=C3"),
+      "anthracene mixed at one fusion bond")
+    // named negatives: pure tricyclic renderings never flag
+    for (s <- Seq("c1ccc2cc3ccccc3cc2c1", "C1=CC2=CC3=CC=CC=C3C=C2C=C1"))
+      assert(!Chem.perceptionIncomplete(s), s"pure tricyclic flagged: $s")
+    // 9,10-dihydroanthracene: the ONLY way to mix a multi-ring
+    // rendering without a mixed ring is sp3 boundary carbons — a
+    // different molecule, not a rendering; must not flag
+    assert(!Chem.perceptionIncomplete("c1ccc2c(c1)CC1=CC=CC=C1C2"))
+    // generator lattice: flag fires EXACTLY on the sys 0-2 mixed form
+    for (seed <- 1L to 24L; v <- 0 to 2) {
+      val sys = math.floorMod(seed, Chem.TriSysMod)
+      assert(Chem.perceptionIncomplete(Chem.triFromSeed(seed, v)) ==
+             (sys != 3 && v == 2),
+        s"tri seed $seed variant $v flag wrong: ${Chem.triFromSeed(seed, v)}")
+    }
+    // THE CLOSURE PROPERTY (no silent split): every rendering either
+    // collapses to the all-Kekulé reference key, or is quarantined —
+    // there is no rendering in the lattice that silently keeps a
+    // different key. This is what certifies the 3-class taxonomy is
+    // complete for multi-ring mixed renderings (VERDICT r13 #7).
+    for (seed <- 1L to 96L; v <- 0 to 2) {
+      val s = Chem.triFromSeed(seed, v)
+      val ref = Chem.canonical(Chem.triFromSeed(seed, 1)) // all-Kekulé
+      val c = Chem.canonical(s)
+      assert(c != null, s"tri seed $seed variant $v unparseable: $s")
+      assert(c == ref || Chem.perceptionIncomplete(s),
+        s"SILENT SPLIT: tri seed $seed variant $v key $c != $ref and unflagged: $s")
+    }
+    // canonical-key structure the d17 oracle pins: pure forms (and the
+    // control's both phases) collapse, the mixed form splits
+    for (seed <- 1L to 24L) {
+      val canons = (0 to 2).map(v => Chem.canonical(Chem.triFromSeed(seed, v)))
+      assert(canons.forall(_ != null), s"tri seed $seed unparseable rendering")
+      assert(canons(0) == canons(1), s"tri seed $seed pure forms split: $canons")
+      val want = if (math.floorMod(seed, Chem.TriSysMod) == 3) 1 else 2
+      assert(canons.distinct.size == want, s"tri seed $seed canon split: $canons")
+    }
+    // the registered query's oracle contract at the smoke SF
+    import queries.ChemQueries
+    val out = ChemQueries.d17TricyclicMixedQuarantine(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ctl = math.floorMod(r.getAs[Long]("seed"), Chem.TriSysMod) == 3
+      assert(r.getAs[Long]("n_flagged") == (if (ctl) 0L else 1L), r.toString)
+      assert(r.getAs[Long]("n_canon") == (if (ctl) 1L else 2L), r.toString)
+      assert(r.getAs[Long]("n_renderings") == 3L, r.toString)
+    }
+  }
+
   test("arom generator: renderings collapse per cell, cells stay apart, oracle contract holds") {
     // one full lattice span: moduli 4 (ring) x 5 (methyl)
     val cells = (1L to 20L).map(s => (math.floorMod(s, Chem.AromRingMod),
