@@ -566,11 +566,15 @@ object SimilarityQueries {
     * 10× corpus (50k vectors) is 1.25 B scored pairs — unverifiable in
     * practice. Here the truth is exact pairs over the seeded 10%
     * id-slice (O(n²/100) — the 10× corpus costs ~12.5 M pairs, about
-    * the 1× full baseline) while the LSH index side still runs over
-    * the ENTIRE corpus; recall is evaluated on truth pairs with both
-    * endpoints in the slice. Unbiased because LSH bucketing is
-    * per-vector: whether a pair is recalled is independent of slice
-    * membership. Unlike annLshRecall's TRUE-pinned floor, the oracle
+    * the 1× full baseline), and the LSH side evaluates the SAME
+    * production bucket geometry with the slice filter pushed below the
+    * bucket join — exact, because a pair's candidacy depends only on
+    * its two vectors' own sign buckets, so bucketing only slice
+    * vectors yields precisely the slice-restricted candidate set of
+    * the full-corpus join. Recall on the slice is unbiased for the
+    * full contract for the same reason: whether a truth pair is
+    * recalled is independent of slice membership. Unlike
+    * annLshRecall's TRUE-pinned floor, the oracle
     * here replays BOTH sides (slice truth + full LSH) so the measured
     * recall itself is hash-checked — at gate SFs the slice holds only
     * a handful of true pairs and a single LSH miss swings the ratio
@@ -594,8 +598,30 @@ object SimilarityQueries {
       .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), lit(1).as("t"))
-    val lsh = annLshNearDup(spark, dir)
-      .filter(inSlice(col("id_a")) && inSlice(col("id_b")))
+    // LSH side: the slice filter is pushed BELOW the bucket join.
+    // This is algebraically exact, not an approximation: a pair's
+    // candidacy depends only on its two vectors' own sign buckets (a
+    // per-vector function), so bucketing only slice vectors yields
+    // EXACTLY the slice-restricted candidate set of the full-corpus
+    // join — while cutting the join mass 100×. Without the pushdown
+    // the contract is unverifiable at 10×: sign-bucket candidates
+    // scale n²/2^k (k=4 bits, 16 buckets), ~1.25 B pairs at 50k
+    // vectors — the measured geometry's honest scale limit, recorded
+    // in BASELINE.md.
+    val lshBuckets = array((0 until LshTables).map { t =>
+      signBucketBits(col("embedding"), t * LshBits, LshBits)
+    }: _*)
+    val se = e.select(col("vec_id"), posexplode(lshBuckets).as(Seq("tbl", "bucket")))
+    val ca = se.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val cb = se.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val cand = ca.join(cb, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val v = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val lsh = cand
+      .join(v.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nb")), "id_b")
+      .filter(dot(col("emb_a"), col("emb_b")) / (col("na") * col("nb")) >= NearDupThreshold)
       .select(col("id_a"), col("id_b"), lit(1).as("f"))
     exact.join(lsh, Seq("id_a", "id_b"), "full")
       .agg(coalesce(sum(col("t")), lit(0)).cast("long").as("n_true"),
@@ -1153,10 +1179,15 @@ object SimilarityQueries {
     // pipeline): the measured recall is hash-checked, not floor-pinned
     // — see annLshRecallSampled's scaladoc for why
     "ann_lsh_recall_sampled" ->
+      // slice filter pushed below the bucket join on BOTH sides, same
+      // as the Spark plan (exact: candidacy is a per-vector bucket
+      // function, so bucketing only slice vectors gives precisely the
+      // slice-restricted candidate set)
       ("WITH b AS (SELECT vec_id, g.t AS tbl, " +
        "CAST(list_sum(list_transform(generate_series(0, 3), j -> " +
        "CASE WHEN embedding[g.t*4 + j + 1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket " +
-       "FROM embeddings, generate_series(0, 15) g(t)), " +
+       s"FROM embeddings, generate_series(0, 15) g(t) " +
+       s"WHERE vec_id % $LshRecallSliceMod = $LshRecallSliceRes), " +
        "cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b FROM b a " +
        "JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket WHERE a.vec_id < c.vec_id), " +
        "lsh AS (SELECT id_a, id_b, 1 AS f FROM (" +
@@ -1164,9 +1195,7 @@ object SimilarityQueries {
        s"${cos("x.embedding", "y.embedding")} AS sim " +
        "FROM cand JOIN embeddings x ON cand.id_a = x.vec_id " +
        "JOIN embeddings y ON cand.id_b = y.vec_id) " +
-       s"WHERE sim >= $NearDupThreshold " +
-       s"AND id_a % $LshRecallSliceMod = $LshRecallSliceRes " +
-       s"AND id_b % $LshRecallSliceMod = $LshRecallSliceRes), " +
+       s"WHERE sim >= $NearDupThreshold), " +
        "ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, 1 AS t " +
        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id " +
        s"AND a.vec_id % $LshRecallSliceMod = $LshRecallSliceRes " +
