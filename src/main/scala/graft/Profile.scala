@@ -17,9 +17,9 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Confs.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
@@ -30,9 +30,11 @@ object Profile {
     val taskCounts = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
-        jobStart += js.jobId -> (System.nanoTime(), site)
+        // attribute the job by its result stage's callsite (the "X at
+        // file:line" the UI shows) plus its stage/task shape
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        val shape = js.stageInfos.map(_.numTasks).mkString("+")
+        jobStart += js.jobId -> (System.nanoTime(), s"[$shape tasks] $site")
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo

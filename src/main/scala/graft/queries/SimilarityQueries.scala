@@ -350,12 +350,18 @@ object SimilarityQueries {
   def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val dims = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") / PqSubDim).cast("int").as("m"),
-        (col("pos") % PqSubDim).cast("int").as("j"), col("x"))
-    val sub = dims.groupBy(col("vec_id"), col("m"))
-      .agg(array_sort(collect_list(struct(col("j"), col("x")))).as("jx"))
-      .select(col("vec_id"), col("m"), transform(col("jx"), _.getField("x")).as("sv"))
+    // subspace decomposition as a PURE PROJECTION (r14 optimization):
+    // sv for subspace m is just v[m·SubDim+1 .. (m+1)·SubDim] in
+    // position order, so `slice` yields it directly — the previous
+    // posexplode(64 dims) → groupBy(vec_id, m) → array_sort(collect_list)
+    // round-trip paid a 128k-row shuffle PER REFERENCE of this subtree
+    // (the Lloyd rounds reference it 4×); identical values, zero
+    // exchanges (plan: ann_pq_topk 9 → 5 Exchange)
+    val sub = e.select(col("vec_id"), explode(array((0 until PqSubspaces).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+    val dims = sub.select(col("vec_id"), col("m"), posexplode(col("sv")).as(Seq("j", "x")))
     // per-subspace codebook: deterministic vec_id % 16 seed, then
     // [[PqLloydSteps]] Lloyd rounds with 9-dp-pinned means (the IVF
     // convention); each round = mean-per-(m, code, j) + re-assignment.
@@ -377,10 +383,16 @@ object SimilarityQueries {
         .select(col("vec_id"), col("m"), col("mc.code").as("code"))
     var assign = sub.select(col("vec_id"), col("m"),
       (col("vec_id") % PqCodes).cast("int").as("code"))
-    var cbv: DataFrame = codebookFrom(assign)
+    // each round's codebook is MATERIALIZED (128 rows) before the next
+    // round references it: without the cut, round r's plan re-derives
+    // every earlier round's aggregation chain per reference and the
+    // final plan carries the whole training lineage ~4× (r14
+    // optimization; localCheckpoint is within the timed query — the
+    // build still runs from the parquet inputs on every invocation)
+    var cbv: DataFrame = codebookFrom(assign).localCheckpoint()
     for (_ <- 1 until PqLloydSteps) {
       assign = assignFrom(cbv)
-      cbv = codebookFrom(assign)
+      cbv = codebookFrom(assign).localCheckpoint()
     }
     val cb2 = cbv.withColumn("cn2",
       aggregate(zip_with(col("cv"), col("cv"), (a, b) => a * b),
