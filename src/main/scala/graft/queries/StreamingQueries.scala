@@ -1157,8 +1157,17 @@ object StreamingQueries {
       merged.write.mode("overwrite").parquet(v) // versioned republish
       stored = spark.read.parquet(v)
     }
-    // two 1-row scalars (bounded driver reads): final size + all-time size
-    val expired = DedupQueries.substrIndexGrams(docs).count() - stored.count()
+    // two 1-row scalars (bounded driver reads): final size + all-time
+    // size. All-time grams = distinct h over the UNION OF THE COMMITTED
+    // VERSIONS — every gram is present in (at least) the version of its
+    // last-seen epoch, so this equals the full-corpus re-gram exactly
+    // while reading 8-byte keys from the 4 version parquets instead of
+    // re-scanning and re-hashing every document's text (r14
+    // optimization: the re-gram pass was the query's largest single
+    // job; at 100 TB the gap widens — version metadata vs corpus text)
+    val allTime = (0 until epochs).map(e => spark.read.parquet(s"$base/v$e"))
+      .reduce(_ unionByName _).select(col("h")).distinct().count()
+    val expired = allTime - stored.count()
     stored.groupBy(col("last_seen_epoch"))
       .agg(count(lit(1)).as("n_grams"))
       .withColumn("n_expired", lit(expired))
@@ -1237,13 +1246,16 @@ object StreamingQueries {
         .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ds"))
         .select(col("id_b"), size(col("ds")).as("sz"),
           transform(col("ds"), _.getField("df")).as("dfs"))
-        .select(col("id_b"),
+        .select(col("id_b"), col("sz"),
           aggregate(
             slice(col("dfs"), lit(1),
               (col("sz") - ceil(col("sz") * lit(ContainmentThreshold)).cast("int")) + 1),
             lit(0L), (a, x) => a + x).as("prefix_df_sum"))
-      perDoc.agg(sum(col("prefix_df_sum")).as("prefix_df_total"))
-        .crossJoin(postings.agg(count(lit(1)).as("n_postings")))
+      // n_postings folded into the perDoc pass: Σ_id_b sz IS the posting
+      // count, so the separate full postings re-scan branch goes away
+      // (r14 optimization: one less scan+agg branch per epoch)
+      perDoc.agg(sum(col("prefix_df_sum")).as("prefix_df_total"),
+          coalesce(sum(col("sz")), lit(0)).cast("long").as("n_postings"))
         .crossJoin(dfRead.agg(count(lit(1)).as("n_df_shingles")))
         .select(lit(e.toLong).as("epoch"), col("n_postings"),
           col("n_df_shingles"), col("prefix_df_total"))
