@@ -950,11 +950,19 @@ object StreamingQueries {
         mol_from_seed(col("seed"), col("variant")).as("smiles"))
     val feed = java.nio.file.Paths.get(graft.ScratchDirs.dir("stream", sane, "chem_feed"))
     java.nio.file.Files.createDirectories(feed)
+    // ONE variant-partitioned write instead of three sequential
+    // coalesce(1) passes (r14 optimization): each filtered pass re-ran
+    // the mol_from_seed kernel single-task (coalesce(1) collapses the
+    // whole post-shuffle stage), so staging paid 3 serial kernel scans;
+    // hash-partitioning by variant runs the kernel once, one task per
+    // variant, and still leaves exactly one part file per variant dir
+    // (a variant's rows all share one partition). Batch contents are
+    // identical — (seed, smiles) rows of one rendering per file.
+    val stage = graft.ScratchDirs.dir("stream", sane, "chem_stage")
+    rendered.repartition(3, col("variant"))
+      .write.mode("overwrite").partitionBy("variant").parquet(stage)
     for (v <- 0 to 2) {
-      val stage = graft.ScratchDirs.dir("stream", sane, s"chem_stage_$v")
-      rendered.filter(col("variant") === v).select(col("seed"), col("smiles"))
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val partFile = new java.io.File(stage).listFiles()
+      val partFile = new java.io.File(s"$stage/variant=$v").listFiles()
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .sortBy(_.getName).head
       java.nio.file.Files.copy(partFile.toPath, feed.resolve(s"batch_$v.parquet"),
