@@ -87,6 +87,19 @@ object ScaleQueries {
     val fact = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
         pmod(col("l_linenumber"), lit(Salts)).as("salt"))
+      // EXPLICIT reducer-width pin on the salted key (r14 optimization,
+      // guide §2.5 + the Confs.tuned policy that CPU-per-row stages keep
+      // explicit repartition pins): the whole point of the salt is
+      // spreading the hot key across reducers, but this stage's cost is
+      // CPU per joined row, not bytes — size-based AQE coalescing saw
+      // ~MBs of shuffle and merged the salted spread back into ONE task
+      // (measured 0.62 → 1.7 s after Confs.tuned landed). A user
+      // repartition with an explicit count is never coalesced, and the
+      // join reuses its partitioning (same keys, same width — no second
+      // fact-side exchange). defaultParallelism keeps the width
+      // scale-adaptive: cores locally, executor slots on a cluster.
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("l_orderkey"), col("salt"))
     val dim = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(sequence(lit(0), lit(Salts - 1))))
