@@ -84,7 +84,14 @@ object Similarity {
       assigned = df.withColumn("cluster",
         nearestCluster(roundedCentroids(assigned, vecCol), col(vecCol)))
     }
-    (assigned, roundedCentroids(assigned, vecCol))
+    // materialize the k-row centroid table (the ann_pq codebook treatment,
+    // r15): every consumer of `cents` — the nprobe probe pick, the
+    // recall/drift contracts' joins, the partitioned write's pruning
+    // collect — otherwise re-derives the full centroid aggregation
+    // lineage (corpus scan + posexplode + 2 exchanges) PER REFERENCE in
+    // its plan. localCheckpoint is inside the timed query; the build
+    // still runs from the parquet inputs on every invocation.
+    (assigned, roundedCentroids(assigned, vecCol).localCheckpoint())
   }
 
   /** Literal-argmax nearest-centroid assignment: collect the (tiny)

@@ -203,16 +203,17 @@ object CurationQueries {
     * (cluster, hash)-ranked quota pass exchanges rows. */
   def annDiverseSample(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // literal-argmax assignment (the ivfIndex/nearestCluster shape, r15):
+    // identical cosine kernel and tie-break (sim desc, cluster asc) to
+    // the crossJoin + max_by form it replaces — the corpus now TRULY
+    // never shuffles for assignment (the max_by form still paid a
+    // groupBy(vec_id) exchange + SortAggregate to undo its own ×|labels|
+    // fan-out); only the quota pass exchanges rows
     val c = centroids(e, "label", "embedding")
-      .select(col("label").as("cluster"), col("centroid"))
-    // nearest-centroid assignment as a partial-aggregable max_by argmax
-    // (same tie-break as the window form it replaces: sim desc, cluster
-    // asc) — no shuffle-sort of the corpus into one-vector partitions
-    val assigned = e.crossJoin(broadcast(c))
-      .select(col("vec_id"), cosine(col("embedding"), col("centroid")).as("sim"), col("cluster"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cluster"), struct(col("sim"), (-col("cluster")).as("nc"))).as("cluster"))
-      .select(col("vec_id"), col("cluster"),
+      .select(col("label").cast("long").as("cluster"), col("centroid"))
+    val assigned = e.select(col("vec_id"),
+        graft.ops.Similarity.nearestCluster(c, col("embedding"))
+          .cast("int").as("cluster"),
         poly61(concat(lit("d"), col("vec_id").cast("string"))).as("h"))
     // per-cluster quota through the bounded-heap custom operator
     // (O(clusters·cap) state); ranking the SURVIVORS is a window over a
@@ -551,18 +552,19 @@ object CurationQueries {
     * both engines). */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // literal-argmax assignment (the ivfIndex/nearestCluster shape, r15):
+    // the cluster-centroid table is a ≤|labels|-row model-parameter
+    // transfer, so assignment is a PURE PROJECTION over the corpus —
+    // identical cosine kernel and tie-break (sim desc, cluster asc) to
+    // the crossJoin + max_by form it replaces, which fanned every vector
+    // ×|clusters| and un-fanned it through a groupBy(vec_id)
+    // SortAggregate (an exchange + per-task sort of the scored stream)
     val c = centroids(e, "label", "embedding")
-      .select(col("label").as("cluster"), col("centroid"))
-    // argmax assignment via max_by (sim desc, cluster asc tie-break) —
-    // partial-aggregable, no corpus-wide window sort
-    val assigned = e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("embedding"),
-        cosine(col("embedding"), col("centroid")).as("sim"), col("cluster"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cluster"), col("embedding")),
-        struct(col("sim"), (-col("cluster")).as("nc"))).as("best"))
-      .select(col("vec_id"), col("best.cluster").as("cluster"),
-        col("best.embedding").as("embedding"))
+      .select(col("label").cast("long").as("cluster"), col("centroid"))
+    val assigned = e.select(col("vec_id"),
+        graft.ops.Similarity.nearestCluster(c, col("embedding"))
+          .cast("int").as("cluster"),
+        col("embedding"))
       .persist() // reused 3×; plan-keyed, so bench repeats share one entry
     assigned.count()
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("ea"))

@@ -213,8 +213,22 @@ object DedupQueries {
     * an adversarial corpus instead ([[minhashCandidates]]). */
   val BandBucketCap = 4096
 
-  private def minhashPairsFrom(sh: DataFrame): DataFrame =
-    verifyAgainst(minhashCandidates(bandedDocs(sh), BandBucketCap), sh)
+  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
+    // the (doc_id, band_val) index is MATERIALIZED once (r15): it sits
+    // on THREE sides of the candidate stage (occupancy census + both
+    // legs of the bucket self-join), and each un-cached reference
+    // re-ran the signature build — corpus scan, shingle explode, and
+    // the 32-permutation min-aggregation exchange (the pipeline's only
+    // corpus-sized shuffle). 16 band rows × 16 bytes per doc is the
+    // stored-index footprint a production LSH pipeline persists anyway
+    // (the dedupIncremental scaladoc's "stored table" IS this). Same
+    // persist discipline as ngramPairsFrom's rarest-first table; the
+    // registered query still computes everything from parquet per
+    // invocation (plan: dedup_minhash_lsh 14 → 8 Exchange).
+    val banded = bandedDocs(sh).persist()
+    banded.count()
+    verifyAgainst(minhashCandidates(banded, BandBucketCap), sh)
+  }
 
   /** Candidate stage of [[minhashPairsFrom]], parameterized by the
     * occupancy cap so the fence spec can measure the adversarial case.
@@ -283,7 +297,11 @@ object DedupQueries {
     * t7_stream_lsh_dedup. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleTable(spark, dir)
-    val banded = bandedDocs(sh)
+    // materialized for the same reason as minhashPairsFrom (r15): the
+    // delta and index legs are two filters of ONE band index — uncached,
+    // each leg re-ran the full signature build
+    val banded = bandedDocs(sh).persist()
+    banded.count()
     val delta = banded.filter(col("doc_id") % 2 === 1)
       .select(col("band_val"), col("doc_id").as("id_a"))
     val index = banded.filter(col("doc_id") % 2 === 0)
@@ -950,7 +968,10 @@ object DedupQueries {
     labels.join(deg, col("node") === col("doc_id"))
       .groupBy(col("comp").as("comp_id"))
       .agg(count(lit(1)).as("n_docs"),
-        max(struct(col("degree"), (-col("doc_id")).as("nd"))).as("best"))
+        // max_tuple ≡ max(struct(degree, nd)) but hash-aggregable — the
+        // struct-buffered Max forced the whole aggregate (count included)
+        // into a SortAggregate over the member set (r15)
+        graft.expr.tupleagg.max_tuple(col("degree"), (-col("doc_id")).as("nd")).as("best"))
       .select(col("comp_id"), col("n_docs"),
         (-col("best.nd")).as("canonical_doc"), col("best.degree").as("degree"))
   }
@@ -981,7 +1002,8 @@ object DedupQueries {
     labels.join(quality, col("node") === col("doc_id"))
       .groupBy(col("comp").as("comp_id"))
       .agg(count(lit(1)).as("n_docs"),
-        max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("best"))
+        // hash-aggregable argmax — see dedupCanonical (r15)
+        graft.expr.tupleagg.max_tuple(col("quality"), (-col("doc_id")).as("nd")).as("best"))
       .select(col("comp_id"), col("n_docs"),
         (-col("best.nd")).as("keep_doc"), col("best.quality").as("quality"))
   }
@@ -1082,9 +1104,15 @@ object DedupQueries {
     // selection once doc_id >= 2^31 or pos >= 2^32 (production-scale
     // ids); struct comparison is overflow-free at any id width
     val key = struct(col("doc_id"), col("pos"))
+    // min_tuple ≡ min(struct(doc_id, pos)) with the same overflow-free
+    // per-field comparison, but hash-aggregable: the struct-buffered Min
+    // planned this corpus-scale aggregate (one group per distinct gram,
+    // one input row per token position) as a SortAggregate that sorted
+    // every task's full occurrence stream by gram hash (r15)
     val dupGrams = occ
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt"), min(key).as("keeper"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.expr.tupleagg.min_tuple(col("doc_id"), col("pos")).as("keeper"))
       .filter(col("cnt") >= 2)
       .select(col("h"), col("keeper"))
     occ.join(dupGrams, "h")

@@ -135,8 +135,15 @@ object PipelineQueries {
     val o = Tables.orders(spark, dir)
     val runA = o.filter(col("o_orderstatus") === "O")
     val runB = o.filter(col("o_totalprice") > 100000)
+    // key-dedup as a two-column DISTINCT: both runs are filters of the
+    // SAME extract, so every duplicate o_orderkey carries an identical
+    // o_orderstatus and distinct-on-(key, payload) ≡ dropDuplicates(key).
+    // distinct is a bufferless HashAggregate, where dropDuplicates kept
+    // the payload through a `first()` string buffer that forced a
+    // SortAggregate over the unioned stream (r15). Project-then-distinct
+    // also drops the unused order columns before the exchange (§2.3).
     runA.unionByName(runB)
-      .dropDuplicates("o_orderkey")
+      .select(col("o_orderkey"), col("o_orderstatus")).distinct()
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
   }
 

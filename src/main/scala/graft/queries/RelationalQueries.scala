@@ -87,12 +87,21 @@ object RelationalQueries {
     * sends one candidate row per group into the shuffle, where the
     * row_number-window form it replaces sorted every group in full
     * (5 segment partitions of corpus/5 rows each). */
-  def a3DedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir)
-      .groupBy(col("c_mktsegment"))
-      .agg(min(struct(col("c_custkey"), col("c_name"))).as("first"))
-      .select(col("c_mktsegment"), col("first.c_custkey").as("c_custkey"),
-        col("first.c_name").as("c_name"))
+  def a3DedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    // two-phase keep-first (r15): the winning KEY per group via a plain
+    // hash-aggregable min (c_custkey is unique, so the argmin is total
+    // with no tie-break), then one broadcast join-back fetches the
+    // payload row. The one-pass min(struct(key, name)) form carried the
+    // string payload in the aggregation buffer, which forced a
+    // SortAggregate over the full table; here the payload never enters
+    // an aggregate — decide on small rows, attach the heavy column once
+    // (guide §8's proxy discipline in miniature).
+    val c = Tables.customer(spark, dir)
+    val firstKey = c.groupBy(col("c_mktsegment"))
+      .agg(min(col("c_custkey")).as("c_custkey"))
+    c.join(broadcast(firstKey), Seq("c_mktsegment", "c_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_name"))
+  }
 
   /** A2+A4 (finalize_realease.py:591-602): group-by + multi-aggregate —
     * the TPC-H Q1 shape. Partial aggregation (map-side combine) means the

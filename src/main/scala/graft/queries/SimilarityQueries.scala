@@ -144,14 +144,18 @@ object SimilarityQueries {
     * sim, then lowest predicted label). */
   def simCentroidConfusion(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // literal-argmax assignment (the ivfIndex/nearestCluster shape, r15):
+    // the label-centroid table is a ≤|labels|-row model-parameter
+    // transfer, so the per-vector argmax becomes a PURE PROJECTION —
+    // identical cosine kernel and tie-break (sim desc, label asc) to the
+    // crossJoin + max_by form it replaces, which shuffled the corpus
+    // through a groupBy(vec_id) SortAggregate just to undo the ×|labels|
+    // fan-out it had itself created
     val c = centroids(e, "label", "embedding")
-      .select(col("label").as("pred_label"), col("centroid"))
-    e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("label"), col("pred_label"),
-        cosine(col("embedding"), col("centroid")).as("sim"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(max_by(col("pred_label"),
-        struct(col("sim"), (-col("pred_label")).as("np"))).as("pred_label"))
+      .select(col("label").cast("long").as("cluster"), col("centroid"))
+    e.select(col("label"),
+        graft.ops.Similarity.nearestCluster(c, col("embedding"))
+          .cast("int").as("pred_label"))
       .groupBy(col("label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
@@ -379,7 +383,11 @@ object SimilarityQueries {
           zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, t) => acc + t))
         .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d2"), col("code"))).as("mc"))
+        // min_tuple ≡ min(struct(d2, code)) but hash-aggregable (primitive
+        // buffer slots) — the (vec, subspace)-keyed argmin is corpus×8
+        // groups, where the struct-min form sort-aggregated every scored
+        // row (r15; see graft.expr.TupleExtremum)
+        .agg(graft.expr.tupleagg.min_tuple(col("d2"), col("code")).as("mc"))
         .select(col("vec_id"), col("m"), col("mc.code").as("code"))
     var assign = sub.select(col("vec_id"), col("m"),
       (col("vec_id") % PqCodes).cast("int").as("code"))
@@ -519,16 +527,24 @@ object SimilarityQueries {
       .select(col("vec_id"), bitFingerprint(col("embedding")).as("fp"))
     val refs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("ref_id"), col("fp").as("ref_fp"))
+    // max_tuple ≡ max_by over (score, -ref_id) — the argmax ref_id rides
+    // back out as -nr (the tie-break field is the negated id, so the
+    // aggregate needs no separate payload) and the max score is the
+    // tuple's own first field; hash-aggregable where the max_by-of-struct
+    // pair sort-aggregated the ×|refs| scored stream (r15)
     e.filter(col("vec_id") >= 5)
       .crossJoin(broadcast(refs))
       .select(col("vec_id"), col("ref_id"),
         bit_tversky(col("fp"), col("ref_fp"), 0.7, 0.3).as("tv"),
         bit_dice(col("fp"), col("ref_fp")).as("dc"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("ref_id"), struct(col("tv"), (-col("ref_id")).as("nr"))).as("best_tversky_ref"),
-        round(max(col("tv")), 6).as("best_tversky"),
-        max_by(col("ref_id"), struct(col("dc"), (-col("ref_id")).as("nr"))).as("best_dice_ref"),
-        round(max(col("dc")), 6).as("best_dice"))
+      .agg(graft.expr.tupleagg.max_tuple(col("tv"), (-col("ref_id")).as("nr")).as("bt"),
+        graft.expr.tupleagg.max_tuple(col("dc"), (-col("ref_id")).as("nr")).as("bd"))
+      .select(col("vec_id"),
+        (-col("bt.nr")).as("best_tversky_ref"),
+        round(col("bt.tv"), 6).as("best_tversky"),
+        (-col("bd.nr")).as("best_dice_ref"),
+        round(col("bd.dc"), 6).as("best_dice"))
   }
 
   /** Session-memoized ANN search results (see [[graft.SessionMemo]]):

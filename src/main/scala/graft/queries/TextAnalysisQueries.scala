@@ -695,8 +695,12 @@ object TextAnalysisQueries {
       .select(col("doc_id"), expr(paraSegExpr).as("segs"))
     val keyed = docs.select(col("doc_id"),
       posexplode(expr(s"transform(segs, s -> $keySql)")).as(Seq("seg_idx", "seg_key")))
+    // min_tuple ≡ min(struct(doc_id, seg_idx)) but hash-aggregable — the
+    // first-occurrence pick is one group per distinct segment over every
+    // segment occurrence in the corpus, and the struct-buffered Min
+    // planned it as a SortAggregate sorting each task by seg_key (r15)
     val first = keyed.groupBy(col("seg_key"))
-      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      .agg(graft.expr.tupleagg.min_tuple(col("doc_id"), col("seg_idx")).as("f"))
     val kept = keyed.join(first, "seg_key")
       .withColumn("keep",
         col("doc_id") === col("f.doc_id") && col("seg_idx") === col("f.seg_idx"))

@@ -139,7 +139,10 @@ object WindowQueries {
   def a6MaxBy(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(max(struct(col("value"), col("event_id"))).as("m"))
+      // max_tuple ≡ max(struct(value, event_id)) but hash-aggregable
+      // (primitive buffer slots vs a struct buffer that forced a
+      // SortAggregate over the full event stream — r15)
+      .agg(graft.expr.tupleagg.max_tuple(col("value"), col("event_id")).as("m"))
       .select(col("event_type"), col("m.value").as("max_value"),
         col("m.event_id").as("max_event_id"))
 

@@ -265,11 +265,15 @@ class CurationQueriesSpec extends SparkSpecBase {
       val per = df.groupBy("cluster").count().collect()
       assert(per.length == 10, s"expected 10 clusters, got ${per.length}")
       assert(per.forall(_.getLong(1) <= CurationQueries.DiverseCap))
-      // assignment side must broadcast the centroids, not shuffle the corpus
+      // assignment must be the literal-argmax PROJECTION (r15): centroids
+      // ride as literals inside a `greatest` — no join of any kind and no
+      // aggregation undoing a centroid fan-out; the corpus truly never
+      // shuffles for assignment
       val plan = CurationQueries.annDiverseSample(spark, sfDir)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-        s"centroids must broadcast:\n$plan")
+      assert(plan.contains("greatest"), s"literal argmax expected:\n$plan")
+      assert(!plan.contains("Join") && !plan.contains("SortAggregate"),
+        s"assignment must not join or sort-aggregate:\n$plan")
     } finally df.unpersist()
   }
 
