@@ -86,5 +86,15 @@ object Tables {
     events(spark, dir).repartition(spark.sparkContext.defaultParallelism,
       org.apache.spark.sql.functions.col("event_id"))
   def documents(spark: SparkSession, dir: String): DataFrame = fact(spark, dir, "documents", "doc_id")
+  /** Un-redistributed documents scan for consumers whose scan-side work
+    * is a TRIVIAL per-row projection (one hash/digest per row, no
+    * shingling or tokenizing): for them the [[fact]] repartition shuffles
+    * the whole text column to parallelize microseconds of CPU, and the
+    * query's own first exchange — carrying only small partial-aggregate
+    * or key rows — already parallelizes everything downstream. At scale
+    * a multi-split table parallelizes the scan itself; at the harness's
+    * one-row-group files the scan-side hash is the cheap part by three
+    * orders of magnitude (r15, the 8-vs-32-core inversion diagnosis). */
+  def documentsUnpinned(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = fact(spark, dir, "embeddings", "vec_id")
 }

@@ -182,7 +182,11 @@ object CurationQueries {
     * no per-group sort, which is the 100 TB shape (a row_number window
     * would sort every partition of the corpus). */
   def xSampleQuota(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(
+    // unpinned scan (r15): scan-side work is one poly61 per row and the
+    // bounded heap partial-aggregates map-side, so only O(langs·K) rows
+    // reach the exchange — the redistributed fact scan was a full-corpus
+    // shuffle to parallelize a trivial projection
+    val d = Tables.documentsUnpinned(spark, dir).select(
       col("doc_id"), col("lang"),
       poly61(concat(lit("q"), col("doc_id").cast("string"))).as("h"))
     graft.plans.TopKPerKeyOp(d,

@@ -62,7 +62,12 @@ object DedupQueries {
   /** A1/exact dedup: sha256 content digest → canonical (min) doc_id +
     * group size. One hash-shuffle on the digest. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // unpinned scan (r15): the only scan-side work is one sha2 per row,
+    // so the redistributed fact scan was a full-corpus shuffle of the
+    // text column to parallelize ~milliseconds of hashing; the digest
+    // groupBy's partial-agg exchange (digest, min, count — no text)
+    // parallelizes the aggregation at any scale
+    Tables.documentsUnpinned(spark, dir)
       .groupBy(sha2(col("text"), 256).as("digest"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("digest"), col("keeper_id"), col("n_copies"))

@@ -76,7 +76,11 @@ object PipelineQueries {
         size(col("ws")).cast("long").as("toks"),
         sha2(col("text"), 256).as("digest"))
     val keepers = base.groupBy(col("digest")).agg(min(col("doc_id")).as("keeper_id"))
-    val dupDrop = DedupQueries.dedupNgramJaccard(spark, dir)
+    // near-dup drop set from the session-memoized exact-pair artifact
+    // (r15): same relation as the live PPJoin pipeline, shared with the
+    // graph/canonical/recall consumers — the funnel needs the pair SET,
+    // not a second full pair-generation run inside its own plan
+    val dupDrop = DedupQueries.exactPairs(spark, dir)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("has_smaller_dup", lit(true))
     val f1 = col("lang") === "en"

@@ -165,7 +165,13 @@ object TextAnalysisQueries {
     * fingerprints themselves are hash-seeded → rows-only; this overlap
     * contract is what the oracle enforces. */
   def taWinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.queries.DedupQueries.dedupNgramJaccard(spark, dir)
+    // consume the session-memoized exact-pair ARTIFACT (r15) — the same
+    // sharing discipline as every other pair consumer (k-core, canonical,
+    // recall contracts): this contract needs the pair SET, not a second
+    // full run of the PPJoin pipeline (which dedup_ngram_jaccard, the
+    // registered live measurement, already is). Plan: the 24-exchange
+    // pair-generation subtree leaves this query entirely.
+    val pairs = graft.queries.DedupQueries.exactPairs(spark, dir)
       .select(col("id_a"), col("id_b"))
     val fp = winnowFingerprints(spark, dir)
     val joined = pairs
