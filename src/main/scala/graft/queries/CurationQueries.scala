@@ -839,7 +839,15 @@ object CurationQueries {
       .select(col("id_a"), col("id_b"))
     val members = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val keepers = DedupQueries.dedupKeepBest(spark, dir)
+    // keep-best picks from the session-memoized ARTIFACT (r15): the
+    // drop list has two release consumers (t19's stream finalize and
+    // the batch shard capstone), and each used to re-run the full
+    // keep-best pipeline — label-propagation loop + corpus quality
+    // scan — inside its own invocation. The registered dedup_keep_best
+    // stays on the live pipeline; this is the same two-consumer memo
+    // rule as exactPairs itself.
+    val keepers = graft.SessionMemo.parquet(spark, "keep_best", dir)(
+        DedupQueries.dedupKeepBest(spark, dir))
       .select(col("keep_doc").as("doc_id"))
     members.join(keepers, Seq("doc_id"), "left_anti")
   }
